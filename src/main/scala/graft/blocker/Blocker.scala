@@ -1,0 +1,186 @@
+package graft.blocker
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The blocking stage of the engine: tokenize entities into an inverted
+  * index, weight tokens by TF-IDF, eliminate high-cost tokens (dynamic
+  * stopwords = the skew guard), and generate candidate duplicate pairs by
+  * a token self-join with per-field log-credit scoring.
+  *
+  * Same semantics as the reference's DuckDB-SQL blocker
+  * (`blocker/tokenizer.py:61-132`, `blocker/index.py:232-307,499-531,
+  * 588-694`), re-expressed as declarative DataFrame plans so Catalyst
+  * plans the joins:
+  *  - the `compat` / `boosts` tables are tiny literal DataFrames →
+  *    broadcast joins, never a shuffle;
+  *  - the token self-join shuffles both sides on (token, field) — a
+  *    sort-merge join whose worst key skew is *provably bounded* by the
+  *    stopword cost cap, which is what makes this safe at 100 TB;
+  *  - the `l.id > r.id` predicate halves the self-join exactly like the
+  *    reference (`blocker/index.py:604`);
+  *  - top-K per subject uses row_number + first_value over one window so
+  *    Catalyst folds the rank predicate into WindowGroupLimit.
+  *
+  * Every intermediate table is also expressible as a DuckDB CTE — see
+  * [[BlockerQueries]] for the oracle SQL mirrors.
+  */
+object Blocker {
+
+  /** Config mirroring the reference's knobs (`blocker/index.py:59-63`):
+    * token truncation 40 chars, pair-cost cap (bucket 60 → 1770 in the
+    * reference; configurable here because cost scales with corpus),
+    * max candidates 75 / relative floor 0.1 for match top-K.
+    */
+  case class Config(
+      minTokenLen: Int = 2,
+      maxTokenLen: Int = 40,
+      maxPairCost: Long = 50000L,
+      maxPairs: Int = 5000,
+      maxCandidates: Int = 10,
+      minScoreRatio: Double = 0.1)
+
+  /** Statements (id, schema, field, value) → entries
+    * (schema, id, field, token, cnt). Pure narrow transform: lower-case,
+    * split on non-alphanumerics, drop short tokens, truncate to 40 chars,
+    * count per entity/field — the Spark form of the entity tokenizer
+    * (`blocker/tokenizer.py:61-132` + count fold `blocker/index.py:162-169`).
+    * No shuffle until the final groupBy, which is the inverted index build.
+    */
+  def entries(statements: DataFrame, cfg: Config = Config()): DataFrame =
+    statements
+      .withColumn("token",
+        explode(split(lower(col("value")), "[^a-z0-9]+")))
+      .filter(length(col("token")) >= cfg.minTokenLen)
+      .withColumn("token", substring(col("token"), 1, cfg.maxTokenLen))
+      .groupBy(col("schema"), col("id"), col("field"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Per (token, schema) document frequency / term frequency
+    * (`blocker/index.py:238-249`).
+    */
+  def tokenStats(entries: DataFrame): DataFrame =
+    entries.groupBy(col("token"), col("schema"))
+      .agg(count(lit(1)).as("df"), sum(col("cnt")).as("freq"),
+        min(col("field")).as("field"))
+
+  /** Dynamic stopwords: tokens whose compatible-pair cost exceeds the cap
+    * (`blocker/index.py:232-307`). Cost of a token = number of candidate
+    * pairs it would emit: n·(n−1)/2 within a schema, n_l·n_r across
+    * compatible schemata. This is simultaneously the reference's semantics
+    * and Spark's shuffle-skew guard: no join key downstream can fan out
+    * more than `maxPairCost` rows.
+    */
+  def stopwords(stats: DataFrame, compat: DataFrame, cfg: Config): DataFrame = {
+    val l = stats.select(col("token"), col("schema").as("ls"), col("df").as("ldf"))
+    val r = stats.select(col("token").as("rtoken"), col("schema").as("rs"),
+      col("df").as("rdf"))
+    l.join(r, col("token") === col("rtoken") && col("ls") <= col("rs"))
+      .join(broadcast(compat), Seq("ls", "rs"))
+      .groupBy(col("token"))
+      .agg(sum(when(col("ls") === col("rs"),
+        expr("ldf * (ldf - 1) div 2")).otherwise(col("ldf") * col("rdf")))
+        .as("cost"))
+      .filter(col("cost") > cfg.maxPairCost)
+  }
+
+  /** IDF per token: 1 + ln(N / df), N = distinct entities
+    * (`blocker/index.py:506-513`). N is a scalar — computed once and
+    * cross-joined (a 1-row broadcast), not recomputed per row.
+    */
+  def idf(entries: DataFrame, stats: DataFrame): DataFrame = {
+    val n = entries.agg(countDistinct(col("id")).as("n_entities"))
+    stats.groupBy(col("token")).agg(sum(col("df")).as("tdf"))
+      .crossJoin(broadcast(n))
+      .select(col("token"),
+        (lit(1.0) + log(col("n_entities") / col("tdf"))).as("idf"))
+  }
+
+  /** Per-entity name-token mass, for alias damping
+    * (`blocker/index.py:514-519`).
+    */
+  def nameCounts(entries: DataFrame): DataFrame =
+    entries.filter(col("field") === "name")
+      .groupBy(col("id"))
+      .agg(greatest(lit(1L), sum(col("cnt"))).as("n_names"))
+
+  /** Weighted term frequencies: entries minus stopwords, weighted
+    * cnt · idf · boost / sqrt(n_names) (`blocker/index.py:504-531`).
+    * Stopword anti-join + two joins; `boosts` broadcast.
+    */
+  def termFrequencies(entries0: DataFrame, compat: DataFrame,
+      boosts: DataFrame, cfg: Config = Config()): DataFrame = {
+    val e = entries0
+    val stats = tokenStats(e)
+    val sw = stopwords(stats, compat, cfg).select(col("token"))
+    val i = idf(e, stats)
+    val nc = nameCounts(e)
+    e.join(sw, Seq("token"), "left_anti")
+      .join(i, Seq("token"))
+      .join(nc, Seq("id"))
+      .join(broadcast(boosts), Seq("field"), "left_outer")
+      .select(col("schema"), col("id"), col("field"), col("token"),
+        (col("cnt") * col("idf") * coalesce(col("boost"), lit(1.0)) /
+          sqrt(col("n_names"))).as("weight"))
+  }
+
+  /** Score shared-token groups: per (left, right, field) take the best
+    * combined weight and count shared tokens, then credit each field
+    * maxw · (1 + ln(n)) and sum (`blocker/index.py:595-607`). Partial
+    * aggregation is automatic (two-level hash agg).
+    */
+  private def scorePairs(joined: DataFrame, lid: Column, rid: Column): DataFrame =
+    joined
+      .groupBy(lid.as("lid"), rid.as("rid"), col("l.field").as("field"))
+      .agg(max(col("l.weight") + col("r.weight")).as("maxw"),
+        count(lit(1)).as("n"))
+      .groupBy(col("lid"), col("rid"))
+      .agg(round(sum(col("maxw") * (lit(1.0) + log(col("n")))), 4).as("score"))
+
+  /** Candidate duplicate pairs: token self-join on (token, field) with
+    * `l.id > r.id`, restricted to compatible schemata, scored, global
+    * top-N (`blocker/index.py:588-610`). The returned plan ends in
+    * TakeOrderedAndProject — no global sort materialization.
+    */
+  def pairs(tf: DataFrame, compat: DataFrame, cfg: Config = Config()): DataFrame = {
+    val l = tf.as("l")
+    val r = tf.as("r")
+    val joined = l.join(r,
+      col("l.token") === col("r.token") && col("l.field") === col("r.field") &&
+        col("l.id") > col("r.id"))
+      .join(broadcast(compat),
+        col("ls") === least(col("l.schema"), col("r.schema")) &&
+          col("rs") === greatest(col("l.schema"), col("r.schema")))
+    scorePairs(joined, col("l.id"), col("r.id"))
+      .orderBy(col("score").desc, col("lid").asc, col("rid").asc)
+      .limit(cfg.maxPairs)
+  }
+
+  /** Match join: query-side term frequencies against the index, scored,
+    * then per-subject top-K with a relative score floor
+    * (`blocker/index.py:653-694`). The query side is expected to be small
+    * → broadcast it so the index side never shuffles.
+    */
+  def matchTopK(tfQuery: DataFrame, tfIndex: DataFrame, compat: DataFrame,
+      cfg: Config = Config()): DataFrame = {
+    val l = broadcast(tfQuery).as("l")
+    val r = tfIndex.as("r")
+    val joined = l.join(r,
+      col("l.token") === col("r.token") && col("l.field") === col("r.field") &&
+        col("l.id") =!= col("r.id"))
+      .join(broadcast(compat),
+        col("ls") === least(col("l.schema"), col("r.schema")) &&
+          col("rs") === greatest(col("l.schema"), col("r.schema")))
+    val scored = scorePairs(joined, col("l.id"), col("r.id"))
+      .withColumnRenamed("lid", "qid").withColumnRenamed("rid", "cid")
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("cid").asc)
+    scored
+      .withColumn("rn", row_number().over(w))
+      .withColumn("best", first(col("score")).over(w))
+      .filter(col("rn") <= cfg.maxCandidates &&
+        col("score") >= col("best") * cfg.minScoreRatio)
+      .select(col("qid"), col("cid"), col("score"), col("rn"))
+  }
+}

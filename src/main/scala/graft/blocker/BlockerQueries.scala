@@ -1,0 +1,171 @@
+package graft.blocker
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.store.StarStatements
+
+/** Driver-facing blocker queries over the synthetic statement view, each
+  * with a line-for-line DuckDB oracle (the reference executes this whole
+  * stage as SQL — `blocker/index.py` — so the oracle is the spec).
+  */
+object BlockerQueries {
+
+  val cfg: Blocker.Config = Blocker.Config()
+
+  private def compatDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    StarStatements.compat.toDF("ls", "rs")
+  }
+
+  private def boostsDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    StarStatements.boosts.toDF("field", "boost")
+  }
+
+  def entries(s: SparkSession, d: String): DataFrame =
+    Blocker.entries(StarStatements(s, d), cfg)
+
+  def tokenStats(s: SparkSession, d: String): DataFrame =
+    Blocker.tokenStats(entries(s, d))
+
+  def stopwordsQ(s: SparkSession, d: String): DataFrame =
+    Blocker.stopwords(tokenStats(s, d), compatDf(s), cfg)
+
+  def tf(s: SparkSession, d: String): DataFrame =
+    Blocker.termFrequencies(entries(s, d), compatDf(s), boostsDf(s), cfg)
+
+  def tfRounded(s: SparkSession, d: String): DataFrame =
+    tf(s, d).withColumn("weight", round(col("weight"), 6))
+
+  def pairsQ(s: SparkSession, d: String): DataFrame =
+    Blocker.pairs(tf(s, d), compatDf(s), cfg)
+
+  /** Query side for the match join: Part entities with key % 10 == 0. */
+  private def isQuerySide = col("schema") === "Part" &&
+    substring(col("id"), 3, 30).cast("long") % 10 === 0
+
+  def matchTopKQ(s: SparkSession, d: String): DataFrame = {
+    val t = tf(s, d)
+    Blocker.matchTopK(t.filter(isQuerySide), t.filter(!isQuerySide),
+      compatDf(s), cfg)
+  }
+
+  // ---------------------------------------------------------------- oracle
+
+  /** Shared CTE chain mirroring the DataFrame lineage above. */
+  private val prefix: String = s"""
+    WITH ${StarStatements.sql.trim},
+    ${StarStatements.compatSql.trim},
+    ${StarStatements.boostsSql.trim},
+    tokens AS (
+      SELECT id, schema, field, substr(t, 1, ${cfg.maxTokenLen}) AS token
+      FROM stmts, unnest(string_split_regex(lower(value), '[^a-z0-9]+')) AS u(t)
+      WHERE length(t) >= ${cfg.minTokenLen}
+    ),
+    entries AS (
+      SELECT schema, id, field, token, count(*) AS cnt
+      FROM tokens GROUP BY schema, id, field, token
+    ),
+    token_stats AS (
+      SELECT token, schema, count(*) AS df, CAST(sum(cnt) AS BIGINT) AS freq,
+             min(field) AS field
+      FROM entries GROUP BY token, schema
+    ),
+    costs AS (
+      SELECT l.token,
+             CAST(sum(CASE WHEN l.schema = r.schema THEN (l.df*(l.df-1))//2
+                           ELSE l.df*r.df END) AS BIGINT) AS cost
+      FROM token_stats l
+      JOIN token_stats r ON l.token = r.token AND l.schema <= r.schema
+      JOIN compat ON ls = l.schema AND rs = r.schema
+      GROUP BY l.token
+    ),
+    stopwords AS (SELECT token, cost FROM costs WHERE cost > ${cfg.maxPairCost}),
+    idf AS (
+      SELECT token,
+             1.0 + ln(CAST((SELECT count(DISTINCT id) FROM entries) AS DOUBLE)
+                      / CAST(sum(df) AS DOUBLE)) AS idf
+      FROM token_stats GROUP BY token
+    ),
+    name_counts AS (
+      SELECT id, greatest(1, CAST(sum(cnt) AS BIGINT)) AS n_names
+      FROM entries WHERE field = 'name' GROUP BY id
+    ),
+    tf AS (
+      SELECT e.schema, e.id, e.field, e.token,
+             e.cnt * i.idf * coalesce(b.boost, 1.0) / sqrt(nc.n_names) AS weight
+      FROM entries e
+      LEFT JOIN stopwords sw ON e.token = sw.token
+      JOIN idf i ON e.token = i.token
+      JOIN name_counts nc ON e.id = nc.id
+      LEFT JOIN boosts b ON e.field = b.field
+      WHERE sw.token IS NULL
+    ),
+    pair_fields AS (
+      SELECT l.id AS lid, r.id AS rid, l.field AS field,
+             max(l.weight + r.weight) AS maxw, count(*) AS n
+      FROM tf l
+      JOIN tf r ON l.token = r.token AND l.field = r.field AND l.id > r.id
+      JOIN compat c ON c.ls = least(l.schema, r.schema)
+                  AND c.rs = greatest(l.schema, r.schema)
+      GROUP BY l.id, r.id, l.field
+    ),
+    pair_scores AS (
+      SELECT lid, rid, round(sum(maxw * (1.0 + ln(n))), 4) AS score
+      FROM pair_fields GROUP BY lid, rid
+    ),
+    matching AS (
+      SELECT * FROM tf
+      WHERE schema = 'Part' AND CAST(substr(id, 3) AS BIGINT) % 10 = 0
+    ),
+    index_side AS (
+      SELECT * FROM tf
+      WHERE NOT (schema = 'Part' AND CAST(substr(id, 3) AS BIGINT) % 10 = 0)
+    ),
+    match_fields AS (
+      SELECT m.id AS qid, t.id AS cid, m.field AS field,
+             max(m.weight + t.weight) AS maxw, count(*) AS n
+      FROM matching m
+      JOIN index_side t
+        ON m.token = t.token AND m.field = t.field AND m.id <> t.id
+      JOIN compat c ON c.ls = least(m.schema, t.schema)
+                  AND c.rs = greatest(m.schema, t.schema)
+      GROUP BY m.id, t.id, m.field
+    ),
+    match_scores AS (
+      SELECT qid, cid, round(sum(maxw * (1.0 + ln(n))), 4) AS score
+      FROM match_fields GROUP BY qid, cid
+    ),
+    match_ranked AS (
+      SELECT qid, cid, score,
+             row_number() OVER w AS rn, first_value(score) OVER w AS best
+      FROM match_scores
+      WINDOW w AS (PARTITION BY qid ORDER BY score DESC, cid)
+    )
+    """
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_blk_entries" -> (entries _),
+    "q_blk_token_stats" -> (tokenStats _),
+    "q_blk_stopwords" -> (stopwordsQ _),
+    "q_blk_tf" -> (tfRounded _),
+    "q_blk_pairs" -> (pairsQ _),
+    "q_blk_match_topk" -> (matchTopKQ _))
+
+  val oracles: Map[String, String] = Map(
+    "q_blk_entries" -> (prefix +
+      "SELECT schema, id, field, token, cnt FROM entries"),
+    "q_blk_token_stats" -> (prefix +
+      "SELECT token, schema, df, freq, field FROM token_stats"),
+    "q_blk_stopwords" -> (prefix + "SELECT token, cost FROM stopwords"),
+    "q_blk_tf" -> (prefix +
+      "SELECT schema, id, field, token, round(weight, 6) AS weight FROM tf"),
+    "q_blk_pairs" -> (prefix +
+      s"""SELECT lid, rid, score FROM pair_scores
+          ORDER BY score DESC, lid, rid LIMIT ${cfg.maxPairs}"""),
+    "q_blk_match_topk" -> (prefix +
+      s"""SELECT qid, cid, score, rn FROM match_ranked
+          WHERE rn <= ${cfg.maxCandidates}
+            AND score >= best * ${cfg.minScoreRatio}"""))
+}
