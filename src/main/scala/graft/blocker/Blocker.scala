@@ -138,12 +138,12 @@ object Blocker {
       .groupBy(col("lid"), col("rid"))
       .agg(round(sum(col("maxw") * (lit(1.0) + log(col("n")))), 4).as("score"))
 
-  /** Candidate duplicate pairs: token self-join on (token, field) with
-    * `l.id > r.id`, restricted to compatible schemata, scored, global
-    * top-N (`blocker/index.py:588-610`). The returned plan ends in
-    * TakeOrderedAndProject — no global sort materialization.
+  /** All scored candidate pairs: token self-join on (token, field) with
+    * `l.id > r.id`, restricted to compatible schemata, scored
+    * (`blocker/index.py:588-607`) — no top-N cut; the resolver consumes
+    * the full score table.
     */
-  def pairs(tf: DataFrame, compat: DataFrame, cfg: Config = Config()): DataFrame = {
+  def pairScores(tf: DataFrame, compat: DataFrame): DataFrame = {
     val l = tf.as("l")
     val r = tf.as("r")
     val joined = l.join(r,
@@ -153,9 +153,16 @@ object Blocker {
         col("ls") === least(col("l.schema"), col("r.schema")) &&
           col("rs") === greatest(col("l.schema"), col("r.schema")))
     scorePairs(joined, col("l.id"), col("r.id"))
+  }
+
+  /** Candidate pairs capped to the global top-N (`blocker/index.py:608-610`).
+    * The returned plan ends in TakeOrderedAndProject — no global sort
+    * materialization.
+    */
+  def pairs(tf: DataFrame, compat: DataFrame, cfg: Config = Config()): DataFrame =
+    pairScores(tf, compat)
       .orderBy(col("score").desc, col("lid").asc, col("rid").asc)
       .limit(cfg.maxPairs)
-  }
 
   /** Match join: query-side term frequencies against the index, scored,
     * then per-subject top-K with a relative score floor

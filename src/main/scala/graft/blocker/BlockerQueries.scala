@@ -41,6 +41,10 @@ object BlockerQueries {
   def pairsQ(s: SparkSession, d: String): DataFrame =
     Blocker.pairs(tf(s, d), compatDf(s), cfg)
 
+  /** Full pair score table, no top-N (resolver input). */
+  def pairsAll(s: SparkSession, d: String): DataFrame =
+    Blocker.pairScores(tf(s, d), compatDf(s))
+
   /** Query side for the match join: Part entities with key % 10 == 0. */
   private def isQuerySide = col("schema") === "Part" &&
     substring(col("id"), 3, 30).cast("long") % 10 === 0
@@ -53,8 +57,9 @@ object BlockerQueries {
 
   // ---------------------------------------------------------------- oracle
 
-  /** Shared CTE chain mirroring the DataFrame lineage above. */
-  private val prefix: String = s"""
+  /** Shared CTE chain mirroring the DataFrame lineage above (also reused
+    * by the resolver oracles, which prepend RECURSIVE). */
+  val ctePrefix: String = s"""
     WITH ${StarStatements.sql.trim},
     ${StarStatements.compatSql.trim},
     ${StarStatements.boostsSql.trim},
@@ -154,17 +159,17 @@ object BlockerQueries {
     "q_blk_match_topk" -> (matchTopKQ _))
 
   val oracles: Map[String, String] = Map(
-    "q_blk_entries" -> (prefix +
+    "q_blk_entries" -> (ctePrefix +
       "SELECT schema, id, field, token, cnt FROM entries"),
-    "q_blk_token_stats" -> (prefix +
+    "q_blk_token_stats" -> (ctePrefix +
       "SELECT token, schema, df, freq, field FROM token_stats"),
-    "q_blk_stopwords" -> (prefix + "SELECT token, cost FROM stopwords"),
-    "q_blk_tf" -> (prefix +
+    "q_blk_stopwords" -> (ctePrefix + "SELECT token, cost FROM stopwords"),
+    "q_blk_tf" -> (ctePrefix +
       "SELECT schema, id, field, token, round(weight, 6) AS weight FROM tf"),
-    "q_blk_pairs" -> (prefix +
+    "q_blk_pairs" -> (ctePrefix +
       s"""SELECT lid, rid, score FROM pair_scores
           ORDER BY score DESC, lid, rid LIMIT ${cfg.maxPairs}"""),
-    "q_blk_match_topk" -> (prefix +
+    "q_blk_match_topk" -> (ctePrefix +
       s"""SELECT qid, cid, score, rn FROM match_ranked
           WHERE rn <= ${cfg.maxCandidates}
             AND score >= best * ${cfg.minScoreRatio}"""))

@@ -1,0 +1,81 @@
+package graft.resolver
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Cluster resolution: positive same-as edges → connected components →
+  * canonical-ID selection → canonicalization of statements.
+  *
+  * The reference folds judgement edges into an in-memory union-find
+  * (`resolver/linker.py:20-36`) and rewrites ids through it
+  * (`resolver/linker.py:91-133`). At 100 TB the edge list is itself a
+  * distributed table, so components are computed as an iterative
+  * DataFrame fixpoint (min-label propagation, the DataFrame form of
+  * hash-to-min): per iteration one shuffle on `id`, converging in
+  * O(component diameter) rounds — duplicate clusters are shallow (pairs /
+  * small stars), so 3-5 rounds in practice. `localCheckpoint` truncates
+  * the growing lineage each round, which is what keeps the plan compact
+  * at scale.
+  */
+object Resolver {
+
+  /** Connected components over an undirected edge list `(src, dst)`.
+    * Returns `(id, cluster)` where cluster = min member id, for every
+    * vertex that appears in an edge.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // neighbor labels + own label, take the min per vertex
+      val nbr = sym.join(labels, sym("dst") === labels("id"))
+        .select(sym("src").as("id"), col("cluster"))
+      val next = nbr.unionAll(labels)
+        .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
+        .localCheckpoint(true)
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.cluster") =!= col("o.cluster"))
+        .limit(1).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
+  /** Canonical-ID selection per cluster: max by (weight, id) — the
+    * reference's precedence rule QID > NK- > raw
+    * (`resolver/identifier.py:11-27`). `weightOf` must map an id to a
+    * single-digit precedence so the (weight, id) argmax can be computed
+    * as a plain string max — one agg, no window.
+    */
+  def canonicalMap(components: DataFrame, weightOf: Column => Column): DataFrame =
+    components
+      .withColumn("wkey",
+        concat(weightOf(col("id")).cast("string"), lit("|"), col("id")))
+      .groupBy(col("cluster"))
+      .agg(element_at(split(max(col("wkey")), "\\|"), 2).as("canonical"))
+      .join(components, Seq("cluster"))
+      .select(col("id").as("member"), col("canonical"))
+
+  /** Canonicalize a statement table: rewrite `id` to its cluster
+    * canonical (identity when unresolved). The cluster map is tiny
+    * relative to statements → broadcast join, statements never shuffle
+    * (the reference's single most important throughput operator,
+    * `resolver/linker.py:91-133`).
+    */
+  def applyCanonical(statements: DataFrame, canonical: DataFrame): DataFrame =
+    statements.join(broadcast(canonical),
+        statements("id") === canonical("member"), "left_outer")
+      .select(statements("id"),
+        coalesce(col("canonical"), statements("id")).as("canonical_id"),
+        col("schema"), col("field"), col("value"))
+}
