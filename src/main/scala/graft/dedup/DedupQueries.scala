@@ -1,0 +1,176 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Hashing
+
+/** Driver-facing dedup queries over `documents` (and `part` for exact),
+  * each with a DuckDB oracle mirroring the signature math exactly
+  * (md5-derived 60-bit hashes + universal-hash permutations — see
+  * [[graft.functions.Hashing]]).
+  */
+object DedupQueries {
+
+  val ShingleN = 3
+  val MinhashK = 16
+  val Bands = 4
+  val RowsPerBand = 4
+  val JaccardThreshold = 0.8
+  val SimhashBits = 60
+  val SimhashBands = 6
+  val SimhashBandBits = 10
+  val SimhashMaxDist = 5
+  val CosineThreshold = 0.4
+
+  /** Exact dedup: content-hash groupBy on part names (the `dropDuplicates`
+    * / statement-id set semantics of the reference, `store/memory.py:37-39`).
+    */
+  def exactDedup(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .groupBy(md5(lower(col("p_name"))).as("h"))
+      .agg(count(lit(1)).as("n"), min(col("p_partkey")).as("canonical"))
+      .filter(col("n") > 1)
+
+  private def shingleDf(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), Dedup.shingles(col("text"), ShingleN).as("s"))
+      .filter(size(col("s")) > 0)
+
+  def minhashSigs(s: SparkSession, d: String): DataFrame =
+    shingleDf(s, d)
+      .select(col("doc_id"), Dedup.minhashSig(col("s"), MinhashK).as("sig"))
+
+  def minhashQ(s: SparkSession, d: String): DataFrame =
+    minhashSigs(s, d)
+      .select(col("doc_id"), concat_ws("-", col("sig")).as("sig"))
+
+  /** MinHash-LSH candidate pairs verified with true shingle Jaccard. */
+  def lshPairsQ(s: SparkSession, d: String): DataFrame = {
+    val cand = Dedup.lshCandidates(minhashSigs(s, d), "doc_id", Bands,
+      RowsPerBand)
+    val sh = shingleDf(s, d)
+    val a = sh.select(col("doc_id").as("a"), col("s").as("sa"))
+    val b = sh.select(col("doc_id").as("b"), col("s").as("sb"))
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    cand.join(a, Seq("a")).join(b, Seq("b"))
+      .select(col("a"), col("b"),
+        round(inter.cast("double") /
+          (size(col("sa")) + size(col("sb")) - inter), 4).as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+  }
+
+  def simhashQ(s: SparkSession, d: String): DataFrame =
+    Dedup.simhash(Tables.documents(s, d), "doc_id", "text", SimhashBits)
+
+  def simhashPairsQ(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashPairs(simhashQ(s, d), "doc_id", SimhashBands,
+      SimhashBandBits, SimhashMaxDist)
+
+  // ---------------------------------------------------------------- oracle
+
+  private def permuteSql(j: Int): String =
+    "list_min(list_transform(hs, h -> " + Hashing.permuteSql("h", j) + "))"
+
+  private val sigList: String =
+    (0 until MinhashK).map(permuteSql).mkString("[", ",\n          ", "]")
+
+  private val bandSelects: String = (0 until Bands).map { b =>
+    val lo = b * RowsPerBand + 1
+    val hi = (b + 1) * RowsPerBand
+    s"SELECT doc_id, $b AS band, array_to_string(sig[$lo:$hi], '-') AS key FROM mh"
+  }.mkString("\n      UNION ALL ")
+
+  private val simBandSelects: String = (0 until SimhashBands).map { i =>
+    val mask = (1L << SimhashBandBits) - 1
+    s"SELECT doc_id, simhash, $i AS band, (simhash >> ${SimhashBandBits * i}) & $mask AS key FROM sims"
+  }.mkString("\n      UNION ALL ")
+
+  val ctePrefix: String = s"""
+    WITH words AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> length(x) > 0) AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(len(w) - ${ShingleN - 1}),
+               i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS s
+      FROM words WHERE len(w) >= $ShingleN
+    ),
+    hashed AS (
+      SELECT doc_id,
+             list_transform(s, x -> ${Hashing.hash60Sql("x")}) AS hs
+      FROM sh
+    ),
+    mh AS (
+      SELECT doc_id, $sigList AS sig FROM hashed
+    ),
+    buckets AS (
+      $bandSelects
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM buckets l JOIN buckets r
+        ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+    ),
+    wc AS (
+      SELECT doc_id, x AS word, count(*) AS cnt
+      FROM (SELECT doc_id, unnest(w) AS x FROM words)
+      GROUP BY doc_id, x
+    ),
+    wh AS (
+      SELECT doc_id, cnt, ${Hashing.hash60Sql("word")} AS whash FROM wc
+    ),
+    votes AS (
+      SELECT doc_id, bit,
+             sum(cnt * (((whash >> bit) & 1) * 2 - 1)) AS vote
+      FROM wh, unnest(range($SimhashBits)) t(bit)
+      GROUP BY doc_id, bit
+    ),
+    sims AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << bit)
+                           ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id
+    ),
+    sbuckets AS (
+      $simBandSelects
+    )
+    """
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> (exactDedup _),
+    "q_dedup_minhash" -> (minhashQ _),
+    "q_dedup_lsh_pairs" -> (lshPairsQ _),
+    "q_dedup_simhash" -> (simhashQ _),
+    "q_dedup_simhash_pairs" -> (simhashPairsQ _))
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" -> """
+      SELECT md5(lower(p_name)) AS h, count(*) AS n,
+             min(p_partkey) AS canonical
+      FROM part GROUP BY 1 HAVING count(*) > 1""",
+    "q_dedup_minhash" -> (ctePrefix +
+      "SELECT doc_id, array_to_string(sig, '-') AS sig FROM mh"),
+    "q_dedup_lsh_pairs" -> (ctePrefix + s"""
+      SELECT a, b, jaccard FROM (
+        SELECT c.a, c.b,
+               round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                 / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))),
+                 4) AS jaccard
+        FROM cand c
+        JOIN sh sa ON c.a = sa.doc_id
+        JOIN sh sb ON c.b = sb.doc_id)
+      WHERE jaccard >= $JaccardThreshold"""),
+    "q_dedup_simhash" -> (ctePrefix + "SELECT doc_id, simhash FROM sims"),
+    "q_dedup_simhash_pairs" -> (ctePrefix + s"""
+      SELECT a, b, hamming FROM (
+        SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+               bit_count(xor(l.simhash, r.simhash)) AS hamming
+        FROM sbuckets l JOIN sbuckets r
+          ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)
+      WHERE hamming <= $SimhashMaxDist"""))
+}

@@ -1,0 +1,71 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Baseline: brute-force cosine top-k — the query side is broadcast so
+  * the corpus never shuffles; the dot product runs as codegen'd
+  * higher-order functions (`zip_with` + `aggregate`), no UDF.
+  *
+  * Scale path: random-hyperplane LSH — each vector gets a small bucket
+  * id from the signs of h deterministic hyperplane projections; search
+  * only joins query and corpus rows in the same bucket, turning the
+  * all-pairs scan into an equi-join Catalyst can shuffle-partition by
+  * bucket. Hyperplanes are md5-derived so the DuckDB oracle reproduces
+  * them bit-for-bit.
+  */
+object Similarity {
+
+  /** Cast a float-array column to double (parity with the oracle math). */
+  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** Deterministic hyperplane matrix: h rows of d components in
+    * [-1, 1], derived from md5 so both engines agree. Component (j, i) =
+    * ((hash60("j_i") mod 2001) − 1000) / 1000.
+    */
+  def hyperplanes(h: Int, d: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(h, d) { (j, i) =>
+      val hex = md.digest(s"${j}_$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      val v = java.lang.Long.parseLong(hex, 16)
+      ((v % 2001) - 1000) / 1000.0
+    }
+  }
+
+  /** LSH bucket id of a vector: bit j set iff dot(v, plane_j) > 0. */
+  def bucketOf(v: Column, planes: Array[Array[Double]]): Column =
+    (0 until planes.length).map { j =>
+      val plane = array(planes(j).map(lit): _*)
+      when(dot(v, plane) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Corpus with normalized vector + norm (computed once). */
+  def prepared(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(col("vec_id"),
+      toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+
+  /** Brute-force cosine top-k: broadcast queries × corpus, windowed rank. */
+  def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("qid"),
+      col("v").as("qv"), col("nrm").as("qnrm")))
+    val scored = corpus.join(q, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 5)
+          .as("cosine"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+}
