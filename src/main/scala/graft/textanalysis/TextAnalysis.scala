@@ -1,0 +1,158 @@
+package graft.textanalysis
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Hashing
+
+/** Text-analysis operators for training-data pipelines: token/statistics
+  * profiling, quality scoring, n-gram language ID, and winnowing document
+  * fingerprints. All pure column expressions (codegen, no UDF, no
+  * shuffle) — at 100 TB these run as a single map-only pass over the
+  * corpus.
+  */
+object TextAnalysis {
+
+  def words(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), w => length(w) > 0)
+
+  /** Tiny per-language stopword lists for the n-gram language heuristic. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ein"),
+    "es" -> Seq("el", "la", "los", "y", "de"),
+    "fr" -> Seq("le", "les", "et", "une", "du"))
+
+  def langScore(w: Column, markers: Seq[String]): Column =
+    size(filter(w, x => x.isInCollection(markers)))
+
+  /** Winnowing fingerprint hashes: positional shingle hashes → sliding
+    * min over windows of `win` (Schleimer et al., SIGMOD'03 — the
+    * document-fingerprinting scheme; reference's nearest analogue is its
+    * token fingerprinting, `blocker/tokenizer.py`).
+    */
+  def winnow(text: Column, n: Int, win: Int): Column = {
+    val w = words(text)
+    val grams = transform(sequence(lit(0), size(w) - n),
+      i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k + 1)): _*))
+    val hs = transform(grams, g => Hashing.hash60(g))
+    val mins = transform(sequence(lit(0), size(hs) - win),
+      i => array_min(slice(hs, i + 1, win)))
+    when(size(w) >= n + win - 1, array_distinct(mins))
+      .otherwise(array().cast("array<long>"))
+  }
+
+  def statsQ(s: SparkSession, d: String): DataFrame = {
+    val w = words(col("text"))
+    Tables.documents(s, d).select(col("doc_id"),
+      length(col("text")).as("n_chars"),
+      size(w).as("n_tokens"),
+      size(array_distinct(w)).as("n_distinct"),
+      round(aggregate(transform(w, x => length(x)), lit(0),
+        (acc, x) => acc + x).cast("double") / size(w), 4).as("avg_token_len"),
+      round(size(array_distinct(w)).cast("double") / size(w), 4).as("ttr"))
+  }
+
+  /** Composite quality score: length saturation, lexical diversity,
+    * English-stopword band — the shape of heuristic quality filters in
+    * large text-corpus pipelines.
+    */
+  def qualityQ(s: SparkSession, d: String): DataFrame = {
+    val w = words(col("text"))
+    val nTok = size(w).cast("double")
+    val lenScore = least(nTok / 50.0, lit(1.0))
+    val ttr = size(array_distinct(w)).cast("double") / nTok
+    val stopRatio = langScore(w, LangMarkers.head._2).cast("double") / nTok
+    Tables.documents(s, d).select(col("doc_id"),
+      round(lit(0.4) * lenScore + lit(0.3) * ttr +
+        lit(0.3) * (lit(1.0) - abs(stopRatio - 0.4)), 4).as("quality"))
+  }
+
+  /** Language ID by marker-word counts, argmax with fixed precedence. */
+  def langIdQ(s: SparkSession, d: String): DataFrame = {
+    val w = words(col("text"))
+    val scored = Tables.documents(s, d).select(
+      (col("doc_id") +: LangMarkers.map { case (l, m) =>
+        langScore(w, m).as(s"s_$l")
+      }): _*)
+    val best = LangMarkers.map(l => col(s"s_${l._1}")).reduce(greatest(_, _))
+    val pred = LangMarkers.foldRight(lit("und")) { case ((l, _), acc) =>
+      when(col(s"s_$l") === best && best > 0, l).otherwise(acc)
+    }
+    // foldRight gives earlier langs precedence on ties
+    scored.select(col("doc_id"), pred.as("pred_lang"))
+  }
+
+  def fingerprintQ(s: SparkSession, d: String): DataFrame = {
+    val fp = winnow(col("text"), 3, 4)
+    Tables.documents(s, d).select(col("doc_id"),
+      size(fp).as("n_fp"), array_min(fp).as("min_fp"),
+      array_max(fp).as("max_fp"))
+      .filter(col("n_fp") > 0)
+  }
+
+  // ---------------------------------------------------------------- oracle
+
+  private val wSql =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> length(x) > 0)"
+
+  private def markersSql(m: Seq[String]): String =
+    m.map(x => s"'$x'").mkString("[", ",", "]")
+
+  private def scoreSql(l: String, m: Seq[String]): String =
+    s"len(list_filter(w, x -> list_contains(${markersSql(m)}, x))) AS s_$l"
+
+  private val predSql: String = {
+    val best = LangMarkers.map(l => s"s_${l._1}").mkString("greatest(", ", ", ")")
+    LangMarkers.foldRight("'und'") { case ((l, _), acc) =>
+      s"CASE WHEN s_$l = $best AND $best > 0 THEN '$l' ELSE $acc END"
+    }
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_stats" -> (statsQ _),
+    "q_text_quality" -> (qualityQ _),
+    "q_text_langid" -> (langIdQ _),
+    "q_text_fingerprint" -> (fingerprintQ _))
+
+  val oracles: Map[String, String] = Map(
+    "q_text_stats" -> s"""
+      SELECT doc_id, length(text) AS n_chars, len(w) AS n_tokens,
+             len(list_distinct(w)) AS n_distinct,
+             round(CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+                   / len(w), 4) AS avg_token_len,
+             round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 4) AS ttr
+      FROM (SELECT doc_id, $wSql AS w FROM documents)""",
+    "q_text_quality" -> s"""
+      SELECT doc_id,
+             round(0.4 * least(CAST(len(w) AS DOUBLE) / 50.0, 1.0)
+                 + 0.3 * (CAST(len(list_distinct(w)) AS DOUBLE) / len(w))
+                 + 0.3 * (1.0 - abs(
+                     CAST(len(list_filter(w, x -> list_contains(
+                       ${markersSql(LangMarkers.head._2)}, x))) AS DOUBLE)
+                     / len(w) - 0.4)), 4) AS quality
+      FROM (SELECT doc_id, $wSql AS w FROM documents)""",
+    "q_text_langid" -> s"""
+      SELECT doc_id, $predSql AS pred_lang
+      FROM (
+        SELECT doc_id,
+               ${LangMarkers.map { case (l, m) => scoreSql(l, m) }.mkString(",\n               ")}
+        FROM (SELECT doc_id, $wSql AS w FROM documents))""",
+    "q_text_fingerprint" -> s"""
+      SELECT doc_id, len(fp) AS n_fp, list_min(fp) AS min_fp,
+             list_max(fp) AS max_fp
+      FROM (
+        SELECT doc_id,
+               list_distinct(list_transform(range(len(hs) - 3),
+                 i -> list_min(hs[i+1:i+4]))) AS fp
+        FROM (
+          SELECT doc_id,
+                 list_transform(
+                   list_transform(range(len(w) - 2),
+                     i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]),
+                   g -> ${Hashing.hash60Sql("g")}) AS hs
+          FROM (SELECT doc_id, $wSql AS w FROM documents)
+          WHERE len(w) >= 6))
+      WHERE len(fp) > 0""")
+}
