@@ -13,12 +13,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     store.RelationalOps.queries ++ blocker.BlockerQueries.queries ++
       resolver.ResolverQueries.queries ++ matching.MatchingQueries.queries ++
-      dedup.DedupQueries.queries ++ similarity.SimilarityQueries.queries
+      dedup.DedupQueries.queries ++ similarity.SimilarityQueries.queries ++
+      textanalysis.TextAnalysis.queries ++ streaming.EventOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     store.RelationalOps.oracles ++ blocker.BlockerQueries.oracles ++
       resolver.ResolverQueries.oracles ++ matching.MatchingQueries.oracles ++
-      dedup.DedupQueries.oracles ++ similarity.SimilarityQueries.oracles
+      dedup.DedupQueries.oracles ++ similarity.SimilarityQueries.oracles ++
+      textanalysis.TextAnalysis.oracles ++ streaming.EventOps.oracles
 }

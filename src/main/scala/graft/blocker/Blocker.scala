@@ -85,13 +85,15 @@ object Blocker {
       .filter(col("cost") > cfg.maxPairCost)
   }
 
-  /** IDF per token: 1 + ln(N / df), N = distinct entities
-    * (`blocker/index.py:506-513`). N is a scalar — computed once and
-    * cross-joined (a 1-row broadcast), not recomputed per row.
+  /** IDF per token: 1 + ln(N / count(DISTINCT id)), N = distinct entities
+    * (`blocker/index.py:506-513`). Distinct ids per token — an id whose
+    * token appears in multiple fields counts once, exactly like the
+    * reference. N is a scalar — computed once and cross-joined (a 1-row
+    * broadcast), not recomputed per row.
     */
-  def idf(entries: DataFrame, stats: DataFrame): DataFrame = {
+  def idf(entries: DataFrame): DataFrame = {
     val n = entries.agg(countDistinct(col("id")).as("n_entities"))
-    stats.groupBy(col("token")).agg(sum(col("df")).as("tdf"))
+    entries.groupBy(col("token")).agg(countDistinct(col("id")).as("tdf"))
       .crossJoin(broadcast(n))
       .select(col("token"),
         (lit(1.0) + log(col("n_entities") / col("tdf"))).as("idf"))
@@ -106,23 +108,29 @@ object Blocker {
       .agg(greatest(lit(1L), sum(col("cnt"))).as("n_names"))
 
   /** Weighted term frequencies: entries minus stopwords, weighted
-    * cnt · idf · boost / sqrt(n_names) (`blocker/index.py:504-531`).
+    * boost · idf, damped by sqrt(n_names) only for the alias-multiplying
+    * fields (reference: NAME_PART_FIELD/SYMBOL_FIELD,
+    * `blocker/index.py:504-531`). name_counts is LEFT-joined with a
+    * default of 1 so entities without name tokens keep their rows.
     * Stopword anti-join + two joins; `boosts` broadcast.
     */
   def termFrequencies(entries0: DataFrame, compat: DataFrame,
-      boosts: DataFrame, cfg: Config = Config()): DataFrame = {
+      boosts: DataFrame, cfg: Config = Config(),
+      dampFields: Seq[String] = Seq("name")): DataFrame = {
     val e = entries0
     val stats = tokenStats(e)
     val sw = stopwords(stats, compat, cfg).select(col("token"))
-    val i = idf(e, stats)
+    val i = idf(e)
     val nc = nameCounts(e)
+    val base = col("idf") * coalesce(col("boost"), lit(1.0))
     e.join(sw, Seq("token"), "left_anti")
       .join(i, Seq("token"))
-      .join(nc, Seq("id"))
+      .join(nc, Seq("id"), "left_outer")
       .join(broadcast(boosts), Seq("field"), "left_outer")
       .select(col("schema"), col("id"), col("field"), col("token"),
-        (col("cnt") * col("idf") * coalesce(col("boost"), lit(1.0)) /
-          sqrt(col("n_names"))).as("weight"))
+        when(col("field").isin(dampFields: _*),
+          base / sqrt(coalesce(col("n_names"), lit(1L))))
+          .otherwise(base).as("weight"))
   }
 
   /** Score shared-token groups: per (left, right, field) take the best
@@ -130,11 +138,11 @@ object Blocker {
     * maxw · (1 + ln(n)) and sum (`blocker/index.py:595-607`). Partial
     * aggregation is automatic (two-level hash agg).
     */
-  private def scorePairs(joined: DataFrame, lid: Column, rid: Column): DataFrame =
+  private def scorePairs(joined: DataFrame, lid: Column, rid: Column,
+      maxwOf: Column): DataFrame =
     joined
       .groupBy(lid.as("lid"), rid.as("rid"), col("l.field").as("field"))
-      .agg(max(col("l.weight") + col("r.weight")).as("maxw"),
-        count(lit(1)).as("n"))
+      .agg(max(maxwOf).as("maxw"), count(lit(1)).as("n"))
       .groupBy(col("lid"), col("rid"))
       .agg(round(sum(col("maxw") * (lit(1.0) + log(col("n")))), 4).as("score"))
 
@@ -152,7 +160,8 @@ object Blocker {
       .join(broadcast(compat),
         col("ls") === least(col("l.schema"), col("r.schema")) &&
           col("rs") === greatest(col("l.schema"), col("r.schema")))
-    scorePairs(joined, col("l.id"), col("r.id"))
+    scorePairs(joined, col("l.id"), col("r.id"),
+      col("l.weight") + col("r.weight"))
   }
 
   /** Candidate pairs capped to the global top-N (`blocker/index.py:608-610`).
@@ -164,7 +173,9 @@ object Blocker {
       .orderBy(col("score").desc, col("lid").asc, col("rid").asc)
       .limit(cfg.maxPairs)
 
-  /** Match join: query-side term frequencies against the index, scored,
+  /** Match join: query-side term frequencies against the index, scored
+    * with max(index-side weight) — the reference's `_find_matches` uses
+    * `max(tf.weight)`, not the pair sum (`blocker/index.py:669-678`) —
     * then per-subject top-K with a relative score floor
     * (`blocker/index.py:653-694`). The query side is expected to be small
     * → broadcast it so the index side never shuffles.
@@ -179,7 +190,7 @@ object Blocker {
       .join(broadcast(compat),
         col("ls") === least(col("l.schema"), col("r.schema")) &&
           col("rs") === greatest(col("l.schema"), col("r.schema")))
-    val scored = scorePairs(joined, col("l.id"), col("r.id"))
+    val scored = scorePairs(joined, col("l.id"), col("r.id"), col("r.weight"))
       .withColumnRenamed("lid", "qid").withColumnRenamed("rid", "cid")
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("cid").asc)

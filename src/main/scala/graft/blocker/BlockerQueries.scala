@@ -90,8 +90,8 @@ object BlockerQueries {
     idf AS (
       SELECT token,
              1.0 + ln(CAST((SELECT count(DISTINCT id) FROM entries) AS DOUBLE)
-                      / CAST(sum(df) AS DOUBLE)) AS idf
-      FROM token_stats GROUP BY token
+                      / CAST(count(DISTINCT id) AS DOUBLE)) AS idf
+      FROM entries GROUP BY token
     ),
     name_counts AS (
       SELECT id, greatest(1, CAST(sum(cnt) AS BIGINT)) AS n_names
@@ -99,11 +99,15 @@ object BlockerQueries {
     ),
     tf AS (
       SELECT e.schema, e.id, e.field, e.token,
-             e.cnt * i.idf * coalesce(b.boost, 1.0) / sqrt(nc.n_names) AS weight
+             CASE WHEN e.field IN ('name')
+                  THEN i.idf * coalesce(b.boost, 1.0)
+                       / sqrt(coalesce(nc.n_names, 1))
+                  ELSE i.idf * coalesce(b.boost, 1.0)
+             END AS weight
       FROM entries e
       LEFT JOIN stopwords sw ON e.token = sw.token
       JOIN idf i ON e.token = i.token
-      JOIN name_counts nc ON e.id = nc.id
+      LEFT JOIN name_counts nc ON e.id = nc.id
       LEFT JOIN boosts b ON e.field = b.field
       WHERE sw.token IS NULL
     ),
@@ -130,7 +134,7 @@ object BlockerQueries {
     ),
     match_fields AS (
       SELECT m.id AS qid, t.id AS cid, m.field AS field,
-             max(m.weight + t.weight) AS maxw, count(*) AS n
+             max(t.weight) AS maxw, count(*) AS n
       FROM matching m
       JOIN index_side t
         ON m.token = t.token AND m.field = t.field AND m.id <> t.id

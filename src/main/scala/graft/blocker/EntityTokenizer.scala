@@ -1,0 +1,135 @@
+package graft.blocker
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.model.Ftm
+
+/** Typed entity tokenizer — the FtM-aware token emission of the
+  * reference (`blocker/tokenizer.py:61-132`), columnar: every family is
+  * a select + explode over the statement table (map-side only; the one
+  * shuffle is the final per-entity count groupBy, which IS the inverted
+  * index build `blocker/index.py:162-169`).
+  *
+  * Emission families (field → token prefix):
+  *  - `name`  → `n:<fingerprint>` — sorted distinct name parts joined
+  *  - `np`    → `np:<part>` — name parts of length 3..30, set semantics
+  *  - `country`/`phone`/`email` → full lowercase value, set semantics
+  *  - `identifier` → `i:<A-Z0-9-normalized>`, set semantics
+  *  - `date`  → `d:<value[:10]>`, set semantics
+  *  - `address` → `a:<word>` for words >3 chars (counted), plus
+  *    `wd:<word>` for words >6 chars
+  *  - string/text/identifier values → `wd:<token>` for tokens ≥6 chars
+  *    (counted)
+  *
+  * The rigour symbol lexicon (`sy:` tokens) is not reproduced; see
+  * SURVEY §7.4 risk 1.
+  */
+object EntityTokenizer {
+
+  val WordField = "wd"
+  val NamePartField = "np"
+  val SymbolField = "sy"
+
+  /** Reference boosts (`blocker/index.py:88-89`): name parts weigh 5×,
+    * generic words 0.5×, every other field 1×.
+    */
+  val Boosts: Seq[(String, Double)] = Seq(NamePartField -> 5.0, WordField -> 0.5)
+
+  /** Alias-damped fields (`blocker/index.py:521`). */
+  val DampFields: Seq[String] = Seq(NamePartField, SymbolField)
+
+  val SkipProperties: Set[String] = Set(
+    "wikidataId", "wikipediaUrl", "publisher", "publisherUrl", "programId",
+    "recordId", "legalForm", "status")
+
+  /** Tiny function-word list standing in for rigour's `is_stopword`. */
+  val Stopwords: Seq[String] = Seq(
+    "the", "and", "for", "von", "und", "der", "die", "das", "les", "los")
+
+  /** Lower + latin-1 accent fold (ä→a … ß→ss) — the pragmatic subset of
+    * rigour's transliteration the fixtures need.
+    */
+  def foldAscii(c: Column): Column =
+    translate(regexp_replace(lower(c), "ß", "ss"),
+      "àáâãäåæçèéêëìíîïñòóôõöøùúûüýÿšžđ",
+      "aaaaaaaceeeeiiiinoooooouuuuyyszd")
+
+  /** Lowercased, folded, non-alphanumeric-split parts of a value. */
+  def parts(c: Column): Column =
+    filter(split(foldAscii(c), "[^a-z0-9]+"), p => length(p) > 0)
+
+  private def tok(field: Column, token: Column): Column =
+    struct(field.as("field"), token.as("token"))
+
+  /** Statements → (schema, id, field, token, cnt) entries for matchable
+    * schemata. `idCol` selects entity_id vs canonical_id grouping.
+    */
+  def entries(stmts: DataFrame, idCol: String = "canonical_id"): DataFrame = {
+    val matchable = Ftm.schemata.keys.filter(Ftm.isMatchable).toSeq
+    val st = stmts
+      .filter(col("schema").isin(matchable: _*) &&
+        !col("prop").isin(SkipProperties.toSeq: _*))
+      .select(col(idCol).as("id"), col("schema"), col("prop"),
+        col("prop_type"), col("value"))
+
+    val p = parts(col("value"))
+    val stop = typedLit(Stopwords)
+
+    // --- set-semantics families (emitted once per entity) ---
+    val nameFp = st.filter(col("prop_type") === Ftm.T.Name)
+      .select(col("id"), col("schema"),
+        array_join(array_sort(array_distinct(p)), "").as("fp"))
+      .filter(length(col("fp")) > 3 && length(col("fp")) < 200)
+      .select(col("id"), col("schema"), lit("name").as("field"),
+        concat(lit("n:"), col("fp")).as("token"))
+    val nameParts = st.filter(col("prop_type") === Ftm.T.Name)
+      .select(col("id"), col("schema"), explode(p).as("part"))
+      .filter(length(col("part")) >= 3 && length(col("part")) <= 30)
+      .select(col("id"), col("schema"), lit(NamePartField).as("field"),
+        concat(lit("np:"), col("part")).as("token"))
+    val full = st
+      .filter(col("prop_type").isin(Ftm.T.Country, Ftm.T.Phone, Ftm.T.Email))
+      .select(col("id"), col("schema"), col("prop_type").as("field"),
+        concat(col("prop_type"), lit(":"),
+          lower(substring(col("value"), 1, 300))).as("token"))
+    val ident = st.filter(col("prop_type") === Ftm.T.Identifier)
+      .select(col("id"), col("schema"), lit("identifier").as("field"),
+        concat(lit("i:"),
+          regexp_replace(upper(col("value")), "[^A-Z0-9]+", "")).as("token"))
+      .filter(length(col("token")) > 2)
+    val date = st.filter(col("prop_type") === Ftm.T.Date)
+      .select(col("id"), col("schema"), lit("date").as("field"),
+        concat(lit("d:"), substring(col("value"), 1, 10)).as("token"))
+    val setFam = nameFp.unionByName(nameParts).unionByName(full)
+      .unionByName(ident).unionByName(date)
+      .distinct()
+      .withColumn("cnt", lit(1L))
+
+    // --- counted families (every occurrence counts) ---
+    val addrWords = st.filter(col("prop_type") === Ftm.T.Address)
+      .select(col("id"), col("schema"), explode(p).as("w"))
+      .filter(!col("w").isInCollection(Stopwords))
+    val addrA = addrWords.filter(length(col("w")) > 3)
+      .select(col("id"), col("schema"), lit("address").as("field"),
+        concat(lit("a:"), col("w")).as("token"))
+    val addrWd = addrWords.filter(length(col("w")) > 6)
+      .select(col("id"), col("schema"), lit(WordField).as("field"),
+        concat(lit("wd:"), col("w")).as("token"))
+    val words = st
+      .filter(col("prop_type").isin(Ftm.T.StringT, Ftm.T.Text,
+        Ftm.T.Identifier))
+      .select(col("id"), col("schema"), explode(p).as("w"))
+      .filter(length(col("w")) >= 6 && !col("w").isInCollection(Stopwords))
+      .select(col("id"), col("schema"), lit(WordField).as("field"),
+        concat(lit("wd:"), col("w")).as("token"))
+    val counted = addrA.unionByName(addrWd).unionByName(words)
+      .groupBy(col("id"), col("schema"), col("field"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+
+    setFam.select(col("schema"), col("id"), col("field"), col("token"),
+        col("cnt"))
+      .unionByName(counted.select(col("schema"), col("id"), col("field"),
+        col("token"), col("cnt")))
+  }
+}

@@ -29,12 +29,19 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** MinHash signature (k universal hashes over 60-bit shingle hashes). */
-  def minhashSig(shingleCol: Column, k: Int): Column = {
-    val hashes = transform(shingleCol, s => Hashing.hash60(s))
-    array((0 until k).map(j => array_min(transform(hashes,
+  /** MinHash signature from an already-hashed shingle column. The md5
+    * hashing must be materialized as its own projection (see
+    * [[DedupQueries.hashedShingles]]) so it runs once per row — inlining
+    * it here would replicate the md5 work into each of the k
+    * `array_min(transform(...))` branches (measured 31× slower).
+    */
+  def minhashSigFromHashes(hashedCol: Column, k: Int): Column =
+    array((0 until k).map(j => array_min(transform(hashedCol,
       h => Hashing.permute(h, j)))): _*)
-  }
+
+  /** MinHash signature (k universal hashes over 60-bit shingle hashes). */
+  def minhashSig(shingleCol: Column, k: Int): Column =
+    minhashSigFromHashes(transform(shingleCol, s => Hashing.hash60(s)), k)
 
   /** Candidate pairs from LSH banding: split the k-signature into
     * `bands` bands of `rowsPerBand`, bucket on (band, key), join within

@@ -38,19 +38,35 @@ object DedupQueries {
       .select(col("doc_id"), Dedup.shingles(col("text"), ShingleN).as("s"))
       .filter(size(col("s")) > 0)
 
-  def minhashSigs(s: SparkSession, d: String): DataFrame =
+  /** Shingles + their md5-derived hashes as a separate projection: `hs`
+    * is non-cheap and multiply-referenced downstream, so CollapseProject
+    * keeps it materialized — the md5 runs exactly once per shingle.
+    */
+  private def hashedShingles(s: SparkSession, d: String): DataFrame =
     shingleDf(s, d)
-      .select(col("doc_id"), Dedup.minhashSig(col("s"), MinhashK).as("sig"))
+      .withColumn("hs", transform(col("s"), x => Hashing.hash60(x)))
+
+  def minhashSigs(s: SparkSession, d: String): DataFrame =
+    hashedShingles(s, d)
+      .select(col("doc_id"),
+        Dedup.minhashSigFromHashes(col("hs"), MinhashK).as("sig"))
 
   def minhashQ(s: SparkSession, d: String): DataFrame =
     minhashSigs(s, d)
       .select(col("doc_id"), concat_ws("-", col("sig")).as("sig"))
 
-  /** MinHash-LSH candidate pairs verified with true shingle Jaccard. */
+  /** MinHash-LSH candidate pairs verified with true shingle Jaccard.
+    *
+    * The shingle+hash projection feeds three plan branches (signature →
+    * candidates, and both verify sides); a `repartition(doc_id)` pins one
+    * Exchange under all three so ReuseExchange computes shingles/md5 once
+    * instead of three times.
+    */
   def lshPairsQ(s: SparkSession, d: String): DataFrame = {
-    val cand = Dedup.lshCandidates(minhashSigs(s, d), "doc_id", Bands,
-      RowsPerBand)
-    val sh = shingleDf(s, d)
+    val sh = hashedShingles(s, d).repartition(col("doc_id"))
+    val sigs = sh.select(col("doc_id"),
+      Dedup.minhashSigFromHashes(col("hs"), MinhashK).as("sig"))
+    val cand = Dedup.lshCandidates(sigs, "doc_id", Bands, RowsPerBand)
     val a = sh.select(col("doc_id").as("a"), col("s").as("sa"))
     val b = sh.select(col("doc_id").as("b"), col("s").as("sb"))
     val inter = size(array_intersect(col("sa"), col("sb")))

@@ -1,0 +1,169 @@
+package graft.model
+
+/** Minimal Follow-the-Money ontology: the schema hierarchy, property
+  * types, matchability flags and caption rules the engine's operators
+  * need (reference: the `followthemoney` model consumed all over
+  * nomenklatura — e.g. schema compatibility `blocker/index.py:220-225`,
+  * matchable filter `blocker/index.py:227-228`, property types driving
+  * the tokenizer `blocker/tokenizer.py:40-58`).
+  *
+  * This is a hand-authored subset covering the schemata exercised by the
+  * reference's own fixtures (donations.ijson: Organization, Address,
+  * Person, Company, Payment) plus their ancestors. It is a broadcastable
+  * plain-Scala object: tiny, immutable, shipped to executors by closure
+  * capture — never a join against a "model table".
+  */
+object Ftm {
+
+  /** FtM property types (the registry). Statement values are always
+    * strings; the type drives operator behaviour.
+    */
+  object T {
+    val Name = "name"
+    val Entity = "entity"
+    val Country = "country"
+    val Date = "date"
+    val Number = "number"
+    val Address = "address"
+    val Identifier = "identifier"
+    val StringT = "string"
+    val Text = "text"
+    val Email = "email"
+    val Phone = "phone"
+    val Url = "url"
+    val Gender = "gender"
+    val Topic = "topic"
+  }
+
+  final case class Prop(name: String, tpe: String, matchable: Boolean = true)
+
+  final case class Schema(
+      name: String,
+      isA: Seq[String],
+      matchable: Boolean,
+      caption: Seq[String],
+      props: Seq[Prop])
+
+  /** Schema definitions (subset of the public FtM ontology). */
+  val schemata: Map[String, Schema] = Seq(
+    Schema("Thing", Nil, matchable = false, caption = Seq("name"), props = Seq(
+      Prop("name", T.Name),
+      Prop("alias", T.Name),
+      Prop("weakAlias", T.Name, matchable = false),
+      Prop("previousName", T.Name),
+      Prop("country", T.Country),
+      Prop("address", T.Address),
+      Prop("addressEntity", T.Entity),
+      Prop("sourceUrl", T.Url, matchable = false),
+      Prop("notes", T.Text, matchable = false),
+      Prop("topics", T.Topic))),
+    Schema("LegalEntity", Seq("Thing"), matchable = true, caption = Seq("name"),
+      props = Seq(
+        Prop("email", T.Email),
+        Prop("phone", T.Phone),
+        Prop("website", T.Url, matchable = false),
+        Prop("legalForm", T.StringT, matchable = false),
+        Prop("incorporationDate", T.Date),
+        Prop("dissolutionDate", T.Date),
+        Prop("taxNumber", T.Identifier),
+        Prop("vatCode", T.Identifier),
+        Prop("jurisdiction", T.Country),
+        Prop("registrationNumber", T.Identifier),
+        Prop("idNumber", T.Identifier))),
+    Schema("Person", Seq("LegalEntity"), matchable = true,
+      caption = Seq("name"), props = Seq(
+        Prop("title", T.Name, matchable = false),
+        Prop("firstName", T.Name),
+        Prop("secondName", T.Name),
+        Prop("middleName", T.Name),
+        Prop("fatherName", T.Name),
+        Prop("motherName", T.Name),
+        Prop("lastName", T.Name),
+        Prop("birthDate", T.Date),
+        Prop("birthPlace", T.StringT),
+        Prop("deathDate", T.Date),
+        Prop("nationality", T.Country),
+        Prop("gender", T.Gender),
+        Prop("position", T.StringT, matchable = false))),
+    Schema("Organization", Seq("LegalEntity"), matchable = true,
+      caption = Seq("name"), props = Nil),
+    Schema("Company", Seq("Organization"), matchable = true,
+      caption = Seq("name"), props = Nil),
+    Schema("PublicBody", Seq("Organization"), matchable = true,
+      caption = Seq("name"), props = Nil),
+    Schema("Address", Seq("Thing"), matchable = true, caption = Seq("full"),
+      props = Seq(
+        Prop("full", T.Address),
+        Prop("street", T.StringT),
+        Prop("street2", T.StringT),
+        Prop("city", T.StringT),
+        Prop("postalCode", T.StringT),
+        Prop("region", T.StringT),
+        Prop("state", T.StringT))),
+    Schema("Interval", Nil, matchable = false, caption = Nil, props = Seq(
+      Prop("date", T.Date),
+      Prop("startDate", T.Date),
+      Prop("endDate", T.Date),
+      Prop("summary", T.Text, matchable = false))),
+    Schema("Payment", Seq("Interval"), matchable = false,
+      caption = Seq("amountEur"), props = Seq(
+        Prop("payer", T.Entity),
+        Prop("beneficiary", T.Entity),
+        Prop("amount", T.Number),
+        Prop("amountEur", T.Number),
+        Prop("currency", T.StringT, matchable = false),
+        Prop("purpose", T.Text, matchable = false),
+        Prop("namesMentioned", T.Name, matchable = false)))
+  ).map(s => s.name -> s).toMap
+
+  /** Transitive ancestors of a schema, including itself. */
+  def ancestors(name: String): Set[String] = {
+    def go(n: String): Set[String] =
+      schemata.get(n).map(s => s.isA.flatMap(go).toSet + n).getOrElse(Set(n))
+    go(name)
+  }
+
+  /** All properties visible on a schema (own + inherited). */
+  def propsOf(name: String): Map[String, Prop] =
+    ancestors(name).toSeq.flatMap(a =>
+      schemata.get(a).toSeq.flatMap(_.props)).map(p => p.name -> p).toMap
+
+  def isMatchable(name: String): Boolean =
+    schemata.get(name).exists(_.matchable)
+
+  /** Type of (schema, prop), resolving through the hierarchy. */
+  def propType(schema: String, prop: String): Option[String] =
+    propsOf(schema).get(prop).map(_.tpe)
+
+  /** can_match: both matchable and related by descent (the FtM
+    * `matchable_schemata` rule — Person matches LegalEntity but not
+    * Company).
+    */
+  def canMatch(a: String, b: String): Boolean =
+    isMatchable(a) && isMatchable(b) &&
+      (ancestors(a).contains(b) || ancestors(b).contains(a))
+
+  /** Compatibility pairs, normalized ls <= rs — the broadcast `schemata`
+    * table (`blocker/index.py:220-225`).
+    */
+  val compatPairs: Seq[(String, String)] = {
+    val ms = schemata.keys.filter(isMatchable).toSeq.sorted
+    for { a <- ms; b <- ms if a <= b && canMatch(a, b) } yield (a, b)
+  }
+
+  /** Caption of an assembled entity: first value of the first caption
+    * property that has one (`followthemoney` caption semantics, asserted
+    * by the reference store tests — `tests/store/test_stores.py`).
+    */
+  def captionProps(schema: String): Seq[String] =
+    schemata.get(schema).map(_.caption).getOrElse(Seq("name"))
+
+  /** Most specific schema of a set (cluster merge): the one all others
+    * are ancestors of; falls back to lexicographic min of the deepest.
+    */
+  def commonSchema(names: Seq[String]): String = {
+    val distinct = names.distinct
+    distinct.find(n => distinct.forall(o => ancestors(n).contains(o)))
+      .getOrElse(distinct.maxBy(n => (ancestors(n).size, n)))
+  }
+}

@@ -34,20 +34,28 @@ object Resolver {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      // neighbor labels + own label, take the min per vertex
+      // One shuffle per round: neighbor labels + own label (tagged) feed a
+      // single groupBy that yields both the new min-label AND the previous
+      // label, so convergence is a cheap filter over the materialized
+      // result — not a second join against the previous iteration.
       val nbr = sym.join(labels, sym("dst") === labels("id"))
-        .select(sym("src").as("id"), col("cluster"))
-      val next = nbr.unionAll(labels)
-        .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
+        .select(sym("src").as("id"), col("cluster"), lit(0).as("own"))
+      val next = nbr.unionAll(labels.withColumn("own", lit(1)))
+        .groupBy(col("id"))
+        .agg(min(col("cluster")).as("cluster"),
+          min(when(col("own") === 1, col("cluster"))).as("prev_cluster"))
         .localCheckpoint(true)
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.cluster") =!= col("o.cluster"))
+      // scan of the just-materialized partitions with limit-1 early abort
+      val changed = next.filter(col("cluster") < col("prev_cluster"))
         .limit(1).count()
-      labels = next
+      labels = next.select(col("id"), col("cluster"))
       converged = changed == 0
       i += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "component diameter exceeds maxIter; raise maxIter")
     labels
   }
 

@@ -49,10 +49,19 @@ object ResolverQueries {
     * (score < 19).
     */
   def judgementQ(s: SparkSession, d: String): DataFrame = {
-    val cm = canonicalMapQ(s, d)
+    // materialize the blocker score table once; both the positive-edge
+    // set and the candidate batch derive from it (round 1 ran the whole
+    // blocker chain twice inside this one plan)
+    val scores = pairScores(s, d).localCheckpoint(true)
+    val posEdges = scores.filter(col("score") >= PositiveThreshold)
+      .select(col("lid").as("src"), col("rid").as("dst"))
+    val cm = Resolver.canonicalMap(
+      Resolver.connectedComponents(posEdges), weightOf)
     // judge the candidate batch (top-N pairs), the xref shape — not the
     // full score table
-    val ps = BlockerQueries.pairsQ(s, d)
+    val ps = scores
+      .orderBy(col("score").desc, col("lid").asc, col("rid").asc)
+      .limit(graft.blocker.BlockerQueries.cfg.maxPairs)
     val lc = cm.select(col("member").as("lid"), col("canonical").as("lcan"))
     val rc = cm.select(col("member").as("rid"), col("canonical").as("rcan"))
     val withCan = ps

@@ -15,6 +15,12 @@ object SimilarityQueries {
   val QueryMod = 50
   val NearThreshold = 0.4
   val NumPlanes = 8
+  // near-dup banding: 16 hyperplanes split into 2 bands of 8 bits —
+  // a pair is a candidate iff at least one band agrees (band-OR boosts
+  // recall over a single 16-bit bucket while keeping buckets selective)
+  val NearPlanes = 16
+  val NearBands = 2
+  val NearBandBits = 8
 
   private def isQuery = col("vec_id") % QueryMod === 0
 
@@ -23,14 +29,35 @@ object SimilarityQueries {
     Similarity.bruteTopK(p, p.filter(isQuery), TopK)
   }
 
-  /** Embedding near-duplicate pairs (cosine ≥ threshold, a < b). */
+  /** Embedding near-duplicate pairs (cosine ≥ threshold, a < b),
+    * LSH-bucketed: candidates come from band-equality equi-joins — never
+    * an all-pairs cross join, so the plan scales as n²/buckets per band
+    * rather than n². The `repartition(vec_id)` pins one Exchange under
+    * the banding branch and both verify sides so ReuseExchange computes
+    * the bucket projections once.
+    */
   def embedNearPairs(s: SparkSession, d: String): DataFrame = {
+    val planes = Similarity.hyperplanes(NearPlanes, 64)
     val p = Similarity.prepared(s, d)
+      .withColumn("bucket", Similarity.bucketOf(col("v"), planes))
+      .repartition(col("vec_id"))
+    val mask = (1L << NearBandBits) - 1
+    val banded = p.select(col("vec_id"),
+      explode(array((0 until NearBands).map(i =>
+        struct(lit(i).as("band"),
+          expr(s"shiftright(bucket, ${i * NearBandBits}) & $mask")
+            .as("key"))): _*)).as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = banded.select(col("band"), col("key"), col("vec_id").as("a"))
+      .join(banded.select(col("band"), col("key"), col("vec_id").as("b")),
+        Seq("band", "key"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
     val a = p.select(col("vec_id").as("a"), col("v").as("va"),
       col("nrm").as("na"))
     val b = p.select(col("vec_id").as("b"), col("v").as("vb"),
       col("nrm").as("nb"))
-    a.join(broadcast(b), col("a") < col("b"))
+    cand.join(a, Seq("a")).join(b, Seq("b"))
       .select(col("a"), col("b"),
         round(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")),
           5).as("cosine"))
@@ -57,11 +84,9 @@ object SimilarityQueries {
 
   // ---------------------------------------------------------------- oracle
 
-  private val planesSql: String = {
-    val planes = Similarity.hyperplanes(NumPlanes, 64)
-    // literal list-of-lists, exactly the Scala-computed values
-    planes.map(_.mkString("[", ",", "]")).mkString("[", ",\n      ", "]")
-  }
+  private def planesLiteral(n: Int): String =
+    Similarity.hyperplanes(n, 64)
+      .map(_.mkString("[", ",", "]")).mkString("[", ",\n      ", "]")
 
   val ctePrefix: String = s"""
     WITH prep AS (
@@ -73,7 +98,7 @@ object SimilarityQueries {
              sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
       FROM prep
     ),
-    planes AS (SELECT $planesSql AS m),
+    planes AS (SELECT ${planesLiteral(NumPlanes)} AS m),
     bucketed AS (
       SELECT vec_id, v, nrm,
              (SELECT sum(CASE WHEN list_sum(list_transform(
@@ -81,6 +106,26 @@ object SimilarityQueries {
                     THEN CAST(1 AS BIGINT) << j ELSE 0 END)
               FROM planes, unnest(range($NumPlanes)) t(j)) AS bucket
       FROM normed n
+    ),
+    nplanes AS (SELECT ${planesLiteral(NearPlanes)} AS m),
+    nbucketed AS (
+      SELECT vec_id,
+             (SELECT sum(CASE WHEN list_sum(list_transform(
+                         list_zip(n.v, m[j+1]), s -> s[1] * s[2])) > 0
+                    THEN CAST(1 AS BIGINT) << j ELSE 0 END)
+              FROM nplanes, unnest(range($NearPlanes)) t(j)) AS bucket
+      FROM normed n
+    ),
+    nbands AS (
+      SELECT vec_id, j AS band,
+             (bucket >> (j * $NearBandBits)) & ${(1L << NearBandBits) - 1}
+               AS key
+      FROM nbucketed, unnest(range($NearBands)) t(j)
+    ),
+    ncand AS (
+      SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+      FROM nbands l JOIN nbands r
+        ON l.band = r.band AND l.key = r.key AND l.vec_id < r.vec_id
     )
     """
 
@@ -105,10 +150,12 @@ object SimilarityQueries {
       ) WHERE rn <= $TopK"""),
     "q_sim_embed_near" -> (ctePrefix + s"""
       SELECT a, b, cosine FROM (
-        SELECT x.vec_id AS a, y.vec_id AS b,
+        SELECT c.a, c.b,
                round(list_sum(list_transform(list_zip(x.v, y.v),
                  s -> s[1] * s[2])) / (x.nrm * y.nrm), 5) AS cosine
-        FROM normed x JOIN normed y ON x.vec_id < y.vec_id)
+        FROM ncand c
+        JOIN normed x ON c.a = x.vec_id
+        JOIN normed y ON c.b = y.vec_id)
       WHERE cosine >= $NearThreshold"""),
     "q_sim_ann_lsh" -> (ctePrefix + s"""
       SELECT qid, vec_id, cosine, rn FROM (

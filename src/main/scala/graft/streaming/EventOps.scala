@@ -7,10 +7,9 @@ import org.apache.spark.sql.expressions.Window
 import graft.Tables
 
 /** Event-stream operators in their batch form (every one of these also
-  * runs under Structured Streaming — see [[EventStream]] for the
-  * streaming wiring; the reference has no streaming engine, its nearest
-  * analogue is the versioned store + delta ops, `store/versioned.py` +
-  * `delta.py`).
+  * runs under Structured Streaming via `readStream` + watermark; the
+  * reference has no streaming engine, its nearest analogue is the
+  * versioned store + delta ops, `store/versioned.py` + `delta.py`).
   *
   * Scale notes: sessionization is one shuffle on user_id (window
   * functions over (user, time)); the delta op is a single full outer

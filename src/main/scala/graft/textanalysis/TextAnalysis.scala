@@ -38,7 +38,7 @@ object TextAnalysis {
       i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k + 1)): _*))
     val hs = transform(grams, g => Hashing.hash60(g))
     val mins = transform(sequence(lit(0), size(hs) - win),
-      i => array_min(slice(hs, i + 1, win)))
+      i => array_min(slice(hs, i + 1, lit(win))))
     when(size(w) >= n + win - 1, array_distinct(mins))
       .otherwise(array().cast("array<long>"))
   }
@@ -64,9 +64,12 @@ object TextAnalysis {
     val lenScore = least(nTok / 50.0, lit(1.0))
     val ttr = size(array_distinct(w)).cast("double") / nTok
     val stopRatio = langScore(w, LangMarkers.head._2).cast("double") / nTok
-    Tables.documents(s, d).select(col("doc_id"),
-      round(lit(0.4) * lenScore + lit(0.3) * ttr +
-        lit(0.3) * (lit(1.0) - abs(stopRatio - 0.4)), 4).as("quality"))
+    // floor(x*1e4+0.5)/1e4 instead of round(x, 4): Spark rounds via the
+    // double's shortest decimal repr (BigDecimal.valueOf) while DuckDB
+    // rounds the binary value — they disagree on representation ties.
+    val q4 = floor((lit(0.4) * lenScore + lit(0.3) * ttr +
+      lit(0.3) * (lit(1.0) - abs(stopRatio - 0.4))) * 10000 + 0.5) / 10000
+    Tables.documents(s, d).select(col("doc_id"), q4.as("quality"))
   }
 
   /** Language ID by marker-word counts, argmax with fixed precedence. */
@@ -123,15 +126,15 @@ object TextAnalysis {
              round(CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
                    / len(w), 4) AS avg_token_len,
              round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 4) AS ttr
-      FROM (SELECT doc_id, $wSql AS w FROM documents)""",
+      FROM (SELECT doc_id, text, $wSql AS w FROM documents)""",
     "q_text_quality" -> s"""
       SELECT doc_id,
-             round(0.4 * least(CAST(len(w) AS DOUBLE) / 50.0, 1.0)
+             floor((0.4 * least(CAST(len(w) AS DOUBLE) / 50.0, 1.0)
                  + 0.3 * (CAST(len(list_distinct(w)) AS DOUBLE) / len(w))
                  + 0.3 * (1.0 - abs(
                      CAST(len(list_filter(w, x -> list_contains(
                        ${markersSql(LangMarkers.head._2)}, x))) AS DOUBLE)
-                     / len(w) - 0.4)), 4) AS quality
+                     / len(w) - 0.4))) * 10000 + 0.5) / 10000 AS quality
       FROM (SELECT doc_id, $wSql AS w FROM documents)""",
     "q_text_langid" -> s"""
       SELECT doc_id, $predSql AS pred_lang
