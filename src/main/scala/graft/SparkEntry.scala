@@ -11,16 +11,20 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    store.RelationalOps.queries ++ blocker.BlockerQueries.queries ++
+    store.RelationalOps.queries ++ store.StoreQueries.queries ++
+      blocker.BlockerQueries.queries ++
       resolver.ResolverQueries.queries ++ matching.MatchingQueries.queries ++
       dedup.DedupQueries.queries ++ similarity.SimilarityQueries.queries ++
-      textanalysis.TextAnalysis.queries ++ streaming.EventOps.queries
+      textanalysis.TextAnalysis.queries ++ streaming.EventOps.queries ++
+      multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    store.RelationalOps.oracles ++ blocker.BlockerQueries.oracles ++
+    store.RelationalOps.oracles ++ store.StoreQueries.oracles ++
+      blocker.BlockerQueries.oracles ++
       resolver.ResolverQueries.oracles ++ matching.MatchingQueries.oracles ++
       dedup.DedupQueries.oracles ++ similarity.SimilarityQueries.oracles ++
-      textanalysis.TextAnalysis.oracles ++ streaming.EventOps.oracles
+      textanalysis.TextAnalysis.oracles ++ streaming.EventOps.oracles ++
+      multimodal.Multimodal.oracles
 }

@@ -19,13 +19,22 @@ import graft.functions.Hashing
   */
 object Dedup {
 
-  /** Distinct word n-gram shingles of a lowercased text column. */
-  def shingles(text: Column, n: Int): Column = {
-    val words = filter(split(lower(text), "[^a-z0-9]+"), w => length(w) > 0)
-    val grams = transform(sequence(lit(0), size(words) - n),
-      i => concat_ws(" ", (0 until n).map(k => element_at(words, i + k + 1)): _*))
+  /** Lowercased word tokens of a text column. */
+  def words(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), w => length(w) > 0)
+
+  /** Distinct word n-gram shingles from an already-materialized words
+    * column. `wordsCol` MUST be a plain attribute (not an expression
+    * tree): anything non-trivial referenced inside a lambda body is
+    * re-evaluated per array element — inlining the word split here made
+    * shingling O(words²) per document (measured 30×+ slowdowns).
+    */
+  def shinglesFromWords(wordsCol: Column, n: Int): Column = {
+    val grams = transform(sequence(lit(0), size(wordsCol) - n),
+      i => concat_ws(" ",
+        (0 until n).map(k => element_at(wordsCol, i + k + 1)): _*))
     // sequence(0, negative) would count DOWN — guard short docs explicitly
-    when(size(words) >= n, array_distinct(grams))
+    when(size(wordsCol) >= n, array_distinct(grams))
       .otherwise(array().cast("array<string>"))
   }
 

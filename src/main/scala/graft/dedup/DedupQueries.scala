@@ -33,10 +33,19 @@ object DedupQueries {
       .agg(count(lit(1)).as("n"), min(col("p_partkey")).as("canonical"))
       .filter(col("n") > 1)
 
+  /** Shingles via two projections — words materialized before the gram
+    * lambda so the split runs once per doc (see
+    * [[Dedup.shinglesFromWords]]). The doc filter is on `w`, NOT on the
+    * shingle column: a filter on `s` would be predicate-pushed below the
+    * projection and re-inline the gram pipeline into its condition
+    * (size(w) >= n ⇔ shingles non-empty, so the semantics are equal).
+    */
   private def shingleDf(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id"), Dedup.shingles(col("text"), ShingleN).as("s"))
-      .filter(size(col("s")) > 0)
+      .select(col("doc_id"), Dedup.words(col("text")).as("w"))
+      .filter(size(col("w")) >= ShingleN)
+      .select(col("doc_id"),
+        Dedup.shinglesFromWords(col("w"), ShingleN).as("s"))
 
   /** Shingles + their md5-derived hashes as a separate projection: `hs`
     * is non-cheap and multiply-referenced downstream, so CollapseProject

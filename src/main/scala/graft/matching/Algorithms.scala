@@ -1,0 +1,208 @@
+package graft.matching
+
+/** Algorithm registry: named scoring algorithms composing the feature
+  * library, with the reference's composition semantics and weights
+  * (`matching/__init__.py:11-22`, `matching/types.py:242-308`).
+  */
+object Algorithms {
+
+  final case class Feat(name: String, fn: Features.Feature, weight: Double,
+      qualifier: Boolean = false)
+
+  // Algo instances are captured by the scoring UDF closure → must ship
+  // to executors
+  sealed trait Algo extends Serializable {
+    def name: String
+    def features: Seq[Feat]
+    /** Combine feature scores; result is clamped to [0,1] by [[score]]. */
+    def compute(scores: Map[String, Double]): Double
+    final def score(q: EntityView, r: EntityView): Double = {
+      val scores = features.map(f => f.name -> f.fn(q, r)).toMap
+      math.min(1.0, math.max(0.0, compute(scores)))
+    }
+    final def weightOf(n: String): Double =
+      features.find(_.name == n).map(_.weight).getOrElse(0.0)
+  }
+
+  /** max(weighted mains) + Σ weighted qualifiers, qualifiers skipped
+    * when no main fired (`logic_v1/model.py:63-81`).
+    */
+  trait MaxPlusQualifiers extends Algo {
+    def compute(scores: Map[String, Double]): Double = {
+      val mains = features.filterNot(_.qualifier)
+        .map(f => scores.getOrElse(f.name, 0.0) * f.weight)
+      val best = if (mains.isEmpty) 0.0 else mains.max
+      if (best == 0.0) 0.0
+      else best + features.filter(_.qualifier)
+        .map(f => scores.getOrElse(f.name, 0.0) * f.weight).sum
+    }
+  }
+
+  /** Plain weighted sum (`name_based/model.py:34-42,57-71,84-91`). */
+  trait WeightedSum extends Algo {
+    def compute(scores: Map[String, Double]): Double =
+      features.map(f => scores.getOrElse(f.name, 0.0) * f.weight).sum
+  }
+
+  import Features._
+
+  /** logic-v1 (`matching/logic_v1/model.py:36-61`) with the reference's
+    * feature set and weights. The two FNUL-weight phonetic features are
+    * present-but-disabled, exactly like the reference.
+    */
+  object LogicV1 extends MaxPlusQualifiers {
+    val name = "logic-v1"
+    val features: Seq[Feat] = Seq(
+      Feat("name_literal_match", nameLiteralMatch, 1.0),
+      Feat("person_name_jaro_winkler", personNameJaroWinkler, 0.8),
+      Feat("person_name_phonetic_match", personNamePhoneticMatch, 0.9),
+      Feat("name_fingerprint_levenshtein", nameFingerprintLevenshtein, 0.9),
+      Feat("name_metaphone_match", nameMetaphoneMatch, 0.0),
+      Feat("name_soundex_match", nameSoundexMatch, 0.0),
+      Feat("address_entity_match", addressEntityMatch, 0.98),
+      Feat("isin_security_match", isinSecurityMatch, 0.98),
+      Feat("lei_code_match", leiCodeMatch, 0.95),
+      Feat("ogrn_code_match", ogrnCodeMatch, 0.95),
+      Feat("vessel_imo_mmsi_match", vesselImoMmsiMatch, 0.95),
+      Feat("inn_code_match", innCodeMatch, 0.95),
+      Feat("bic_code_match", bicCodeMatch, 0.95),
+      Feat("identifier_match", identifierMatch, 0.85),
+      Feat("weak_alias_match", weakAliasMatch, 0.8),
+      Feat("country_mismatch", countryMismatch, -0.2, qualifier = true),
+      Feat("last_name_mismatch", lastNameMismatch, -0.2, qualifier = true),
+      Feat("dob_year_disjoint", dobYearDisjoint, -0.15, qualifier = true),
+      Feat("dob_day_disjoint", dobDayDisjoint, -0.2, qualifier = true),
+      Feat("gender_mismatch", genderMismatch, -0.2, qualifier = true),
+      Feat("orgid_disjoint", orgidDisjoint, -0.2, qualifier = true),
+      Feat("numbers_mismatch", numbersMismatch, -0.1, qualifier = true))
+  }
+
+  /** logic-v2 (`matching/logic_v2/model.py:24-52`): the v2 name matcher
+    * plus identifier features, with the reference's weights. Same
+    * max-plus-qualifiers composition (weights applied before the max).
+    */
+  object LogicV2 extends MaxPlusQualifiers {
+    val name = "logic-v2"
+    val features: Seq[Feat] = Seq(
+      Feat("name_match", NameMatchV2.nameMatch, 1.0),
+      Feat("address_entity_match", addressEntityMatch, 0.98),
+      Feat("isin_security_match", isinSecurityMatch, 0.98),
+      Feat("lei_code_match", leiCodeMatch, 0.95),
+      Feat("ogrn_code_match", ogrnCodeMatch, 0.95),
+      Feat("vessel_imo_mmsi_match", vesselImoMmsiMatch, 0.95),
+      Feat("inn_code_match", innCodeMatch, 0.95),
+      Feat("bic_code_match", bicCodeMatch, 0.95),
+      Feat("identifier_match", identifierMatch, 0.85),
+      Feat("weak_alias_match", weakAliasMatch, 0.8),
+      Feat("address_prop_match", addressPropMatch, 0.2, qualifier = true),
+      Feat("country_mismatch", countryMismatch, -0.2, qualifier = true),
+      Feat("dob_year_disjoint", dobYearDisjoint, -0.15, qualifier = true),
+      Feat("dob_day_disjoint", dobDayDisjoint, -0.25, qualifier = true),
+      Feat("gender_mismatch", genderMismatch, -0.2, qualifier = true))
+  }
+
+  /** name-based (`name_based/model.py:44-66`). */
+  object NameBased extends WeightedSum {
+    val name = "name-based"
+    val features: Seq[Feat] = Seq(
+      Feat("jaro_name_parts", jaroNameParts, 0.5),
+      Feat("soundex_name_parts", soundexNameParts, 0.5))
+  }
+
+  /** name-qualified (`name_based/model.py:69-91`). */
+  object NameQualified extends WeightedSum {
+    val name = "name-qualified"
+    val features: Seq[Feat] = Seq(
+      Feat("jaro_name_parts", jaroNameParts, 0.5),
+      Feat("soundex_name_parts", soundexNameParts, 0.5),
+      Feat("country_mismatch", countryMismatch, -0.1, qualifier = true),
+      Feat("dob_year_disjoint", dobYearDisjoint, -0.1, qualifier = true),
+      Feat("dob_day_disjoint", dobDayDisjoint, -0.15, qualifier = true),
+      Feat("gender_mismatch", genderMismatch, -0.1, qualifier = true),
+      Feat("orgid_disjoint", orgidDisjoint, -0.1, qualifier = true))
+  }
+
+  /** ofac (`name_based/model.py:14-41`): OFAC name-score emulation with
+    * mismatch qualifiers.
+    */
+  object Ofac extends WeightedSum {
+    val name = "ofac"
+    val features: Seq[Feat] = Seq(
+      Feat("ofac_name_score", ofacNameScore, 1.0),
+      Feat("country_mismatch", countryMismatch, -0.1, qualifier = true),
+      Feat("dob_year_disjoint", dobYearDisjoint, -0.1, qualifier = true),
+      Feat("dob_day_disjoint", dobDayDisjoint, -0.15, qualifier = true),
+      Feat("gender_mismatch", genderMismatch, -0.1, qualifier = true),
+      Feat("orgid_disjoint", orgidDisjoint, -0.1, qualifier = true))
+  }
+
+  /** regression-v1 shape (`matching/regression_v1/model.py:94-110`):
+    * logistic inference over a fixed coefficient vector. The reference
+    * ships trained pickle coefficients; here the coefficients are an
+    * exported constant vector with the same feature inputs — sigmoid of
+    * the standardized dot product.
+    */
+  object RegressionV1 extends Algo {
+    val name = "regression-v1"
+    val features: Seq[Feat] = Seq(
+      Feat("name_literal_match", nameLiteralMatch, 2.8),
+      Feat("person_name_jaro_winkler", personNameJaroWinkler, 1.6),
+      Feat("name_fingerprint_levenshtein", nameFingerprintLevenshtein, 1.9),
+      Feat("identifier_match", identifierMatch, 2.2),
+      Feat("address_entity_match", addressEntityMatch, 1.1),
+      Feat("country_mismatch", countryMismatch, -1.2),
+      Feat("dob_day_disjoint", dobDayDisjoint, -1.4),
+      Feat("numbers_mismatch", numbersMismatch, -0.8))
+    val intercept: Double = -2.4
+    def compute(scores: Map[String, Double]): Double = {
+      val z = intercept + features
+        .map(f => scores.getOrElse(f.name, 0.0) * f.weight).sum
+      1.0 / (1.0 + math.exp(-z))
+    }
+  }
+
+  /** er-unstable (`matching/erun/model.py:45-126`): the dedupe
+    * regression. The reference loads trained scaler+LR coefficients from
+    * a pickle; here the coefficients are an exported constant vector
+    * over the same feature set (sign structure mirrors the trained
+    * model: name evidence positive, mismatch features negative).
+    */
+  object ErUnstable extends Algo {
+    val name = "er-unstable"
+    val features: Seq[Feat] = Seq(
+      Feat("name_token_overlap", nameTokenOverlap, 2.0),
+      Feat("name_numbers", nameNumbers, 1.5),
+      Feat("legal_name_levenshtein", legalNameLevenshtein, 1.2),
+      Feat("person_name_levenshtein", personNameLevenshtein, 2.2),
+      Feat("org_name_levenshtein", orgNameLevenshtein, 2.0),
+      Feat("obj_name_levenshtein", objNameLevenshtein, 1.8),
+      Feat("strong_identifier_match", strongIdentifierMatch, 2.5),
+      Feat("weak_identifier_match", weakIdentifierMatch, 1.2),
+      Feat("dob_match", dobMatch, 1.5),
+      Feat("dob_year_match", dobYearMatch, 0.8),
+      Feat("family_name_match", familyNameMatch, 0.9),
+      Feat("gender_mismatch", genderMismatch, -1.0),
+      Feat("country_mismatch", countryMismatch, -0.7),
+      Feat("address_entity_match", addressEntityMatch, 0.8),
+      Feat("numbers_mismatch", numbersMismatch, -0.6))
+    val intercept: Double = -3.0
+    def compute(scores: Map[String, Double]): Double = {
+      val z = intercept + features
+        .map(f => scores.getOrElse(f.name, 0.0) * f.weight).sum
+      1.0 / (1.0 + math.exp(-z))
+    }
+  }
+
+  val registry: Map[String, Algo] = Seq(
+    LogicV1, LogicV2, NameBased, NameQualified, Ofac, RegressionV1,
+    ErUnstable)
+    .map(a => a.name -> a).toMap
+
+  /** `DefaultAlgorithm = RegressionV1` (`matching/__init__.py:21`). */
+  val default: Algo = RegressionV1
+
+  /** `DedupeAlgorithm = EntityResolveRegression`
+    * (`matching/__init__.py:22`).
+    */
+  val dedupe: Algo = ErUnstable
+}

@@ -42,6 +42,11 @@ object MatchingQueries {
         array_join(array_sort(filter(split(lower(col("name")), "[^a-z0-9]+"),
           t => length(t) > 0)), " ").as("fp"),
         toks.as("toks"),
+        // order-preserving, non-distinct token list: DuckDB's
+        // list_distinct reorders, so order-sensitive comparators (OFAC's
+        // first-letter gate) must NOT go through the distinct column
+        filter(split(lower(col("name")), "[^a-z0-9]+"), t => length(t) > 0)
+          .as("otoks"),
         array_distinct(regexp_extract_all(col("name"), lit("[0-9]+"), lit(0)))
           .as("nums"))
   }
@@ -112,6 +117,113 @@ object MatchingQueries {
       round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("prob"))
   }
 
+  // ------------------------------------------------ name-based trio
+
+  /** Simplified soundex as a pure column expression (`soundexLite`):
+    * vowels/h/w → 0, consonant classes 1-6, adjacent dupes squashed,
+    * zeros dropped, first letter + 3 digits. Identical formula mirrored
+    * in the DuckDB oracle (DuckDB has no soundex builtin), so both
+    * engines agree byte-for-byte; the entity pipeline's
+    * [[graft.text.Phonetics.soundex]] implements the classic H/W rules
+    * instead.
+    */
+  def sxToken(t: Column): Column = {
+    val codes = translate(t,
+      "aeiouyhwbfpvcgjkqsxzdtlmnr", "00000000111122222222334556")
+    val tail = translate(substring(
+      regexp_replace(codes, "(.)\\1+", "$1"), 2, 1000000), "0", "")
+    when(t.rlike("^[a-z]{2,}$"),
+      concat(upper(substring(t, 1, 1)), rpad(substring(tail, 1, 3), 3, "0")))
+      .otherwise(upper(t))
+  }
+
+  /** jaro_name_parts (`name_based/names.py:35-59`): mean best-JW per
+    * distinct query token, 0.5 floor per pair.
+    */
+  private val jaroPartsUdf = udf((q: Seq[String], r: Seq[String]) => {
+    val qd = q.distinct
+    val rd = r.distinct
+    if (qd.isEmpty) 0.0
+    else {
+      val sims = qd.map { p =>
+        rd.map(o => JaroWinkler.similarity(p, o))
+          .filter(_ > 0.5).maxOption.getOrElse(0.0)
+      }
+      sims.sum / math.max(1.0, sims.length.toDouble)
+    }
+  })
+
+  /** OFAC name-score emulation (`name_based/ofac.py:106-147`): max of
+    * first-letter-gated whole-string SimMetrics-JW and per-token
+    * best-pairing with a 0.5 floor and short-token drop.
+    */
+  private val ofacUdf = udf((q: Seq[String], r: Seq[String]) => {
+    val qn = q.mkString(" ")
+    val rn = r.mkString(" ")
+    val whole =
+      if (qn.isEmpty || rn.isEmpty || qn.head != rn.head) 0.0
+      else JaroWinkler.simmetrics(qn, rn)
+    val kept0 = q.filter(_.length > 2)
+    val kept = if (kept0.nonEmpty) kept0 else q
+    val per =
+      if (kept.isEmpty || r.isEmpty) 0.0
+      else kept.map { p =>
+        val best = r.map(o => JaroWinkler.simmetrics(p, o))
+          .maxOption.getOrElse(0.0)
+        if (best >= 0.5) best else 0.0
+      }.sum / kept.length
+    math.max(whole, per)
+  })
+
+  private def trioBase(s: SparkSession, d: String): DataFrame = {
+    val an = analysis(s, d)
+    val la = an.select(col("id").as("lid"), col("otoks").as("ltoks"),
+      col("nums").as("lnums"))
+    val ra = an.select(col("id").as("rid"), col("otoks").as("rtoks"),
+      col("nums").as("rnums"))
+    BlockerQueries.pairsQ(s, d).select("lid", "rid")
+      .join(la, Seq("lid")).join(ra, Seq("rid"))
+  }
+
+  private def soundexPartsCol: Column = {
+    val qsx = array_distinct(transform(col("ltoks"), t => sxToken(t)))
+    val rsx = array_distinct(transform(col("rtoks"), t => sxToken(t)))
+    val overlap = size(array_intersect(qsx, rsx))
+    when(overlap === 0, 0.0).otherwise(
+      overlap.cast("double") /
+        greatest(lit(1.0), least(size(qsx), size(rsx)).cast("double")))
+  }
+
+  private def numbersMismatchCol: Column =
+    size(array_except(col("lnums"), col("rnums"))).cast("double") /
+      greatest(lit(1.0),
+        least(size(col("lnums")), size(col("rnums"))).cast("double"))
+
+  /** name-based: 0.5·jaro_name_parts + 0.5·soundex_name_parts
+    * (`name_based/model.py:44-66`).
+    */
+  def nameBasedScore(s: SparkSession, d: String): DataFrame =
+    trioBase(s, d).select(col("lid"), col("rid"),
+      round(least(greatest(
+        jaroPartsUdf(col("ltoks"), col("rtoks")) * 0.5 +
+          soundexPartsCol * 0.5, lit(0.0)), lit(1.0)), 6).as("score"))
+
+  /** name-qualified: name-based plus the mismatch qualifiers that exist
+    * in the star corpus (numbers, `name_based/model.py:69-91`).
+    */
+  def nameQualifiedScore(s: SparkSession, d: String): DataFrame =
+    trioBase(s, d).select(col("lid"), col("rid"),
+      round(least(greatest(
+        jaroPartsUdf(col("ltoks"), col("rtoks")) * 0.5 +
+          soundexPartsCol * 0.5 + numbersMismatchCol * -0.1,
+        lit(0.0)), lit(1.0)), 6).as("score"))
+
+  /** ofac: OFAC emulation name score (`name_based/model.py:14-41`). */
+  def ofacScore(s: SparkSession, d: String): DataFrame =
+    trioBase(s, d).select(col("lid"), col("rid"),
+      round(least(greatest(ofacUdf(col("ltoks"), col("rtoks")), lit(0.0)),
+        lit(1.0)), 6).as("score"))
+
   // ---------------------------------------------------------------- oracle
 
   private val featSql: String = s"""
@@ -127,6 +239,8 @@ object MatchingQueries {
         list_distinct(list_filter(
           string_split_regex(lower(name), '[^a-z0-9]+'),
           t -> length(t) > 0)) AS toks,
+        list_filter(string_split_regex(lower(name), '[^a-z0-9]+'),
+          t -> length(t) > 0) AS otoks,
         list_distinct(regexp_extract_all(name, '[0-9]+')) AS nums
       FROM names
     ),
@@ -160,10 +274,92 @@ object MatchingQueries {
     .map { case (f, w) => s"$f * ($w)" }
     .mkString(s"($RegIntercept) + ", " + ", "")
 
+  // --------------------------------------- name-based trio oracle SQL
+
+  /** DuckDB mirror of [[sxToken]] over a lambda variable. */
+  private def sxSql(t: String): String =
+    s"""CASE WHEN regexp_matches($t, '^[a-z]{2,}$$')
+        THEN upper(substr($t,1,1)) ||
+             rpad(substr(replace(substr(regexp_replace(
+               translate($t, 'aeiouyhwbfpvcgjkqsxzdtlmnr',
+                         '00000000111122222222334556'),
+               '(.)\\1+', '\\1', 'g'), 2), '0', ''), 1, 3), 3, '0')
+        ELSE upper($t) END"""
+
+  /** DuckDB mirror of SimMetrics Jaro-Winkler (unconditional prefix
+    * bonus; prefix length via substr CASE chain).
+    */
+  private def simjwSql(a: String, b: String): String =
+    s"""(CASE WHEN jaro_similarity($a, $b) = 0 THEN 0.0
+         ELSE jaro_similarity($a, $b) +
+           (CASE WHEN substr($a,1,4) = substr($b,1,4) THEN 4
+                 WHEN substr($a,1,3) = substr($b,1,3) THEN 3
+                 WHEN substr($a,1,2) = substr($b,1,2) THEN 2
+                 WHEN substr($a,1,1) = substr($b,1,1) THEN 1
+                 ELSE 0 END) * 0.1 * (1 - jaro_similarity($a, $b)) END)"""
+
+  private val jaroPartsSql: String = """
+    list_sum(list_transform(list_distinct(lt), p ->
+      coalesce(list_max(list_filter(
+        list_transform(list_distinct(rt),
+          o -> jaro_winkler_similarity(p, o)),
+        s -> s > 0.5)), 0.0)))
+    / greatest(1.0, CAST(len(list_distinct(lt)) AS DOUBLE))"""
+
+  private val soundexPartsSql: String = s"""
+    CASE WHEN len(list_intersect(
+           list_distinct(list_transform(lt, t -> ${sxSql("t")})),
+           list_distinct(list_transform(rt, t -> ${sxSql("t")})))) = 0
+         THEN 0.0
+         ELSE CAST(len(list_intersect(
+                list_distinct(list_transform(lt, t -> ${sxSql("t")})),
+                list_distinct(list_transform(rt, t -> ${sxSql("t")}))))
+              AS DOUBLE)
+              / greatest(1.0, CAST(least(
+                  len(list_distinct(list_transform(lt, t -> ${sxSql("t")}))),
+                  len(list_distinct(list_transform(rt, t -> ${sxSql("t")}))))
+                AS DOUBLE)) END"""
+
+  private val numbersSql: String = """
+    CAST(len(list_filter(ln, x -> NOT list_contains(rn, x))) AS DOUBLE)
+    / greatest(1.0, CAST(least(len(ln), len(rn)) AS DOUBLE))"""
+
+  private val ofacSql: String = {
+    val qn = "array_to_string(lt, ' ')"
+    val rn = "array_to_string(rt, ' ')"
+    val whole = s"""CASE WHEN length($qn) = 0 OR length($rn) = 0
+        OR substr($qn,1,1) <> substr($rn,1,1) THEN 0.0
+        ELSE ${simjwSql(qn, rn)} END"""
+    val kept = s"""CASE WHEN len(list_filter(lt, t -> length(t) > 2)) > 0
+        THEN list_filter(lt, t -> length(t) > 2) ELSE lt END"""
+    val per = s"""CASE WHEN len($kept) = 0 OR len(rt) = 0 THEN 0.0
+        ELSE list_sum(list_transform($kept, p ->
+          CASE WHEN coalesce(list_max(list_transform(rt,
+                 o -> ${simjwSql("p", "o")})), 0.0) >= 0.5
+               THEN coalesce(list_max(list_transform(rt,
+                 o -> ${simjwSql("p", "o")})), 0.0)
+               ELSE 0.0 END))
+          / CAST(len($kept) AS DOUBLE) END"""
+    s"greatest($whole, $per)"
+  }
+
+  private val trioCte: String = """
+    trio AS (
+      SELECT c.lid, c.rid, la.otoks AS lt, ra.otoks AS rt,
+             la.nums AS ln, ra.nums AS rn
+      FROM cand c
+      JOIN analysis la ON c.lid = la.id
+      JOIN analysis ra ON c.rid = ra.id
+    )
+    """
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_match_features" -> (featuresRounded _),
     "q_match_logic" -> (logicScore _),
-    "q_match_regression" -> (regressionScore _))
+    "q_match_regression" -> (regressionScore _),
+    "q_match_name_based" -> (nameBasedScore _),
+    "q_match_name_qualified" -> (nameQualifiedScore _),
+    "q_match_ofac" -> (ofacScore _))
 
   val oracles: Map[String, String] = Map(
     "q_match_features" -> (prefix + """
@@ -182,5 +378,20 @@ object MatchingQueries {
         FROM feat)"""),
     "q_match_regression" -> (prefix + s"""
       SELECT lid, rid, round(1.0 / (1.0 + exp(-($regZ))), 6) AS prob
-      FROM feat"""))
+      FROM feat"""),
+    "q_match_name_based" -> (prefix + ", " + trioCte + s"""
+      SELECT lid, rid,
+             round(least(greatest(($jaroPartsSql) * 0.5
+               + ($soundexPartsSql) * 0.5, 0.0), 1.0), 6) AS score
+      FROM trio"""),
+    "q_match_name_qualified" -> (prefix + ", " + trioCte + s"""
+      SELECT lid, rid,
+             round(least(greatest(($jaroPartsSql) * 0.5
+               + ($soundexPartsSql) * 0.5
+               + ($numbersSql) * -0.1, 0.0), 1.0), 6) AS score
+      FROM trio"""),
+    "q_match_ofac" -> (prefix + ", " + trioCte + s"""
+      SELECT lid, rid,
+             round(least(greatest($ofacSql, 0.0), 1.0), 6) AS score
+      FROM trio"""))
 }

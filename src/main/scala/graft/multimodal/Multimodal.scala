@@ -1,0 +1,128 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Hashing
+
+/** Multimodal-column operators: treat media as opaque `binary` columns
+  * with typed metadata, and implement the Spark-side plumbing a real
+  * decode/feature-extract pipeline needs — schema, frame sampling,
+  * per-frame batching, deterministic feature rows.
+  *
+  * The corpus has no real media, so the binary column is the UTF-8
+  * encoding of `documents.text` (both engines produce identical bytes),
+  * and the DECODE STEP IS A STUB: [[stubFeature]] derives a
+  * deterministic pseudo-feature from the frame hash. In production that
+  * one expression is replaced by a vectorized decoder (Pandas UDF via
+  * `mapInPandas` / `mapPartitions` over Arrow batches); everything
+  * around it — the metadata extraction, the frame explode, the
+  * per-frame feature schema, the aggregation back to one row per
+  * document — is the real, scale-tested plan shape: map-only until the
+  * final per-doc groupBy.
+  */
+object Multimodal {
+
+  val FrameBytes = 256
+  val MaxFrames = 8
+
+  /** documents with an opaque binary payload + sniffed metadata. */
+  def media(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      col("text").cast("binary").as("content"))
+
+  /** STUB decode: deterministic pseudo-feature in [0, 1) from the frame
+    * bytes — stands in for a real image/audio decoder, which is not
+    * available in this environment.
+    */
+  def stubFeature(bin: Column): Column =
+    (Hashing.hash60(bin.cast("string")) % 1000).cast("double") / 1000.0
+
+  /** Binary metadata: byte length, content digest, magic-bytes prefix. */
+  def metaQ(s: SparkSession, d: String): DataFrame =
+    media(s, d).select(col("doc_id"),
+      length(col("content")).as("n_bytes"),
+      md5(col("content")).as("digest"),
+      hex(substring(col("content"), 1, 4)).as("magic"))
+
+  /** Frame sampling: up to [[MaxFrames]] fixed-size byte windows per
+    * document, one row per frame — the batch shape a frame-level decoder
+    * consumes. Pure map-side explode, no shuffle.
+    */
+  def framesQ(s: SparkSession, d: String): DataFrame =
+    media(s, d)
+      .select(col("doc_id"), col("content"),
+        least(lit(MaxFrames),
+          ceil(length(col("content")).cast("double") / FrameBytes))
+          .cast("int").as("n_frames"))
+      .select(col("doc_id"), col("content"),
+        explode(sequence(lit(0), col("n_frames") - 1)).as("frame_no"))
+      .select(col("doc_id"), col("frame_no"),
+        md5(substring(col("content"), col("frame_no") * FrameBytes + 1,
+          lit(FrameBytes))).as("frame_digest"),
+        length(substring(col("content"), col("frame_no") * FrameBytes + 1,
+          lit(FrameBytes))).as("frame_bytes"))
+
+  /** Per-document pooled stub features: decode each frame (stub), mean-
+    * pool back to one feature per document — the plan shape of
+    * embed-and-pool pipelines.
+    */
+  def featuresQ(s: SparkSession, d: String): DataFrame =
+    media(s, d)
+      .select(col("doc_id"), col("content"),
+        least(lit(MaxFrames),
+          ceil(length(col("content")).cast("double") / FrameBytes))
+          .cast("int").as("n_frames"))
+      .select(col("doc_id"), col("content"),
+        explode(sequence(lit(0), col("n_frames") - 1)).as("frame_no"))
+      .select(col("doc_id"),
+        stubFeature(substring(col("content"), col("frame_no") * FrameBytes + 1,
+          lit(FrameBytes))).as("f"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        round(avg(col("f")), 6).as("mean_feature"))
+
+  // ---------------------------------------------------------------- oracle
+
+  // The oracle mirrors the byte math on VARCHAR: the corpus is verified
+  // pure ASCII at every scale factor (octet_length(encode(text)) ==
+  // length(text)), so character slicing and byte slicing coincide, and
+  // DuckDB — which has no BLOB substring/md5 — stays an exact oracle for
+  // the binary-typed Spark plan.
+  private val framesCte = s"""
+    WITH sized AS (
+      SELECT doc_id, text AS content,
+             CAST(least($MaxFrames,
+               ceil(CAST(length(text) AS DOUBLE) / $FrameBytes))
+               AS INT) AS n_frames
+      FROM documents
+    ),
+    frames AS (
+      SELECT doc_id, CAST(f AS INT) AS frame_no,
+             substring(content, CAST(f AS INT) * $FrameBytes + 1,
+               $FrameBytes) AS frame
+      FROM sized, unnest(range(n_frames)) t(f)
+    )"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mm_meta" -> (metaQ _),
+    "q_mm_frames" -> (framesQ _),
+    "q_mm_features" -> (featuresQ _))
+
+  val oracles: Map[String, String] = Map(
+    "q_mm_meta" -> s"""
+      SELECT doc_id, length(text) AS n_bytes,
+             md5(text) AS digest,
+             upper(hex(substring(text, 1, 4))) AS magic
+      FROM documents""",
+    "q_mm_frames" -> (framesCte + """
+      SELECT doc_id, frame_no, md5(frame) AS frame_digest,
+             length(frame) AS frame_bytes
+      FROM frames"""),
+    "q_mm_features" -> (framesCte + s"""
+      SELECT doc_id, count(*) AS n_frames,
+             round(avg(CAST(${Hashing.hash60Sql("frame")}
+               % 1000 AS DOUBLE) / 1000.0), 6) AS mean_feature
+      FROM frames GROUP BY doc_id"""))
+}

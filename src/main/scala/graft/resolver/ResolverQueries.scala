@@ -15,6 +15,10 @@ object ResolverQueries {
 
   val PositiveThreshold = 20.0
   val NegativeBelow = 19.0
+  // edit-op fixtures derived from the same score table: suggestions are
+  // the mid band, negative decisions the low band
+  val SuggestLo = 10.0
+  val NegLo = 5.0
 
   /** All scored candidate pairs (no top-N cut — the resolver consumes the
     * full score table, thresholds are the decision rule).
@@ -84,6 +88,88 @@ object ResolverQueries {
           .otherwise("no_judgement").as("judgement"))
   }
 
+  /** Checkpointed score table shared by the edit-op queries. */
+  private def scoresCk(s: SparkSession, d: String): DataFrame =
+    pairScores(s, d).localCheckpoint(true)
+
+  private def edgesOf(scores: DataFrame): DataFrame =
+    scores.filter(col("score") >= PositiveThreshold)
+      .select(col("lid").as("src"), col("rid").as("dst"))
+
+  /** Explode the cluster containing the globally-smallest member id:
+    * remaining live positive edges (`resolver/resolver.py:486-496`).
+    */
+  def explodeQ(s: SparkSession, d: String): DataFrame = {
+    val scores = scoresCk(s, d)
+    val e = edgesOf(scores)
+    val cc = Resolver.connectedComponents(e)
+    val minId = cc.agg(min(col("id")).as("m"))
+    val members = cc.crossJoin(broadcast(minId))
+      .filter(col("cluster") === col("m"))
+      .select(col("id").as("member"))
+    val log = e.select(col("src").as("target"), col("dst").as("source"),
+      lit(ResolverOps.Positive).as("judgement"), lit(1.0).as("score"),
+      lit("t").as("user"), lit("t0").as("created_at"),
+      lit(null).cast("string").as("deleted_at"))
+    ResolverOps.explode(log, members, "t1")
+      .filter(col("deleted_at").isNull)
+      .select(col("target"), col("source"))
+  }
+
+  /** Rename the smallest edge endpoint to a minted NK- id across the
+    * positive edge list (`resolver/resolver.py:447-484`).
+    */
+  def renameQ(s: SparkSession, d: String): DataFrame = {
+    val scores = scoresCk(s, d)
+    val e = edgesOf(scores)
+    val oldId = e.agg(min(col("src")).as("m")).head.getString(0)
+    val log = e.select(col("src").as("target"), col("dst").as("source"),
+      lit(ResolverOps.Positive).as("judgement"), lit(1.0).as("score"),
+      lit("t").as("user"), lit("t0").as("created_at"),
+      lit(null).cast("string").as("deleted_at"))
+    ResolverOps.renameNode(log, oldId, "NK-0")
+      .select(col("target"), col("source")).distinct()
+  }
+
+  /** Prune the full edge log (positives + mid-band suggestions +
+    * low-band negatives) into canonical star form
+    * (`resolver/resolver.py:498-608`).
+    */
+  def pruneQ(s: SparkSession, d: String): DataFrame = {
+    val scores = scoresCk(s, d)
+    val e = edgesOf(scores)
+    val cm = Resolver.canonicalMap(
+      Resolver.connectedComponents(e), weightOf)
+    val log = scores.select(col("lid").as("target"),
+      col("rid").as("source"),
+      when(col("score") >= PositiveThreshold, ResolverOps.Positive)
+        .when(col("score") >= SuggestLo, ResolverOps.NoJudgement)
+        .when(col("score") >= NegLo, ResolverOps.Negative)
+        .otherwise(ResolverOps.NoJudgement).as("judgement"),
+      col("score"), lit("t").as("user"), lit("t0").as("created_at"),
+      lit(null).cast("string").as("deleted_at"))
+    ResolverOps.prune(log, cm)
+  }
+
+  /** Conflicting-match report (`conflicting_match.py:14-47`) over the
+    * mid-band suggestions and low-band negative decisions.
+    */
+  def conflictsQ(s: SparkSession, d: String): DataFrame = {
+    val scores = scoresCk(s, d)
+    val oneWay = scores
+      .filter(col("score") >= SuggestLo && col("score") < PositiveThreshold)
+      .select(col("lid").as("subject"), col("rid").as("candidate"),
+        col("score"))
+    val sugg = oneWay.unionByName(oneWay.select(
+      col("candidate").as("subject"), col("subject").as("candidate"),
+      col("score")))
+    val negs = scores
+      .filter(col("score") >= NegLo && col("score") < SuggestLo)
+      .select(least(col("lid"), col("rid")).as("na"),
+        greatest(col("lid"), col("rid")).as("nb")).distinct()
+    ResolverOps.conflictingMatches(sugg, negs)
+  }
+
   // ---------------------------------------------------------------- oracle
 
   /** Blocker CTE chain + resolver CTEs, under WITH RECURSIVE. */
@@ -129,6 +215,19 @@ object ResolverQueries {
     neg_pairs AS (
       SELECT DISTINCT least(lcan, rcan) AS na, greatest(lcan, rcan) AS nb
       FROM pair_can WHERE score < $NegativeBelow
+    ),
+    sugg_band AS (
+      SELECT lid AS subject, rid AS candidate, score FROM pair_scores
+      WHERE score >= $SuggestLo AND score < $PositiveThreshold
+    ),
+    sugg_sym AS (
+      SELECT subject, candidate, score FROM sugg_band
+      UNION ALL
+      SELECT candidate, subject, score FROM sugg_band
+    ),
+    neg_band AS (
+      SELECT DISTINCT least(lid, rid) AS na, greatest(lid, rid) AS nb
+      FROM pair_scores WHERE score >= $NegLo AND score < $SuggestLo
     )
     """
   }
@@ -137,7 +236,11 @@ object ResolverQueries {
     "q_res_components" -> (components _),
     "q_res_canonical_map" -> (canonicalMapQ _),
     "q_res_apply" -> (applyQ _),
-    "q_res_judgement" -> (judgementQ _))
+    "q_res_judgement" -> (judgementQ _),
+    "q_res_explode" -> (explodeQ _),
+    "q_res_rename" -> (renameQ _),
+    "q_res_prune" -> (pruneQ _),
+    "q_res_conflicts" -> (conflictsQ _))
 
   val oracles: Map[String, String] = Map(
     "q_res_components" -> (prefix + "SELECT id, cluster FROM cc"),
@@ -154,5 +257,45 @@ object ResolverQueries {
                   ELSE 'no_judgement' END AS judgement
       FROM pair_can p
       LEFT JOIN neg_pairs n ON least(p.lcan, p.rcan) = n.na
-                           AND greatest(p.lcan, p.rcan) = n.nb"""))
+                           AND greatest(p.lcan, p.rcan) = n.nb"""),
+    "q_res_explode" -> (prefix + """
+      SELECT src AS target, dst AS source FROM edges
+      WHERE src NOT IN (SELECT id FROM cc
+                        WHERE cluster = (SELECT min(id) FROM cc))
+        AND dst NOT IN (SELECT id FROM cc
+                        WHERE cluster = (SELECT min(id) FROM cc))"""),
+    "q_res_rename" -> (prefix + """
+      SELECT DISTINCT
+             CASE WHEN src = (SELECT min(src) FROM edges)
+                  THEN 'NK-0' ELSE src END AS target,
+             CASE WHEN dst = (SELECT min(src) FROM edges)
+                  THEN 'NK-0' ELSE dst END AS source
+      FROM edges
+      WHERE (CASE WHEN src = (SELECT min(src) FROM edges)
+                  THEN 'NK-0' ELSE src END)
+         <> (CASE WHEN dst = (SELECT min(src) FROM edges)
+                  THEN 'NK-0' ELSE dst END)"""),
+    "q_res_prune" -> (prefix + s"""
+      SELECT canonical AS target, member AS source,
+             'positive' AS judgement
+      FROM canonical_map WHERE member <> canonical
+      UNION ALL
+      SELECT DISTINCT least(t, s) AS target, greatest(t, s) AS source,
+             'negative' AS judgement
+      FROM (
+        SELECT coalesce(lc.canonical, p.lid) AS t,
+               coalesce(rc.canonical, p.rid) AS s
+        FROM pair_scores p
+        LEFT JOIN canonical_map lc ON p.lid = lc.member
+        LEFT JOIN canonical_map rc ON p.rid = rc.member
+        WHERE p.score >= $NegLo AND p.score < $SuggestLo
+      ) WHERE t <> s"""),
+    "q_res_conflicts" -> (prefix + """
+      SELECT s1.subject, s1.candidate AS b, s2.candidate AS c,
+             s1.score AS score_b, s2.score AS score_c
+      FROM sugg_sym s1
+      JOIN sugg_sym s2 ON s1.subject = s2.subject
+                      AND s1.candidate < s2.candidate
+      JOIN neg_band n ON least(s1.candidate, s2.candidate) = n.na
+                     AND greatest(s1.candidate, s2.candidate) = n.nb"""))
 }

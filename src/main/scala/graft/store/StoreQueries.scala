@@ -1,0 +1,133 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-facing store operators over the synthetic star statements:
+  * entity assembly (groupwise merge, `store/base.py:74-89`), point
+  * lookup (`store/sql.py:197-205`), and adjacency expansion
+  * (`store/base.py:165-176`), each with a DuckDB oracle.
+  *
+  * Scale notes: assembly is one shuffle on the entity id (at 100 TB the
+  * statement lake is partitioned/bucketed by this key, making it
+  * shuffle-free); the props map is emitted as a deterministic sorted
+  * string so the oracle hash-compare is stable. Point lookup filters
+  * BEFORE the groupBy, so only matching ids shuffle. Adjacency joins a
+  * broadcast subject set against a reference-statement view pre-filtered
+  * to entity-typed rows.
+  */
+object StoreQueries {
+
+  /** Entity-reference statements of the star schema: orders→customer and
+    * lineitem→order edges in statement shape (id, prop, value,
+    * prop_type='entity').
+    */
+  def refStatements(s: SparkSession, d: String): DataFrame = {
+    val o = graft.Tables.orders(s, d).select(
+      concat(lit("o:"), col("o_orderkey").cast("string")).as("entity_id"),
+      lit("customer").as("prop"),
+      concat(lit("c:"), col("o_custkey").cast("string")).as("value"),
+      lit("entity").as("prop_type"))
+    val l = graft.Tables.lineitem(s, d).select(
+      concat(lit("l:"), col("l_orderkey").cast("string"), lit("-"),
+        col("l_linenumber").cast("string")).as("entity_id"),
+      lit("order").as("prop"),
+      concat(lit("o:"), col("l_orderkey").cast("string")).as("value"),
+      lit("entity").as("prop_type"))
+    o.unionAll(l)
+  }
+
+  val refSql: String = """
+    refs AS (
+      SELECT 'o:' || CAST(o_orderkey AS VARCHAR) AS entity_id,
+             'customer' AS prop,
+             'c:' || CAST(o_custkey AS VARCHAR) AS value
+      FROM orders
+      UNION ALL
+      SELECT 'l:' || CAST(l_orderkey AS VARCHAR) || '-'
+               || CAST(l_linenumber AS VARCHAR),
+             'order',
+             'o:' || CAST(l_orderkey AS VARCHAR)
+      FROM lineitem
+    )"""
+
+  /** Assembly: statements → one row per entity with a deterministic
+    * sorted properties string.
+    */
+  def assembleQ(s: SparkSession, d: String): DataFrame =
+    StarStatements(s, d)
+      .groupBy(col("id"), col("field"))
+      .agg(min(col("schema")).as("schema"),
+        array_join(array_sort(collect_list(col("value"))), "|").as("vals"),
+        count(lit(1)).as("n"))
+      .groupBy(col("id"))
+      .agg(min(col("schema")).as("schema"),
+        concat_ws(";", array_sort(collect_list(
+          concat(col("field"), lit("="), col("vals"))))).as("props"),
+        sum(col("n")).as("n_stmts"))
+
+  val assembleSql: String = s"""
+    WITH ${StarStatements.sql.trim},
+    by_field AS (
+      SELECT id, field, min(schema) AS schema,
+             array_to_string(list_sort(list(value)), '|') AS vals,
+             count(*) AS n
+      FROM stmts GROUP BY id, field
+    )
+    SELECT id, min(schema) AS schema,
+           array_to_string(list_sort(list(field || '=' || vals)), ';')
+             AS props,
+           CAST(sum(n) AS BIGINT) AS n_stmts
+    FROM by_field GROUP BY id"""
+
+  /** Entity-by-id lookup: the same assembly, filtered to a key set
+    * BEFORE the groupBy (predicate reaches the scan; only matching ids
+    * shuffle).
+    */
+  def entityByIdQ(s: SparkSession, d: String): DataFrame =
+    StarStatements(s, d)
+      .filter(col("id").endsWith("00"))
+      .groupBy(col("id"))
+      .agg(min(col("schema")).as("schema"),
+        concat_ws(";", array_sort(collect_list(
+          concat(col("field"), lit("="), col("value"))))).as("props"))
+
+  val entityByIdSql: String = s"""
+    WITH ${StarStatements.sql.trim}
+    SELECT id, min(schema) AS schema,
+           array_to_string(list_sort(list(field || '=' || value)), ';')
+             AS props
+    FROM stmts WHERE id LIKE '%00' GROUP BY id"""
+
+  /** Adjacency for subject orders (o_orderkey % 500 = 0): out-edges to
+    * customers, in-edges from lineitems.
+    */
+  def adjacencyQ(s: SparkSession, d: String): DataFrame = {
+    val subjects = graft.Tables.orders(s, d)
+      .filter(col("o_orderkey") % 500 === 0)
+      .select(concat(lit("o:"), col("o_orderkey").cast("string")).as("sid"))
+    EntityStore.adjacency(refStatements(s, d), subjects)
+  }
+
+  val adjacencySql: String = s"""
+    WITH $refSql,
+    subjects AS (
+      SELECT 'o:' || CAST(o_orderkey AS VARCHAR) AS sid FROM orders
+      WHERE o_orderkey % 500 = 0
+    )
+    SELECT sid AS id, 'out' AS dir, prop, value AS other
+    FROM refs JOIN subjects ON refs.entity_id = subjects.sid
+    UNION ALL
+    SELECT sid AS id, 'in' AS dir, prop, entity_id AS other
+    FROM refs JOIN subjects ON refs.value = subjects.sid"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_store_assemble" -> (assembleQ _),
+    "q_store_entity_by_id" -> (entityByIdQ _),
+    "q_store_adjacency" -> (adjacencyQ _))
+
+  val oracles: Map[String, String] = Map(
+    "q_store_assemble" -> assembleSql,
+    "q_store_entity_by_id" -> entityByIdSql,
+    "q_store_adjacency" -> adjacencySql)
+}

@@ -1,0 +1,96 @@
+package graft.store
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Versioned statement store: dataset × version snapshot directories
+  * with a `latest` pointer and ADD/MOD/DEL deltas between versions —
+  * the batch form of the reference's versioned KV store
+  * (`store/versioned.py:62-153`, delta ops `delta.py:1-4`).
+  *
+  * Layout: `base/<dataset>/<version>/` parquet snapshots (statements
+  * deduped on `id` — the upsert semantics of the SQL writer,
+  * `store/sql.py:90-177`), plus `base/<dataset>/LATEST` holding the
+  * released version name. At scale each snapshot is a partitioned
+  * parquet table; `release` is a pointer flip, so readers never observe
+  * a half-written version (the reference's release semantics).
+  */
+final class VersionedStore(base: String) {
+
+  private def dir(dataset: String, version: String): String =
+    s"$base/$dataset/$version"
+
+  private def latestFile(dataset: String) = Paths.get(s"$base/$dataset/LATEST")
+
+  /** Upsert-write a snapshot: statements deduped on id. */
+  def write(stmts: DataFrame, dataset: String, version: String): Unit =
+    stmts.dropDuplicates("id").write.mode("overwrite")
+      .parquet(dir(dataset, version))
+
+  /** Flip the latest pointer (reference `release_version`). */
+  def release(dataset: String, version: String): Unit = {
+    Files.createDirectories(Paths.get(s"$base/$dataset"))
+    Files.writeString(latestFile(dataset), version)
+  }
+
+  def latest(dataset: String): Option[String] = {
+    val p = latestFile(dataset)
+    if (Files.exists(p)) Some(Files.readString(p).trim) else None
+  }
+
+  def versions(dataset: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val p = Paths.get(s"$base/$dataset")
+    if (!Files.exists(p)) Nil
+    else {
+      val s = Files.list(p)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_ != "LATEST").toSeq.sorted
+      finally s.close()
+    }
+  }
+
+  /** Read a version (default: released latest). */
+  def read(s: SparkSession, dataset: String,
+      version: Option[String] = None): DataFrame = {
+    val v = version.orElse(latest(dataset)).getOrElse(
+      throw new IllegalStateException(s"no released version for $dataset"))
+    s.read.parquet(dir(dataset, v))
+  }
+
+  /** Drop a version directory (reference `drop_version`). */
+  def drop(dataset: String, version: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    def rm(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p)) {
+        val s = Files.list(p)
+        try s.iterator().asScala.toList.foreach(rm) finally s.close()
+      }
+      Files.deleteIfExists(p)
+    }
+    rm(Paths.get(dir(dataset, version)))
+  }
+
+  /** ADD/MOD/DEL change feed between two versions (`delta.py:1-4`):
+    * per-entity statement-set digests compared with one full outer join.
+    */
+  def delta(s: SparkSession, dataset: String, fromV: String,
+      toV: String): DataFrame = {
+    def digests(v: String): DataFrame =
+      s.read.parquet(dir(dataset, v))
+        .groupBy(col("canonical_id"))
+        .agg(md5(concat_ws("|", array_sort(collect_list(col("id")))))
+          .as("digest"))
+    val a = digests(fromV).withColumnRenamed("digest", "d_from")
+    val b = digests(toV).withColumnRenamed("digest", "d_to")
+    a.join(b, Seq("canonical_id"), "full_outer")
+      .select(col("canonical_id"),
+        when(col("d_from").isNull, "ADD")
+          .when(col("d_to").isNull, "DEL")
+          .when(col("d_from") =!= col("d_to"), "MOD")
+          .otherwise("SAME").as("op"))
+      .filter(col("op") =!= "SAME")
+  }
+}

@@ -57,4 +57,18 @@ object JaroWinkler {
       sim + l * 0.1 * (1 - sim)
     } else sim
   }
+
+  /** SimMetrics-style Jaro-Winkler: the Winkler prefix bonus applied
+    * unconditionally, no 0.7 boost threshold — the variant the OFAC
+    * emulation needs (`matching/name_based/ofac.py:66-90`).
+    */
+  def simmetrics(a: String, b: String): Double = {
+    if (a.isEmpty || b.isEmpty) return 0.0
+    val sim = jaro(a, b)
+    if (sim == 0.0) return 0.0
+    var l = 0
+    val n = math.min(4, math.min(a.length, b.length))
+    while (l < n && a.charAt(l) == b.charAt(l)) l += 1
+    sim + l * 0.1 * (1 - sim)
+  }
 }

@@ -17,6 +17,16 @@ object TextAnalysis {
   def words(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), w => length(w) > 0)
 
+  /** documents with the word array materialized as its own projection —
+    * every downstream lambda must reference `w` as an attribute, never
+    * the split expression itself (a non-attribute subtree inside a
+    * lambda is re-evaluated per array element; the inlined form of the
+    * winnowing fingerprint measured 780 s at sf0.1 vs ~2 s like this).
+    */
+  private def wordsDf(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), words(col("text")).as("w"))
+
   /** Tiny per-language stopword lists for the n-gram language heuristic. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "and", "of", "to"),
@@ -27,25 +37,9 @@ object TextAnalysis {
   def langScore(w: Column, markers: Seq[String]): Column =
     size(filter(w, x => x.isInCollection(markers)))
 
-  /** Winnowing fingerprint hashes: positional shingle hashes → sliding
-    * min over windows of `win` (Schleimer et al., SIGMOD'03 — the
-    * document-fingerprinting scheme; reference's nearest analogue is its
-    * token fingerprinting, `blocker/tokenizer.py`).
-    */
-  def winnow(text: Column, n: Int, win: Int): Column = {
-    val w = words(text)
-    val grams = transform(sequence(lit(0), size(w) - n),
-      i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k + 1)): _*))
-    val hs = transform(grams, g => Hashing.hash60(g))
-    val mins = transform(sequence(lit(0), size(hs) - win),
-      i => array_min(slice(hs, i + 1, lit(win))))
-    when(size(w) >= n + win - 1, array_distinct(mins))
-      .otherwise(array().cast("array<long>"))
-  }
-
   def statsQ(s: SparkSession, d: String): DataFrame = {
-    val w = words(col("text"))
-    Tables.documents(s, d).select(col("doc_id"),
+    val w = col("w")
+    wordsDf(s, d).select(col("doc_id"),
       length(col("text")).as("n_chars"),
       size(w).as("n_tokens"),
       size(array_distinct(w)).as("n_distinct"),
@@ -59,7 +53,7 @@ object TextAnalysis {
     * large text-corpus pipelines.
     */
   def qualityQ(s: SparkSession, d: String): DataFrame = {
-    val w = words(col("text"))
+    val w = col("w")
     val nTok = size(w).cast("double")
     val lenScore = least(nTok / 50.0, lit(1.0))
     val ttr = size(array_distinct(w)).cast("double") / nTok
@@ -69,13 +63,13 @@ object TextAnalysis {
     // rounds the binary value — they disagree on representation ties.
     val q4 = floor((lit(0.4) * lenScore + lit(0.3) * ttr +
       lit(0.3) * (lit(1.0) - abs(stopRatio - 0.4))) * 10000 + 0.5) / 10000
-    Tables.documents(s, d).select(col("doc_id"), q4.as("quality"))
+    wordsDf(s, d).select(col("doc_id"), q4.as("quality"))
   }
 
   /** Language ID by marker-word counts, argmax with fixed precedence. */
   def langIdQ(s: SparkSession, d: String): DataFrame = {
-    val w = words(col("text"))
-    val scored = Tables.documents(s, d).select(
+    val w = col("w")
+    val scored = wordsDf(s, d).select(
       (col("doc_id") +: LangMarkers.map { case (l, m) =>
         langScore(w, m).as(s"s_$l")
       }): _*)
@@ -87,12 +81,34 @@ object TextAnalysis {
     scored.select(col("doc_id"), pred.as("pred_lang"))
   }
 
+  /** Winnowing fingerprint (Schleimer et al., SIGMOD'03): positional
+    * shingle hashes → sliding min over windows of `win`. Staged as four
+    * projections (words → grams → hashes → window-mins) so each lambda
+    * sees only attributes — the md5 runs once per gram, not once per
+    * (gram, window) pair.
+    */
   def fingerprintQ(s: SparkSession, d: String): DataFrame = {
-    val fp = winnow(col("text"), 3, 4)
-    Tables.documents(s, d).select(col("doc_id"),
-      size(fp).as("n_fp"), array_min(fp).as("min_fp"),
-      array_max(fp).as("max_fp"))
-      .filter(col("n_fp") > 0)
+    val n = 3
+    val win = 4
+    val grams = transform(sequence(lit(0), size(col("w")) - n),
+      i => concat_ws(" ",
+        (0 until n).map(k => element_at(col("w"), i + k + 1)): _*))
+    val mins = transform(sequence(lit(0), size(col("hs")) - win),
+      i => array_min(slice(col("hs"), i + 1, lit(win))))
+    // The only filter sits directly on `w`: a filter on a LATER column
+    // (e.g. n_fp > 0) would be predicate-pushed below the staged
+    // projections, re-inlining the whole pipeline into the filter
+    // condition and making it quadratic again (measured 780 s). With
+    // size(w) >= n+win-1 every kept doc has n_fp >= 1, so the
+    // oracle's `len(fp) > 0` is vacuously satisfied.
+    wordsDf(s, d)
+      .filter(size(col("w")) >= n + win - 1)
+      .select(col("doc_id"), grams.as("g"))
+      .select(col("doc_id"),
+        transform(col("g"), x => Hashing.hash60(x)).as("hs"))
+      .select(col("doc_id"), array_distinct(mins).as("fp"))
+      .select(col("doc_id"), size(col("fp")).as("n_fp"),
+        array_min(col("fp")).as("min_fp"), array_max(col("fp")).as("max_fp"))
   }
 
   // ---------------------------------------------------------------- oracle

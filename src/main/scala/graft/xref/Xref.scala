@@ -1,0 +1,104 @@
+package graft.xref
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.blocker.{Blocker, EntityTokenizer}
+import graft.matching.{Algorithms, EntityMatch}
+import graft.model.Ftm
+import graft.store.EntityStore
+
+/** The end-to-end xref pipeline (`xref.py:29-160`) in batch form:
+  * tokenize → TF-IDF → candidate pairs (limit·limit_factor) → anti-join
+  * already-decided pairs → score with a matching algorithm → discount
+  * same-dataset pairs ×0.7 → threshold → auto-merge edges above the auto
+  * threshold, top-`limit` suggestions otherwise.
+  *
+  * The reference's per-pair Python loop with patience/budget counters
+  * becomes one declarative plan: the pair budget is the blocker's top-N
+  * cut, the suggestion limit is a final ordered limit, and patience (a
+  * sequential-scan heuristic against wasted scoring) has no analogue
+  * because scoring is distributed, not sequential.
+  */
+object Xref {
+
+  final case class Config(
+      limit: Int = 5000,
+      limitFactor: Int = 10,
+      discountInternal: Double = 0.7,
+      minThreshold: Double = 0.01,
+      autoThreshold: Option[Double] = None,
+      algorithm: String = Algorithms.default.name,
+      blocker: Blocker.Config = Blocker.Config())
+
+  def compatDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Ftm.compatPairs.toDF("ls", "rs")
+  }
+
+  def boostsDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    EntityTokenizer.Boosts.toDF("field", "boost")
+  }
+
+  /** Scored candidate pairs for a statement table (ids are canonical
+    * when `stmts` went through [[graft.resolver.Resolver.applyCanonical]]
+    * first, mirroring the reference's canonicalize-on-write).
+    */
+  def scoredPairs(s: SparkSession, stmts: DataFrame,
+      decided: DataFrame, cfg: Config): DataFrame = {
+    val entries = EntityTokenizer.entries(stmts)
+    val compat = compatDf(s)
+    val tf = Blocker.termFrequencies(entries, compat, boostsDf(s),
+      cfg.blocker, dampFields = EntityTokenizer.DampFields)
+    val pairs = Blocker.pairs(tf, compat,
+      cfg.blocker.copy(maxPairs = cfg.limit * cfg.limitFactor))
+    // skip already-decided pairs (check_candidate, resolver.py:284-288)
+    val dec = decided.select(
+      least(col("src"), col("dst")).as("da"),
+      greatest(col("src"), col("dst")).as("db")).distinct()
+    val undecided = pairs.join(broadcast(dec),
+      least(col("lid"), col("rid")) === col("da") &&
+        greatest(col("lid"), col("rid")) === col("db"), "left_anti")
+    val assembled = EntityStore.assemble(stmts)
+    val views = EntityMatch.views(assembled, stmts)
+    val algoCol = cfg.algorithm.replace("-", "_")
+    val datasets = stmts.groupBy(col("canonical_id").as("id"))
+      .agg(collect_set(col("dataset")).as("ds"))
+    val ld = datasets.select(col("id").as("lid"), col("ds").as("lds"))
+    val rd = datasets.select(col("id").as("rid"), col("ds").as("rds"))
+    EntityMatch.scorePairs(undecided, views, Seq(cfg.algorithm))
+      .join(ld, Seq("lid")).join(rd, Seq("rid"))
+      .select(col("lid"), col("rid"),
+        round(when(arrays_overlap(col("lds"), col("rds")),
+          col(algoCol) * cfg.discountInternal).otherwise(col(algoCol)), 6)
+          .as("score"))
+      .filter(col("score") >= cfg.minThreshold)
+  }
+
+  /** Top-`limit` suggestions below the auto threshold
+    * (`xref.py:150-153` + `resolver.suggest`).
+    */
+  def suggestions(s: SparkSession, stmts: DataFrame, decided: DataFrame,
+      cfg: Config = Config()): DataFrame = {
+    val scored = scoredPairs(s, stmts, decided, cfg)
+    val below = cfg.autoThreshold match {
+      case Some(t) => scored.filter(col("score") <= t)
+      case None => scored
+    }
+    below.orderBy(col("score").desc, col("lid").asc, col("rid").asc)
+      .limit(cfg.limit)
+  }
+
+  /** Pairs above the auto-merge threshold → positive judgement edges
+    * (`xref.py:138-147`).
+    */
+  def autoMerges(s: SparkSession, stmts: DataFrame, decided: DataFrame,
+      cfg: Config): DataFrame = {
+    val scored = scoredPairs(s, stmts, decided, cfg)
+    val gate = cfg.autoThreshold
+      .map(t => col("score") > t).getOrElse(lit(false))
+    scored.filter(gate)
+      .select(col("lid").as("src"), col("rid").as("dst"), col("score"))
+  }
+}
