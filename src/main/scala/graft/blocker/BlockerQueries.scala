@@ -35,22 +35,34 @@ object BlockerQueries {
   def tf(s: SparkSession, d: String): DataFrame =
     Blocker.termFrequencies(entries(s, d), compatDf(s), boostsDf(s), cfg)
 
+  /** The term-frequency index, materialized once per (session, dir) —
+    * the DataFrame analogue of the reference persisting
+    * `term_frequencies` as a DuckDB TABLE (`blocker/index.py:504-531`)
+    * and running every downstream query against it. Without this, each
+    * of the ~14 blocker-derived driver queries re-tokenizes the corpus.
+    */
+  private val tfCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def tfCk(s: SparkSession, d: String): DataFrame =
+    tfCache.getOrElseUpdate((s, d), tf(s, d).localCheckpoint(true))
+
   def tfRounded(s: SparkSession, d: String): DataFrame =
     tf(s, d).withColumn("weight", round(col("weight"), 6))
 
   def pairsQ(s: SparkSession, d: String): DataFrame =
-    Blocker.pairs(tf(s, d), compatDf(s), cfg)
+    Blocker.pairs(tfCk(s, d), compatDf(s), cfg)
 
   /** Full pair score table, no top-N (resolver input). */
   def pairsAll(s: SparkSession, d: String): DataFrame =
-    Blocker.pairScores(tf(s, d), compatDf(s))
+    Blocker.pairScores(tfCk(s, d), compatDf(s))
 
   /** Query side for the match join: Part entities with key % 10 == 0. */
   private def isQuerySide = col("schema") === "Part" &&
     substring(col("id"), 3, 30).cast("long") % 10 === 0
 
   def matchTopKQ(s: SparkSession, d: String): DataFrame = {
-    val t = tf(s, d)
+    val t = tfCk(s, d)
     Blocker.matchTopK(t.filter(isQuerySide), t.filter(!isQuerySide),
       compatDf(s), cfg)
   }

@@ -22,12 +22,22 @@ object Resolver {
   /** Connected components over an undirected edge list `(src, dst)`.
     * Returns `(id, cluster)` where cluster = min member id, for every
     * vertex that appears in an edge.
+    *
+    * Two physical strategies, same semantics:
+    *  - edge sets below `driverLimit` run a path-compressed union-find
+    *    on the driver — the reference's own in-memory resolver
+    *    (`resolver/linker.py:20-36`) at the scale it actually runs at,
+    *    without paying ~2 Spark jobs per label-propagation round;
+    *  - larger graphs fall back to distributed min-label propagation
+    *    (one shuffle per round, convergence folded into the same agg).
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20,
+      driverLimit: Long = 2000000L): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint(true)
+    if (sym.count() <= driverLimit) return driverUnionFind(sym)
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
       .localCheckpoint(true)
@@ -57,6 +67,40 @@ object Resolver {
         s"connectedComponents did not converge in $maxIter rounds — " +
           "component diameter exceeds maxIter; raise maxIter")
     labels
+  }
+
+  /** Driver-side path-compressed union-find over a (small) symmetric
+    * edge list; cluster label = min member id, matching the distributed
+    * path bit-for-bit.
+    */
+  private def driverUnionFind(sym: DataFrame): DataFrame = {
+    val spark = sym.sparkSession
+    import spark.implicits._
+    val pairs = sym.as[(String, String)].collect()
+    val parent = scala.collection.mutable.Map.empty[String, String]
+    def find(x: String): String = {
+      var root = x
+      while (parent.getOrElse(root, root) != root)
+        root = parent.getOrElse(root, root)
+      var cur = x
+      while (parent.getOrElse(cur, cur) != root) {
+        val next = parent.getOrElse(cur, cur)
+        parent(cur) = root
+        cur = next
+      }
+      root
+    }
+    for ((a, b) <- pairs) {
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val ra = find(a)
+      val rb = find(b)
+      if (ra != rb) {
+        // union by min so the final relabel pass is a pure find()
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    parent.keys.toSeq.map(id => (id, find(id))).toDF("id", "cluster")
   }
 
   /** Canonical-ID selection per cluster: max by (weight, id) — the

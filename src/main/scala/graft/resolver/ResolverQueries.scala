@@ -21,10 +21,16 @@ object ResolverQueries {
   val NegLo = 5.0
 
   /** All scored candidate pairs (no top-N cut — the resolver consumes the
-    * full score table, thresholds are the decision rule).
+    * full score table, thresholds are the decision rule). Materialized
+    * once per (session, dir): eight resolver queries consume this table,
+    * exactly like the reference's resolver reads one edge/score store.
     */
+  private val scoreCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   private def pairScores(s: SparkSession, d: String): DataFrame =
-    BlockerQueries.pairsAll(s, d)
+    scoreCache.getOrElseUpdate((s, d),
+      BlockerQueries.pairsAll(s, d).localCheckpoint(true))
 
   private def edges(s: SparkSession, d: String): DataFrame =
     pairScores(s, d).filter(col("score") >= PositiveThreshold)
@@ -53,10 +59,10 @@ object ResolverQueries {
     * (score < 19).
     */
   def judgementQ(s: SparkSession, d: String): DataFrame = {
-    // materialize the blocker score table once; both the positive-edge
-    // set and the candidate batch derive from it (round 1 ran the whole
+    // the materialized blocker score table; both the positive-edge set
+    // and the candidate batch derive from it (round 1 ran the whole
     // blocker chain twice inside this one plan)
-    val scores = pairScores(s, d).localCheckpoint(true)
+    val scores = pairScores(s, d)
     val posEdges = scores.filter(col("score") >= PositiveThreshold)
       .select(col("lid").as("src"), col("rid").as("dst"))
     val cm = Resolver.canonicalMap(
@@ -90,7 +96,7 @@ object ResolverQueries {
 
   /** Checkpointed score table shared by the edit-op queries. */
   private def scoresCk(s: SparkSession, d: String): DataFrame =
-    pairScores(s, d).localCheckpoint(true)
+    pairScores(s, d)
 
   private def edgesOf(scores: DataFrame): DataFrame =
     scores.filter(col("score") >= PositiveThreshold)
