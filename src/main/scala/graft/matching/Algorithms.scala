@@ -92,6 +92,8 @@ object Algorithms {
       Feat("vessel_imo_mmsi_match", vesselImoMmsiMatch, 0.95),
       Feat("inn_code_match", innCodeMatch, 0.95),
       Feat("bic_code_match", bicCodeMatch, 0.95),
+      Feat("uei_code_match", ueiCodeMatch, 0.95),
+      Feat("npi_code_match", npiCodeMatch, 0.95),
       Feat("identifier_match", identifierMatch, 0.85),
       Feat("weak_alias_match", weakAliasMatch, 0.8),
       Feat("address_prop_match", addressPropMatch, 0.2, qualifier = true),

@@ -343,6 +343,10 @@ object Features {
     matchFormat(q, r, graft.text.Identifiers.validBic)
   val vesselImoMmsiMatch: Feature = (q, r) =>
     matchFormat(q, r, graft.text.Identifiers.validImo)
+  val ueiCodeMatch: Feature = (q, r) =>
+    matchFormat(q, r, graft.text.Identifiers.validUei)
+  val npiCodeMatch: Feature = (q, r) =>
+    matchFormat(q, r, graft.text.Identifiers.validNpi)
 
   // --------------------------------------------------------- addresses
 

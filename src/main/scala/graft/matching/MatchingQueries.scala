@@ -224,6 +224,22 @@ object MatchingQueries {
       round(least(greatest(ofacUdf(col("ltoks"), col("rtoks")), lit(0.0)),
         lit(1.0)), 6).as("score"))
 
+  /** xref end-to-end on the star corpus (`xref.py:29-160`): scored
+    * candidate pairs → same-"dataset" discount ×0.7 (the id prefix is
+    * the source table, standing in for the dataset) → min threshold →
+    * ranked top suggestions. floor(x·1e4+0.5) instead of round avoids
+    * the double-rounding ties (see q_text_quality).
+    */
+  def xrefSuggestQ(s: SparkSession, d: String): DataFrame = {
+    val discounted = logicScore(s, d).select(col("lid"), col("rid"),
+      (floor(when(substring(col("lid"), 1, 1) === substring(col("rid"), 1, 1),
+        col("score") * 0.7).otherwise(col("score")) * 10000 + 0.5) / 10000)
+        .as("score"))
+    discounted.filter(col("score") >= 0.01)
+      .orderBy(col("score").desc, col("lid").asc, col("rid").asc)
+      .limit(1000)
+  }
+
   // ---------------------------------------------------------------- oracle
 
   private val featSql: String = s"""
@@ -359,7 +375,8 @@ object MatchingQueries {
     "q_match_regression" -> (regressionScore _),
     "q_match_name_based" -> (nameBasedScore _),
     "q_match_name_qualified" -> (nameQualifiedScore _),
-    "q_match_ofac" -> (ofacScore _))
+    "q_match_ofac" -> (ofacScore _),
+    "q_xref_suggest" -> (xrefSuggestQ _))
 
   val oracles: Map[String, String] = Map(
     "q_match_features" -> (prefix + """
@@ -393,5 +410,25 @@ object MatchingQueries {
     "q_match_ofac" -> (prefix + ", " + trioCte + s"""
       SELECT lid, rid,
              round(least(greatest($ofacSql, 0.0), 1.0), 6) AS score
-      FROM trio"""))
+      FROM trio"""),
+    "q_xref_suggest" -> (prefix + """
+      , logic AS (
+        SELECT lid, rid,
+          round(CASE WHEN main <= 0 THEN 0.0
+                ELSE least(greatest(main + qual, 0.0), 1.0) END, 4) AS score
+        FROM (
+          SELECT lid, rid,
+                 greatest(literal * 1.0, lev_sim * 0.8,
+                          tok_jaccard * 0.7) AS main,
+                 num_mismatch * -0.3 + schema_mismatch * -0.1 AS qual
+          FROM feat)
+      )
+      SELECT lid, rid, score FROM (
+        SELECT lid, rid,
+               floor((CASE WHEN substr(lid, 1, 1) = substr(rid, 1, 1)
+                      THEN score * 0.7 ELSE score END) * 10000 + 0.5)
+                 / 10000 AS score
+        FROM logic)
+      WHERE score >= 0.01
+      ORDER BY score DESC, lid, rid LIMIT 1000"""))
 }

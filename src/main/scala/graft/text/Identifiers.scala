@@ -88,4 +88,13 @@ object Identifiers {
   def validBic(s: String): Boolean =
     (s.length == 8 || s.length == 11) &&
       s.take(6).forall(_.isLetter) && s.drop(6).forall(_.isLetterOrDigit)
+
+  /** US SAM UEI: 12 alphanumerics, no I/O, non-zero first char. */
+  def validUei(s: String): Boolean =
+    s.length == 12 && s.forall(c => c.isLetterOrDigit) &&
+      !s.exists(c => c == 'I' || c == 'O') && s.head != '0'
+
+  /** US NPI: 10 digits, Luhn over "80840" + first 9 digits. */
+  def validNpi(s: String): Boolean =
+    s.length == 10 && s.forall(_.isDigit) && luhn("80840" + s)
 }

@@ -132,5 +132,9 @@ class TextSpec extends AnyFunSuite {
     assert(Identifiers.validBic("DEUTDEFF"))
     assert(Identifiers.validBic("DEUTDEFF500"))
     assert(!Identifiers.validBic("DEUT"))
+    assert(Identifiers.validNpi("1234567893")) // published NPI example
+    assert(!Identifiers.validNpi("1234567890"))
+    assert(Identifiers.validUei("J7M9HPTGJ1S9"))
+    assert(!Identifiers.validUei("O7M9HPTGJ1S9")) // letter O excluded
   }
 }
