@@ -1,0 +1,78 @@
+package graft.matching
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.store.EntityStore
+
+/** Trainer regression test (`erun/train.py` analogue): perturbation-
+  * generated labels over donations names (the contrib/name_bench
+  * recipe), deterministic split, GD-fitted logistic model beating a
+  * high accuracy bar with sensible weight signs.
+  */
+class TrainingSpec extends AnyFunSuite {
+  import SparkSpec.spark
+  import spark.implicits._
+
+  val fixture = "/root/reference/tests/fixtures/donations.ijson"
+
+  def typo(s: String): String =
+    if (s.length < 6) s + "x"
+    else s.take(s.length / 2) + s.drop(s.length / 2 + 1) // drop one char
+
+  lazy val data: (org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame) = {
+    val stmts = EntityStore.statements(
+      EntityStore.readIjson(spark, fixture), "donations")
+    val base = EntityStore.assemble(stmts)
+      .filter(col("schema").isin("Person", "Company", "Organization"))
+      .select(col("id"), col("schema"), col("caption"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSeq
+    def view(id: String, schema: String, name: String) =
+      EntityView(id, schema, Seq(name), Nil, Nil, Nil, Nil, Nil, Nil, Nil,
+        Nil)
+    val views = base.flatMap { case (id, sch, cap) =>
+      Seq(id -> view(id, sch, cap), s"$id-t" -> view(s"$id-t", sch,
+        typo(cap)))
+    }
+    val viewsDf = views.toDF("id", "view")
+    // positives: entity vs its typo twin; negatives: consecutive entities
+    val pos = base.map { case (id, _, _) => (id, s"$id-t", 1) }
+    val neg = base.zip(base.tail).map { case ((a, _, _), (b, _, _)) =>
+      (a, b, 0)
+    }
+    val pairs = (pos ++ neg).toDF("lid", "rid", "label")
+    (pairs, viewsDf)
+  }
+
+  test("perturbation-trained logistic model learns name similarity") {
+    val (pairs, viewsDf) = data
+    val algo = Algorithms.ErUnstable
+    val featCols = algo.features.map(f => s"f_${f.name}")
+    val frame = Training.trainingFrame(pairs, viewsDf, algo)
+    val clean = Training.quarantine(frame, featCols)
+    val (train, test) = Training.split(clean, featCols)
+    assert(train.count() > 0 && test.count() > 0)
+    val model = Training.trainLogistic(train, featCols, epochs = 120,
+      lr = 0.8)
+    val metrics = Training.evaluate(test, featCols, model)
+    info(metrics.map { case (k, v) => f"$k=$v%.3f" }.mkString(" "))
+    assert(metrics("accuracy") >= 0.85)
+    assert(metrics("recall") >= 0.8)
+    // name-similarity features must carry positive weight
+    val w = algo.features.map(_.name).zip(model.weights).toMap
+    assert(w("person_name_levenshtein") > 0.0)
+    assert(w("org_name_levenshtein") > 0.0)
+  }
+
+  test("quarantine drops contradictory digests") {
+    val f = Seq((1.0, 1), (1.0, 0), (0.5, 1), (0.5, 1))
+      .toDF("f_x", "label")
+    val out = Training.quarantine(f, Seq("f_x"))
+    // the 1.0 digest carries both labels → dropped; 0.5 collapses to one
+    assert(out.count() === 1L)
+    assert(out.head.getAs[Double]("f_x") === 0.5)
+  }
+}
