@@ -1,0 +1,89 @@
+package graft.matching
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Match/no-match agreement of the partial logic-v2 port against the
+  * reference's frozen name-bench run
+  * (`contrib/name_bench/run_data/logicv2-frozen.csv`): same entity
+  * pairs, same decision threshold; we measure classification agreement
+  * (the absolute scores can differ — the full matcher has symbol
+  * lexicons this port does not).
+  */
+class NameBenchParitySpec extends AnyFunSuite {
+
+  val fixture =
+    "/root/reference/contrib/name_bench/run_data/logicv2-frozen.csv"
+  val Threshold = 0.7
+
+  private def parseCsv(line: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    val sb = new StringBuilder
+    var inQ = false
+    while (i < line.length) {
+      val c = line(i)
+      if (inQ) {
+        if (c == '"') inQ = false else sb += c
+      } else c match {
+        case '"' => inQ = true
+        case ',' => out += sb.toString; sb.clear()
+        case _ => sb += c
+      }
+      i += 1
+    }
+    out += sb.toString
+    out.toArray
+  }
+
+  final case class Case(schema: String, name1: String, name2: String,
+      isMatch: Boolean, frozenScore: Double, frozenPred: Boolean)
+
+  lazy val cases: Seq[Case] = {
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(fixture))
+    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+    val text = dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+    val lines = text.linesIterator.toList
+    val header = parseCsv(lines.head).zipWithIndex.toMap
+    lines.tail.filter(_.nonEmpty).map(parseCsv).flatMap { a =>
+      try Some(Case(a(header("schema")), a(header("name1")),
+        a(header("name2")), a(header("is_match")).toBoolean,
+        a(header("score")).toDouble,
+        a(header("predicted_match")).toBoolean))
+      catch { case _: Exception => None }
+    }
+  }
+
+  def view(schema: String, name: String): EntityView =
+    EntityView("x", schema, Seq(name), Nil, Nil, Nil, Nil, Nil, Nil, Nil,
+      Nil)
+
+  test("classification agreement with the frozen logic-v2 run") {
+    val scored = cases.map { c =>
+      val s = Algorithms.LogicV2.score(view(c.schema, c.name1),
+        view(c.schema, c.name2))
+      (c, s, s >= Threshold)
+    }
+    val n = scored.size
+    val agreeFrozen = scored.count { case (c, _, p) => p == c.frozenPred }
+    val agreeTruth = scored.count { case (c, _, p) => p == c.isMatch }
+    val tp = scored.count { case (c, _, p) => p && c.isMatch }
+    val fp = scored.count { case (c, _, p) => p && !c.isMatch }
+    val fn = scored.count { case (c, _, p) => !p && c.isMatch }
+    val precision = if (tp + fp == 0) 0.0 else tp.toDouble / (tp + fp)
+    val recall = if (tp + fn == 0) 0.0 else tp.toDouble / (tp + fn)
+    val mae = scored.map { case (c, s, _) =>
+      math.abs(s - c.frozenScore) }.sum / n
+    info(f"n=$n agreeFrozen=${agreeFrozen.toDouble / n}%.3f " +
+      f"agreeTruth=${agreeTruth.toDouble / n}%.3f " +
+      f"precision=$precision%.3f recall=$recall%.3f MAE=$mae%.3f")
+    // measured: agreeFrozen 0.823, agreeTruth 0.718 (the frozen run
+    // itself reaches ~0.79 on ground truth — the gap is the unported
+    // nickname/cross-script symbol machinery, SURVEY §7.4)
+    assert(n > 100)
+    assert(agreeFrozen.toDouble / n >= 0.78)
+    assert(agreeTruth.toDouble / n >= 0.65)
+  }
+}
