@@ -41,6 +41,17 @@ object Blocker {
       maxCandidates: Int = 10,
       minScoreRatio: Double = 0.1)
 
+  object Config {
+    /** The reference's published defaults: bucket 60 → same-schema pair
+      * cost cap 60·59/2 = 1770 (`blocker/index.py:59,66-71`), 75
+      * candidates per subject with the 0.1 relative floor
+      * (`blocker/index.py:63,104-107`). The synthetic star pipeline uses
+      * the looser caps above because its corpus-wide token frequencies
+      * sit far above a 60-bucket regime.
+      */
+    val reference: Config = Config(maxPairCost = 1770L, maxCandidates = 75)
+  }
+
   /** Statements (id, schema, field, value) → entries
     * (schema, id, field, token, cnt). Pure narrow transform: lower-case,
     * split on non-alphanumerics, drop short tokens, truncate to 40 chars,

@@ -29,7 +29,7 @@ object Xref {
       minThreshold: Double = 0.01,
       autoThreshold: Option[Double] = None,
       algorithm: String = Algorithms.default.name,
-      blocker: Blocker.Config = Blocker.Config())
+      blocker: Blocker.Config = Blocker.Config.reference)
 
   def compatDf(s: SparkSession): DataFrame = {
     import s.implicits._
