@@ -83,7 +83,8 @@ object Blocker {
     * and Spark's shuffle-skew guard: no join key downstream can fan out
     * more than `maxPairCost` rows.
     */
-  def stopwords(stats: DataFrame, compat: DataFrame, cfg: Config): DataFrame = {
+  /** Compatible-pair cost per token (the stopword cost model input). */
+  def tokenCosts(stats: DataFrame, compat: DataFrame): DataFrame = {
     val l = stats.select(col("token"), col("schema").as("ls"), col("df").as("ldf"))
     val r = stats.select(col("token").as("rtoken"), col("schema").as("rs"),
       col("df").as("rdf"))
@@ -93,8 +94,10 @@ object Blocker {
       .agg(sum(when(col("ls") === col("rs"),
         expr("ldf * (ldf - 1) div 2")).otherwise(col("ldf") * col("rdf")))
         .as("cost"))
-      .filter(col("cost") > cfg.maxPairCost)
   }
+
+  def stopwords(stats: DataFrame, compat: DataFrame, cfg: Config): DataFrame =
+    tokenCosts(stats, compat).filter(col("cost") > cfg.maxPairCost)
 
   /** IDF per token: 1 + ln(N / count(DISTINCT id)), N = distinct entities
     * (`blocker/index.py:506-513`). Distinct ids per token — an id whose

@@ -32,6 +32,25 @@ object BlockerQueries {
   def stopwordsQ(s: SparkSession, d: String): DataFrame =
     Blocker.stopwords(tokenStats(s, d), compatDf(s), cfg)
 
+  /** Stopword stats report (`blocker/index.py:388-403`): one-row
+    * conditional aggregate over the token cost model.
+    */
+  def stopwordStatsQ(s: SparkSession, d: String): DataFrame =
+    Blocker.tokenCosts(tokenStats(s, d), compatDf(s))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("cost") > cfg.maxPairCost, 1).otherwise(0))
+          .as("n_stopwords"),
+        sum(col("cost")).cast("long").as("total_cost"),
+        sum(when(col("cost") > cfg.maxPairCost, col("cost")).otherwise(0L))
+          .cast("long").as("stopword_cost"),
+        max(col("cost")).as("max_cost"))
+
+  /** Top stopwords report (`blocker/index.py:432-437`). */
+  def topStopwordsQ(s: SparkSession, d: String): DataFrame =
+    Blocker.tokenCosts(tokenStats(s, d), compatDf(s))
+      .orderBy(col("cost").desc, col("token").asc)
+      .limit(10)
+
   def tf(s: SparkSession, d: String): DataFrame =
     Blocker.termFrequencies(entries(s, d), compatDf(s), boostsDf(s), cfg)
 
@@ -170,6 +189,8 @@ object BlockerQueries {
     "q_blk_entries" -> (entries _),
     "q_blk_token_stats" -> (tokenStats _),
     "q_blk_stopwords" -> (stopwordsQ _),
+    "q_blk_stopword_stats" -> (stopwordStatsQ _),
+    "q_blk_top_stopwords" -> (topStopwordsQ _),
     "q_blk_tf" -> (tfRounded _),
     "q_blk_pairs" -> (pairsQ _),
     "q_blk_match_topk" -> (matchTopKQ _))
@@ -180,6 +201,18 @@ object BlockerQueries {
     "q_blk_token_stats" -> (ctePrefix +
       "SELECT token, schema, df, freq, field FROM token_stats"),
     "q_blk_stopwords" -> (ctePrefix + "SELECT token, cost FROM stopwords"),
+    "q_blk_stopword_stats" -> (ctePrefix + s"""
+      SELECT count(*) AS n_tokens,
+             CAST(sum(CASE WHEN cost > ${cfg.maxPairCost} THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_stopwords,
+             CAST(sum(cost) AS BIGINT) AS total_cost,
+             CAST(sum(CASE WHEN cost > ${cfg.maxPairCost} THEN cost
+                      ELSE 0 END) AS BIGINT) AS stopword_cost,
+             max(cost) AS max_cost
+      FROM costs"""),
+    "q_blk_top_stopwords" -> (ctePrefix + """
+      SELECT token, cost FROM costs
+      ORDER BY cost DESC, token ASC LIMIT 10"""),
     "q_blk_tf" -> (ctePrefix +
       "SELECT schema, id, field, token, round(weight, 6) AS weight FROM tf"),
     "q_blk_pairs" -> (ctePrefix +

@@ -157,6 +157,25 @@ object ResolverQueries {
     ResolverOps.prune(log, cm)
   }
 
+  /** check_candidate (`resolver/resolver.py:284-288`): candidate pairs
+    * not yet decided (positive band and negative band count as decided).
+    */
+  def checkCandidateQ(s: SparkSession, d: String): DataFrame = {
+    val scores = scoresCk(s, d)
+    val cand = scores
+      .orderBy(col("score").desc, col("lid").asc, col("rid").asc)
+      .limit(graft.blocker.BlockerQueries.cfg.maxPairs)
+    val decided = scores
+      .filter(col("score") >= PositiveThreshold ||
+        (col("score") >= NegLo && col("score") < SuggestLo))
+      .select(least(col("lid"), col("rid")).as("da"),
+        greatest(col("lid"), col("rid")).as("db")).distinct()
+    cand.join(broadcast(decided),
+        least(col("lid"), col("rid")) === col("da") &&
+          greatest(col("lid"), col("rid")) === col("db"), "left_anti")
+      .select(col("lid"), col("rid"))
+  }
+
   /** Conflicting-match report (`conflicting_match.py:14-47`) over the
     * mid-band suggestions and low-band negative decisions.
     */
@@ -246,7 +265,8 @@ object ResolverQueries {
     "q_res_explode" -> (explodeQ _),
     "q_res_rename" -> (renameQ _),
     "q_res_prune" -> (pruneQ _),
-    "q_res_conflicts" -> (conflictsQ _))
+    "q_res_conflicts" -> (conflictsQ _),
+    "q_res_check_candidate" -> (checkCandidateQ _))
 
   val oracles: Map[String, String] = Map(
     "q_res_components" -> (prefix + "SELECT id, cluster FROM cc"),
@@ -303,5 +323,13 @@ object ResolverQueries {
       JOIN sugg_sym s2 ON s1.subject = s2.subject
                       AND s1.candidate < s2.candidate
       JOIN neg_band n ON least(s1.candidate, s2.candidate) = n.na
-                     AND greatest(s1.candidate, s2.candidate) = n.nb"""))
+                     AND greatest(s1.candidate, s2.candidate) = n.nb"""),
+    "q_res_check_candidate" -> (prefix + s"""
+      SELECT c.lid, c.rid FROM cand_pairs c
+      WHERE NOT EXISTS (
+        SELECT 1 FROM pair_scores p
+        WHERE least(p.lid, p.rid) = least(c.lid, c.rid)
+          AND greatest(p.lid, p.rid) = greatest(c.lid, c.rid)
+          AND (p.score >= $PositiveThreshold
+               OR (p.score >= $NegLo AND p.score < $SuggestLo)))"""))
 }
