@@ -50,10 +50,21 @@ object Resolver {
       // result — not a second join against the previous iteration.
       val nbr = sym.join(labels, sym("dst") === labels("id"))
         .select(sym("src").as("id"), col("cluster"), lit(0).as("own"))
-      val next = nbr.unionAll(labels.withColumn("own", lit(1)))
+      val stepped = nbr.unionAll(labels.withColumn("own", lit(1)))
         .groupBy(col("id"))
         .agg(min(col("cluster")).as("cluster"),
           min(when(col("own") === 1, col("cluster"))).as("prev_cluster"))
+      // pointer doubling (cluster ← label(cluster)): pointer depth halves
+      // every round, so deep chains converge in O(log diameter) rounds
+      // instead of O(diameter) — the label-doubling ADVICE'd in place of
+      // large-star/small-star, same complexity bound
+      val ptr = stepped.select(col("id").as("pid"),
+        col("cluster").as("pcluster"))
+      val next = stepped.join(ptr, stepped("cluster") === ptr("pid"),
+          "left_outer")
+        .select(stepped("id"),
+          coalesce(col("pcluster"), stepped("cluster")).as("cluster"),
+          col("prev_cluster"))
         .localCheckpoint(true)
       // scan of the just-materialized partitions with limit-1 early abort
       val changed = next.filter(col("cluster") < col("prev_cluster"))

@@ -33,6 +33,16 @@ class ResolverSpec extends AnyFunSuite {
     assert(cc(edges) === cc(edges, driverLimit = 0L))
   }
 
+  test("pointer doubling converges a deep chain within the round budget") {
+    // a 60-deep chain needs ~59 rounds of plain min-propagation; with
+    // label doubling it must finish well inside maxIter=20
+    val ids = (0 until 60).map(i => f"n$i%03d")
+    val chain = ids.zip(ids.tail)
+    val got = cc(chain, driverLimit = 0L)
+    assert(got.values.toSet === Set("n000"))
+    assert(got.size === 60)
+  }
+
   test("canonical selection follows the weight precedence") {
     val comps = Seq(("c:9", "a"), ("s:2", "a"), ("raw", "a"))
       .toDF("id", "cluster")
