@@ -16,9 +16,23 @@ object TextNorm {
     'ú' -> "u", 'û' -> "u", 'ü' -> "u", 'ý' -> "y", 'ÿ' -> "y", 'ß' -> "ss",
     'š' -> "s", 'ž' -> "z", 'đ' -> "d", 'ł' -> "l", 'ć' -> "c", 'č' -> "c")
 
-  /** Lowercase + latin accent fold. */
+  /** Cyrillic → Latin romanization (BGN/PCGN-style, the common
+    * transliteration the reference gets from rigour's script handling).
+    */
+  private val cyrillicMap: Map[Char, String] = Map(
+    'а' -> "a", 'б' -> "b", 'в' -> "v", 'г' -> "g", 'д' -> "d",
+    'е' -> "e", 'ё' -> "e", 'ж' -> "zh", 'з' -> "z", 'и' -> "i",
+    'й' -> "y", 'к' -> "k", 'л' -> "l", 'м' -> "m", 'н' -> "n",
+    'о' -> "o", 'п' -> "p", 'р' -> "r", 'с' -> "s", 'т' -> "t",
+    'у' -> "u", 'ф' -> "f", 'х' -> "kh", 'ц' -> "ts", 'ч' -> "ch",
+    'ш' -> "sh", 'щ' -> "shch", 'ъ' -> "", 'ы' -> "y", 'ь' -> "",
+    'э' -> "e", 'ю' -> "yu", 'я' -> "ya",
+    'і' -> "i", 'ї' -> "yi", 'є' -> "ye", 'ґ' -> "g")
+
+  /** Lowercase + latin accent fold + cyrillic romanization. */
   def foldAscii(s: String): String =
-    s.toLowerCase.flatMap(c => accentMap.getOrElse(c, c.toString))
+    s.toLowerCase.flatMap(c =>
+      accentMap.getOrElse(c, cyrillicMap.getOrElse(c, c.toString)))
 
   /** Light cleanup (`clean_name_light`): lowercase, squash whitespace,
     * keep letters/digits/spaces.

@@ -107,6 +107,13 @@ class TextSpec extends AnyFunSuite {
     assert(TextNorm.fingerprintName("  ") === None)
   }
 
+  test("cyrillic names romanize and then match cross-script") {
+    assert(TextNorm.foldAscii("Путин") === "putin")
+    assert(TextNorm.cleanNameAscii("Владимир ПУТИН") ===
+      Some("vladimir putin"))
+    assert(TextNorm.foldAscii("Хрущёв") === "khrushchev")
+  }
+
   test("identifier cleanup") {
     assert(TextNorm.cleanIdentifier("de-123 456") === Some("DE123456"))
     assert(TextNorm.cleanIdentifier("x") === None)
