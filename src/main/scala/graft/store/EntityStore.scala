@@ -40,6 +40,13 @@ object EntityStore {
   def readIjson(s: SparkSession, path: String): DataFrame =
     s.read.schema(entitySchema).json(path)
 
+  /** Store view: excludes enrichment-candidate (`external`) statements
+    * unless requested (`store/memory.py:72-87`,
+    * `store/versioned.py:288-296`).
+    */
+  def view(stmts: DataFrame, withExternal: Boolean = false): DataFrame =
+    if (withExternal) stmts else stmts.filter(!col("external"))
+
   /** (schema:prop) → prop_type literal lookup map over the ontology. */
   private val propTypeMap: Map[String, String] = (for {
     sch <- Ftm.schemata.keys

@@ -29,6 +29,9 @@ object Xref {
       minThreshold: Double = 0.01,
       autoThreshold: Option[Double] = None,
       algorithm: String = Algorithms.default.name,
+      external: Boolean = true,
+      focusDatasets: Set[String] = Set.empty,
+      range: Option[String] = None,
       blocker: Blocker.Config = Blocker.Config.reference)
 
   def compatDf(s: SparkSession): DataFrame = {
@@ -45,8 +48,11 @@ object Xref {
     * when `stmts` went through [[graft.resolver.Resolver.applyCanonical]]
     * first, mirroring the reference's canonicalize-on-write).
     */
-  def scoredPairs(s: SparkSession, stmts: DataFrame,
+  def scoredPairs(s: SparkSession, stmts0: DataFrame,
       decided: DataFrame, cfg: Config): DataFrame = {
+    // external=true by default, like the reference's xref view
+    // (`xref.py:38,61`)
+    val stmts = EntityStore.view(stmts0, withExternal = cfg.external)
     val entries = EntityTokenizer.entries(stmts)
     val compat = compatDf(s)
     val tf = Blocker.termFrequencies(entries, compat, boostsDf(s),
@@ -63,12 +69,35 @@ object Xref {
     val assembled = EntityStore.assemble(stmts)
     val views = EntityMatch.views(assembled, stmts)
     val algoCol = cfg.algorithm.replace("-", "_")
-    val datasets = stmts.groupBy(col("canonical_id").as("id"))
-      .agg(collect_set(col("dataset")).as("ds"))
-    val ld = datasets.select(col("id").as("lid"), col("ds").as("lds"))
-    val rd = datasets.select(col("id").as("rid"), col("ds").as("rds"))
-    EntityMatch.scorePairs(undecided, views, Seq(cfg.algorithm))
-      .join(ld, Seq("lid")).join(rd, Seq("rid"))
+    val meta = stmts.groupBy(col("canonical_id").as("id"))
+      .agg(collect_set(col("dataset")).as("ds"),
+        first(col("schema")).as("schema"))
+    val lm = meta.select(col("id").as("lid"), col("ds").as("lds"),
+      col("schema").as("lschema"))
+    val rm = meta.select(col("id").as("rid"), col("ds").as("rds"),
+      col("schema").as("rschema"))
+    val scored0 = EntityMatch.scorePairs(undecided, views, Seq(cfg.algorithm))
+      .join(lm, Seq("lid")).join(rm, Seq("rid"))
+    // focus-dataset gate: at least one side in the focus set
+    // (`xref.py:105-109`)
+    val focused =
+      if (cfg.focusDatasets.isEmpty) scored0
+      else {
+        val f = typedLit(cfg.focusDatasets.toSeq)
+        scored0.filter(arrays_overlap(col("lds"), f) ||
+          arrays_overlap(col("rds"), f))
+      }
+    // schema-range gate: one side must descend from the range schema
+    // (`xref.py:111-116`)
+    val ranged = cfg.range match {
+      case None => focused
+      case Some(r) =>
+        val inRange = Ftm.schemata.keys
+          .filter(sc => Ftm.ancestors(sc).contains(r)).toSeq
+        focused.filter(col("lschema").isin(inRange: _*) ||
+          col("rschema").isin(inRange: _*))
+    }
+    ranged
       .select(col("lid"), col("rid"),
         round(when(arrays_overlap(col("lds"), col("rds")),
           col(algoCol) * cfg.discountInternal).otherwise(col(algoCol)), 6)

@@ -75,6 +75,28 @@ class XrefSpec extends AnyFunSuite {
     assert(again.count() === 0L)
   }
 
+  test("schema-range gate keeps only pairs touching the range") {
+    val cfg = Xref.Config(algorithm = "regression-v1",
+      range = Some("Person"))
+    val scored = Xref.scoredPairs(spark, stmts, emptyDecided, cfg)
+    val schemas = EntityStore.assemble(stmts)
+      .select(col("id"), col("schema"))
+    val joined = scored
+      .join(schemas.select(col("id").as("lid"), col("schema").as("ls")),
+        Seq("lid"))
+      .join(schemas.select(col("id").as("rid"), col("schema").as("rs")),
+        Seq("rid"))
+    assert(joined.count() > 0)
+    assert(joined.filter(col("ls") =!= "Person" && col("rs") =!= "Person")
+      .count() === 0L)
+  }
+
+  test("focus-dataset gate: foreign focus set empties the batch") {
+    val cfg = Xref.Config(algorithm = "regression-v1",
+      focusDatasets = Set("not-a-dataset"))
+    assert(Xref.scoredPairs(spark, stmts, emptyDecided, cfg).count() === 0L)
+  }
+
   test("auto-merge splits high scores into edges") {
     val cfg = Xref.Config(algorithm = "logic-v1",
       autoThreshold = Some(0.6))
