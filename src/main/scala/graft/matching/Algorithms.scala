@@ -138,23 +138,36 @@ object Algorithms {
       Feat("orgid_disjoint", orgidDisjoint, -0.1, qualifier = true))
   }
 
-  /** regression-v1 shape (`matching/regression_v1/model.py:94-110`):
-    * logistic inference over a fixed coefficient vector. The reference
-    * ships trained pickle coefficients; here the coefficients are an
-    * exported constant vector with the same feature inputs — sigmoid of
-    * the standardized dot product.
+  /** regression-v1 (`matching/regression_v1/model.py:37-58`): logistic
+    * inference over the reference's exact feature list. The reference
+    * ships trained pickle coefficients (unloadable in the JVM); the
+    * constant vector here preserves the trained model's sign structure
+    * and can be refit with [[Training.trainLogistic]].
     */
   object RegressionV1 extends Algo {
     val name = "regression-v1"
     val features: Seq[Feat] = Seq(
-      Feat("name_literal_match", nameLiteralMatch, 2.8),
-      Feat("person_name_jaro_winkler", personNameJaroWinkler, 1.6),
-      Feat("name_fingerprint_levenshtein", nameFingerprintLevenshtein, 1.9),
-      Feat("identifier_match", identifierMatch, 2.2),
+      Feat("name_match", nameMatchR, 2.6),
+      Feat("name_levenshtein", nameLevenshteinR, 1.8),
+      Feat("name_token_overlap", nameTokenOverlapR, 1.2),
+      Feat("name_numbers", nameNumbersR, -1.0),
+      Feat("first_name_match", firstNameMatch, 0.6),
+      Feat("family_name_match", familyNameMatchR, 0.8),
+      Feat("phone_match", phoneMatch, 1.2),
+      Feat("email_match", emailMatch, 1.2),
+      Feat("address_match", addressMatch, 0.9),
+      Feat("address_numbers", addressNumbers, 0.3),
+      Feat("identifier_match", identifierMatchNonOrg, 1.8),
+      Feat("org_identifier_match", orgIdentifierMatch, 1.8),
+      Feat("birth_place", birthPlace, 0.5),
+      Feat("dob_matches", dobMatches, 1.4),
+      Feat("dob_year_matches", dobYearMatches, 0.7),
+      Feat("dob_year_disjoint", dobYearDisjoint, -1.0),
+      Feat("gender_mismatch", genderMismatch, -0.9),
+      Feat("country_mismatch", countryMismatch, -0.9),
+      // retains predictive power on entity refs beyond the reference set
       Feat("address_entity_match", addressEntityMatch, 1.1),
-      Feat("country_mismatch", countryMismatch, -1.2),
-      Feat("dob_day_disjoint", dobDayDisjoint, -1.4),
-      Feat("numbers_mismatch", numbersMismatch, -0.8))
+      Feat("person_name_jaro_winkler", personNameJaroWinkler, 1.4))
     val intercept: Double = -2.4
     def compute(scores: Map[String, Double]): Double = {
       val z = intercept + features

@@ -38,7 +38,11 @@ object EntityMatch {
       countries = byType(Ftm.T.Country),
       identifiers = byType(Ftm.T.Identifier),
       addresses = byType(Ftm.T.Address) ++ refAddresses,
-      addressEntityIds = props.getOrElse("addressEntity", Nil))
+      addressEntityIds = props.getOrElse("addressEntity", Nil),
+      firstNames = props.getOrElse("firstName", Nil),
+      phones = byType(Ftm.T.Phone),
+      emails = byType(Ftm.T.Email),
+      birthPlaces = props.getOrElse("birthPlace", Nil))
   }
 
   private val viewUdf = udf(
@@ -64,11 +68,13 @@ object EntityMatch {
           col("ref_addresses")).as("view"))
   }
 
-  private def rowToView(r: Row): EntityView = EntityView(
+  private[matching] def rowToView(r: Row): EntityView = EntityView(
     r.getString(0), r.getString(1),
     r.getSeq[String](2), r.getSeq[String](3), r.getSeq[String](4),
     r.getSeq[String](5), r.getSeq[String](6), r.getSeq[String](7),
-    r.getSeq[String](8), r.getSeq[String](9), r.getSeq[String](10))
+    r.getSeq[String](8), r.getSeq[String](9), r.getSeq[String](10),
+    r.getSeq[String](11), r.getSeq[String](12), r.getSeq[String](13),
+    r.getSeq[String](14))
 
   /** Candidate pairs (`lid`, `rid`, …) × views → one score column per
     * algorithm in [[Algorithms.registry]].

@@ -18,7 +18,11 @@ final case class EntityView(
     countries: Seq[String],
     identifiers: Seq[String],
     addresses: Seq[String],
-    addressEntityIds: Seq[String]) {
+    addressEntityIds: Seq[String],
+    firstNames: Seq[String] = Nil,
+    phones: Seq[String] = Nil,
+    emails: Seq[String] = Nil,
+    birthPlaces: Seq[String] = Nil) {
   def isA(ancestor: String): Boolean = Ftm.ancestors(schema).contains(ancestor)
 }
 
@@ -531,6 +535,100 @@ object Features {
 
   /** Weak identifiers: any cleaned overlap (`erun/identifiers.py:58-72`). */
   val weakIdentifierMatch: Feature = identifierMatch
+
+  // -------------------------------------------- regression_v1 variants
+
+  private def fingerprinted(vs: Seq[String]): Set[String] =
+    vs.flatMap(TextNorm.fingerprintName).map(_.take(128)).toSet
+
+  /** Best fingerprinted-name edit fraction
+    * (`regression_v1/names.py:21-26`).
+    */
+  val nameLevenshteinR: Feature = (q, r) =>
+    maxInSets(fingerprinted(q.names), fingerprinted(r.names), compareLev)
+
+  /** Exact fingerprinted-name overlap (`regression_v1/names.py:41-45`). */
+  val nameMatchR: Feature = (q, r) =>
+    if (fingerprinted(q.names).intersect(fingerprinted(r.names)).nonEmpty)
+      1.0
+    else 0.0
+
+  /** Name word overlap over min(2, tokens)
+    * (`regression_v1/names.py:48-53`).
+    */
+  val nameTokenOverlapR: Feature = (q, r) => {
+    val lt = TextNorm.namesWordList(q.names).toSet
+    val rt = TextNorm.namesWordList(r.names).toSet
+    lt.intersect(rt).size.toDouble /
+      math.max(2.0, math.min(lt.size, rt.size).toDouble)
+  }
+
+  /** Disjoint name numbers → 1 (`regression_v1/names.py:56-59`). */
+  val nameNumbersR: Feature = (q, r) =>
+    if (disjoint(TextNorm.extractNumbers(q.names),
+      TextNorm.extractNumbers(r.names))) 1.0
+    else 0.0
+
+  /** First/given name token overlap (`regression_v1/names.py:29-32`). */
+  val firstNameMatch: Feature = (q, r) => {
+    val lt = TextNorm.namesWordList(q.firstNames).toSet
+    val rt = TextNorm.namesWordList(r.firstNames).toSet
+    if (lt.nonEmpty && lt.intersect(rt).nonEmpty) 1.0 else 0.0
+  }
+
+  /** Family name token overlap → 1 (`regression_v1/names.py:35-38`). */
+  val familyNameMatchR: Feature = (q, r) => {
+    val lt = TextNorm.namesWordList(q.lastNames).toSet
+    val rt = TextNorm.namesWordList(r.lastNames).toSet
+    if (lt.nonEmpty && lt.intersect(rt).nonEmpty) 1.0 else 0.0
+  }
+
+  /** Address text similarity (`regression_v1/misc.py:18-23`). */
+  val addressMatch: Feature = (q, r) =>
+    maxInSets(q.addresses.flatMap(TextNorm.cleanNameAscii).toSet,
+      r.addresses.flatMap(TextNorm.cleanNameAscii).toSet, compareLev)
+
+  /** Address numbers: common − disjoint, 0 when either side lacks
+    * numbers (`regression_v1/misc.py:26-35`).
+    */
+  val addressNumbers: Feature = (q, r) => {
+    val ln = TextNorm.extractNumbers(q.addresses)
+    val rn = TextNorm.extractNumbers(r.addresses)
+    if (ln.isEmpty || rn.isEmpty) 0.0
+    else (ln.intersect(rn).size - ln.diff(rn).size).toDouble
+  }
+
+  /** Phone / email overlaps (`regression_v1/misc.py:38-47`). */
+  val phoneMatch: Feature = (q, r) =>
+    if (q.phones.toSet.intersect(r.phones.toSet).nonEmpty) 1.0 else 0.0
+  val emailMatch: Feature = (q, r) =>
+    if (q.emails.map(_.toLowerCase).toSet
+      .intersect(r.emails.map(_.toLowerCase).toSet).nonEmpty) 1.0
+    else 0.0
+
+  /** Birth place token overlap (`regression_v1/misc.py:11-15`). */
+  val birthPlace: Feature = (q, r) => {
+    val lt = TextNorm.namesWordList(q.birthPlaces).toSet
+    val rt = TextNorm.namesWordList(r.birthPlaces).toSet
+    lt.intersect(rt).size.toDouble /
+      math.max(2.0, math.min(lt.size, rt.size).toDouble)
+  }
+
+  /** Identifier overlap split by org-ness
+    * (`regression_v1/misc.py:50-66`).
+    */
+  val identifierMatchNonOrg: Feature = (q, r) =>
+    if (hasSchema(q, r, "Organization")) 0.0 else identifierMatch(q, r)
+  val orgIdentifierMatch: Feature = (q, r) =>
+    if (!hasSchema(q, r, "Organization")) 0.0 else identifierMatch(q, r)
+
+  /** dob_matches / dob_year_matches (`compare/dates.py:24-46`). */
+  val dobMatches: Feature = dobMatch
+  val dobYearMatches: Feature = (q, r) => {
+    val qy = prefixes(q.birthDates, 4)
+    val ry = prefixes(r.birthDates, 4)
+    if (qy.intersect(ry).nonEmpty) 1.0 else 0.0
+  }
 
   // ------------------------------------------------------ OFAC scoring
 

@@ -34,11 +34,7 @@ object Training {
     }.drop("lview", "rview", "fs")
   }
 
-  private def rowToView(r: Row): EntityView = EntityView(
-    r.getString(0), r.getString(1),
-    r.getSeq[String](2), r.getSeq[String](3), r.getSeq[String](4),
-    r.getSeq[String](5), r.getSeq[String](6), r.getSeq[String](7),
-    r.getSeq[String](8), r.getSeq[String](9), r.getSeq[String](10))
+  private def rowToView(r: Row): EntityView = EntityMatch.rowToView(r)
 
   /** Digest-grouped dedup + contradiction quarantine
     * (`erun/train.py:155-216`): identical feature vectors collapse to
