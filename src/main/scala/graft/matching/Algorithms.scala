@@ -60,6 +60,7 @@ object Algorithms {
       Feat("name_metaphone_match", nameMetaphoneMatch, 0.0),
       Feat("name_soundex_match", nameSoundexMatch, 0.0),
       Feat("address_entity_match", addressEntityMatch, 0.98),
+      Feat("crypto_wallet_address", cryptoWalletAddress, 0.98),
       Feat("isin_security_match", isinSecurityMatch, 0.98),
       Feat("lei_code_match", leiCodeMatch, 0.95),
       Feat("ogrn_code_match", ogrnCodeMatch, 0.95),
@@ -86,6 +87,7 @@ object Algorithms {
     val features: Seq[Feat] = Seq(
       Feat("name_match", NameMatchV2.nameMatch, 1.0),
       Feat("address_entity_match", addressEntityMatch, 0.98),
+      Feat("crypto_wallet_address", cryptoWalletAddress, 0.98),
       Feat("isin_security_match", isinSecurityMatch, 0.98),
       Feat("lei_code_match", leiCodeMatch, 0.95),
       Feat("ogrn_code_match", ogrnCodeMatch, 0.95),

@@ -352,6 +352,14 @@ object Features {
   val npiCodeMatch: Feature = (q, r) =>
     matchFormat(q, r, graft.text.Identifiers.validNpi)
 
+  /** Same crypto wallet key, CryptoWallet-gated
+    * (`compare/identifiers.py:10-18`).
+    */
+  val cryptoWalletAddress: Feature = (q, r) =>
+    if (!hasSchema(q, r, "CryptoWallet")) 0.0
+    else if (q.identifiers.toSet.intersect(r.identifiers.toSet).nonEmpty) 1.0
+    else 0.0
+
   // --------------------------------------------------------- addresses
 
   /** Shared `addressEntity` reference — the two entities point at the

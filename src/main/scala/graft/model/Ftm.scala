@@ -91,6 +91,10 @@ object Ftm {
       caption = Seq("name"), props = Nil),
     Schema("PublicBody", Seq("Organization"), matchable = true,
       caption = Seq("name"), props = Nil),
+    Schema("CryptoWallet", Seq("Thing"), matchable = true,
+      caption = Seq("publicKey"), props = Seq(
+        Prop("publicKey", T.Identifier),
+        Prop("currency", T.StringT, matchable = false))),
     Schema("Address", Seq("Thing"), matchable = true, caption = Seq("full"),
       props = Seq(
         Prop("full", T.Address),
