@@ -10,6 +10,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: first-query cost is dominated by one-off JVM work
+    // (codegen compiler, shuffle machinery, parquet reader init), not
+    // engine throughput — absorb it before the timed loop
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // deterministic name order: per-query timings comparable across
     // rounds, and shared materializations (tf index, score table) are
     // attributed to the first query of their family

@@ -31,10 +31,14 @@ object EntityTokenizer {
   val NamePartField = "np"
   val SymbolField = "sy"
 
-  /** Reference boosts (`blocker/index.py:88-89`): name parts weigh 5×,
-    * generic words 0.5×, every other field 1×.
+  /** Reference boosts (`blocker/index.py:87-95`): full-name fingerprints
+    * 15×, phone/email/identifier 10×, name parts 5×, address 1×, generic
+    * words 0.5×, every other field 1×.
     */
-  val Boosts: Seq[(String, Double)] = Seq(NamePartField -> 5.0, WordField -> 0.5)
+  val Boosts: Seq[(String, Double)] = Seq(
+    NamePartField -> 5.0, WordField -> 0.5, "name" -> 15.0,
+    "phone" -> 10.0, "email" -> 10.0, "address" -> 1.0,
+    "identifier" -> 10.0)
 
   /** Alias-damped fields (`blocker/index.py:521`). */
   val DampFields: Seq[String] = Seq(NamePartField, SymbolField)

@@ -56,6 +56,9 @@ object Multimodal {
         least(lit(MaxFrames),
           ceil(length(col("content")).cast("double") / FrameBytes))
           .cast("int").as("n_frames"))
+      // empty content → n_frames = 0, and sequence(0, -1) counts DOWN —
+      // guard so empty docs yield no frames (like the oracle's range(0))
+      .filter(col("n_frames") > 0)
       .select(col("doc_id"), col("content"),
         explode(sequence(lit(0), col("n_frames") - 1)).as("frame_no"))
       .select(col("doc_id"), col("frame_no"),
@@ -74,6 +77,9 @@ object Multimodal {
         least(lit(MaxFrames),
           ceil(length(col("content")).cast("double") / FrameBytes))
           .cast("int").as("n_frames"))
+      // empty content → n_frames = 0, and sequence(0, -1) counts DOWN —
+      // guard so empty docs yield no frames (like the oracle's range(0))
+      .filter(col("n_frames") > 0)
       .select(col("doc_id"), col("content"),
         explode(sequence(lit(0), col("n_frames") - 1)).as("frame_no"))
       .select(col("doc_id"),

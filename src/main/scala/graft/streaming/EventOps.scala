@@ -90,8 +90,11 @@ object EventOps {
              round(sum(value), 4) AS sum_value
       FROM (
         SELECT user_id, ts_ns, value,
-               sum(brk) OVER (PARTITION BY user_id
-                              ORDER BY ts_ns, event_id) AS session_no
+               -- CAST: DuckDB window sum over INTEGER yields HUGEINT,
+               -- which the driver's pandas hash formats as float
+               CAST(sum(brk) OVER (PARTITION BY user_id
+                              ORDER BY ts_ns, event_id) AS BIGINT)
+                 AS session_no
         FROM (
           SELECT user_id, event_id, ts_ns, value,
                  CASE WHEN prev IS NULL OR ts_ns - prev > $SessionGapNs

@@ -69,9 +69,11 @@ object Xref {
     val assembled = EntityStore.assemble(stmts)
     val views = EntityMatch.views(assembled, stmts)
     val algoCol = cfg.algorithm.replace("-", "_")
+    // gate schema must be deterministic under mixed-schema clusters —
+    // reuse the assembled entity's merged FtM schema, not first()
     val meta = stmts.groupBy(col("canonical_id").as("id"))
-      .agg(collect_set(col("dataset")).as("ds"),
-        first(col("schema")).as("schema"))
+      .agg(collect_set(col("dataset")).as("ds"))
+      .join(assembled.select(col("id"), col("schema")), Seq("id"))
     val lm = meta.select(col("id").as("lid"), col("ds").as("lds"),
       col("schema").as("lschema"))
     val rm = meta.select(col("id").as("rid"), col("ds").as("rds"),

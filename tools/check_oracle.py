@@ -57,6 +57,17 @@ def main():
             print(f"FAIL {name}: oracle sql error: {e}")
             n_fail += 1
             continue
+        # dtype-family mismatch (int vs float) survives value-level canon
+        # but fails the driver's hash (e.g. DuckDB HUGEINT -> float64)
+        kinds_g = {c: got[c].dtype.kind for c in sorted(got.columns)}
+        kinds_w = {c: want[c].dtype.kind for c in sorted(want.columns)}
+        if set(kinds_g) == set(kinds_w):
+            drift = {c: (kinds_g[c], kinds_w[c]) for c in kinds_g
+                     if kinds_g[c] != kinds_w[c]}
+            if drift:
+                print(f"FAIL {name}: dtype drift {drift}")
+                n_fail += 1
+                continue
         g, w = canon(got), canon(want)
         if list(g.columns) != list(w.columns):
             print(f"FAIL {name}: columns {list(g.columns)} != {list(w.columns)}")
