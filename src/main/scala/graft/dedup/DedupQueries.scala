@@ -23,6 +23,8 @@ object DedupQueries {
   val SimhashBandBits = 10
   val SimhashMaxDist = 5
   val CosineThreshold = 0.4
+  val CharGramN = 4
+  val CharJaccardThreshold = 0.7
 
   /** Exact dedup: content-hash groupBy on part names (the `dropDuplicates`
     * / statement-id set semantics of the reference, `store/memory.py:37-39`).
@@ -86,6 +88,35 @@ object DedupQueries {
       .filter(col("jaccard") >= JaccardThreshold)
   }
 
+  /** Character n-gram Jaccard near-dup pairs: the same minhash-LSH
+    * candidate machinery as [[lshPairsQ]], but over distinct char
+    * [[CharGramN]]-grams instead of word shingles — robust to
+    * whitespace/tokenization noise that word shingles miss. Staged
+    * projections per the HOF rules; candidates only, never all pairs.
+    */
+  def ngramJaccardQ(s: SparkSession, d: String): DataFrame = {
+    val n = CharGramN
+    val grams = transform(sequence(lit(0), length(col("t")) - n),
+      i => col("t").substr(i + lit(1), lit(n)))
+    val cg = Tables.documents(s, d)
+      .select(col("doc_id"), lower(col("text")).as("t"))
+      .filter(length(col("t")) >= n)
+      .select(col("doc_id"), array_distinct(grams).as("cg"))
+      .withColumn("hs", transform(col("cg"), x => Hashing.hash60(x)))
+      .repartition(col("doc_id"))
+    val sigs = cg.select(col("doc_id"),
+      Dedup.minhashSigFromHashes(col("hs"), MinhashK).as("sig"))
+    val cand = Dedup.lshCandidates(sigs, "doc_id", Bands, RowsPerBand)
+    val a = cg.select(col("doc_id").as("a"), col("cg").as("sa"))
+    val b = cg.select(col("doc_id").as("b"), col("cg").as("sb"))
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    cand.join(a, Seq("a")).join(b, Seq("b"))
+      .select(col("a"), col("b"),
+        round(inter.cast("double") /
+          (size(col("sa")) + size(col("sb")) - inter), 4).as("jaccard"))
+      .filter(col("jaccard") >= CharJaccardThreshold)
+  }
+
   def simhashQ(s: SparkSession, d: String): DataFrame =
     Dedup.simhash(Tables.documents(s, d), "doc_id", "text", SimhashBits)
 
@@ -105,6 +136,12 @@ object DedupQueries {
     val lo = b * RowsPerBand + 1
     val hi = (b + 1) * RowsPerBand
     s"SELECT doc_id, $b AS band, array_to_string(sig[$lo:$hi], '-') AS key FROM mh"
+  }.mkString("\n      UNION ALL ")
+
+  private val charBandSelects: String = (0 until Bands).map { b =>
+    val lo = b * RowsPerBand + 1
+    val hi = (b + 1) * RowsPerBand
+    s"SELECT doc_id, $b AS band, array_to_string(sig[$lo:$hi], '-') AS key FROM cmh"
   }.mkString("\n      UNION ALL ")
 
   private val simBandSelects: String = (0 until SimhashBands).map { i =>
@@ -163,6 +200,29 @@ object DedupQueries {
     ),
     sbuckets AS (
       $simBandSelects
+    ),
+    cgrams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(length(t) - ${CharGramN - 1}),
+               i -> t[i+1:i+$CharGramN])) AS cg
+      FROM (SELECT doc_id, lower(text) AS t FROM documents)
+      WHERE length(t) >= $CharGramN
+    ),
+    chashed AS (
+      SELECT doc_id,
+             list_transform(cg, x -> ${Hashing.hash60Sql("x")}) AS hs
+      FROM cgrams
+    ),
+    cmh AS (
+      SELECT doc_id, $sigList AS sig FROM chashed
+    ),
+    cbuckets AS (
+      $charBandSelects
+    ),
+    ccand AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM cbuckets l JOIN cbuckets r
+        ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
     )
     """
 
@@ -171,7 +231,8 @@ object DedupQueries {
     "q_dedup_minhash" -> (minhashQ _),
     "q_dedup_lsh_pairs" -> (lshPairsQ _),
     "q_dedup_simhash" -> (simhashQ _),
-    "q_dedup_simhash_pairs" -> (simhashPairsQ _))
+    "q_dedup_simhash_pairs" -> (simhashPairsQ _),
+    "q_dedup_ngram_jaccard" -> (ngramJaccardQ _))
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" -> """
@@ -197,5 +258,15 @@ object DedupQueries {
                bit_count(xor(l.simhash, r.simhash)) AS hamming
         FROM sbuckets l JOIN sbuckets r
           ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)
-      WHERE hamming <= $SimhashMaxDist"""))
+      WHERE hamming <= $SimhashMaxDist"""),
+    "q_dedup_ngram_jaccard" -> (ctePrefix + s"""
+      SELECT a, b, jaccard FROM (
+        SELECT c.a, c.b,
+               round(CAST(len(list_intersect(ga.cg, gb.cg)) AS DOUBLE)
+                 / (len(ga.cg) + len(gb.cg) - len(list_intersect(ga.cg, gb.cg))),
+                 4) AS jaccard
+        FROM ccand c
+        JOIN cgrams ga ON c.a = ga.doc_id
+        JOIN cgrams gb ON c.b = gb.doc_id)
+      WHERE jaccard >= $CharJaccardThreshold"""))
 }

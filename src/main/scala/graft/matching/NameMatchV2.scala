@@ -1,5 +1,6 @@
 package graft.matching
 
+import graft.model.Ftm
 import graft.text.{Levenshtein, TextNorm}
 
 /** Partial port of the logic-v2 name matcher
@@ -8,7 +9,9 @@ import graft.text.{Levenshtein, TextNorm}
   * the reference's category scores/weights (`names/magic.py:8-45`),
   * greedy residual token alignment with per-part weights (extra query
   * parts 0.8, extra result parts 0.2, stopword damping, family-name
-  * boost 1.3), and the number-mismatch penalty for non-person names.
+  * boost 1.3), name consolidation, schema type-tag routing (PER/ORG
+  * alignment, OBJ whole-string strict levenshtein with the asymmetric
+  * number-mismatch penalty, UNK scores 0).
   *
   * NOT ported (SURVEY §7.4 risk 1): rigour's full symbol lexicon
   * (nicknames, initials, domain/location terms) and script-aware
@@ -44,11 +47,35 @@ object NameMatchV2 {
 
   private def isNumeric(t: String): Boolean = t.nonEmpty && t.forall(_.isDigit)
 
-  /** Strict fuzzy score for a part pair (`logic_v2/names/distance.py`
-    * shape): bounded levenshtein similarity, zero below the cutoff.
+  /** True when a string carries logographic/syllabic CJK content —
+    * edit distance is not a meaningful similarity there (one character
+    * = one morpheme), and the reference scores such pairs 0 unless
+    * equal (frozen run: 高石早苗 vs 高市早苗 → 0.0).
     */
-  private def strictSim(a: String, b: String): Double =
-    Levenshtein.similarity(a, b)
+  private def hasCjk(s: String): Boolean = s.exists { c =>
+    val sc = Character.UnicodeScript.of(c)
+    sc == Character.UnicodeScript.HAN ||
+      sc == Character.UnicodeScript.HIRAGANA ||
+      sc == Character.UnicodeScript.KATAKANA ||
+      sc == Character.UnicodeScript.HANGUL
+  }
+
+  /** Fuzzy score for a residue part pair. The reference routes residues
+    * through rigour's `compare_parts` DP (strict_levenshtein only
+    * scores object names); measured against the frozen run, the closest
+    * shape is 1 − d/shorter with an edit budget of shorter/4 capped at
+    * 4 (Sukamto~Sukarno → 0 at budget 1, FridrichBuchenberg glued →
+    * 0.944 at budget 4), and no fuzzy credit across CJK scripts.
+    */
+  private def strictSim(a: String, b: String): Double = {
+    if (a == b) return 1.0
+    if (hasCjk(a) || hasCjk(b)) return 0.0
+    val shorter = math.min(a.length, b.length)
+    val cap = math.min(4, shorter / 4)
+    if (cap < 1) return 0.0
+    val d = Levenshtein.distance(a, b)
+    if (d > cap) 0.0 else 1.0 - d.toDouble / shorter
+  }
 
   private final case class Aligned(q: Option[String], r: Option[String],
       score: Double, var weight: Double)
@@ -143,29 +170,92 @@ object NameMatchV2 {
     if (i < 0) xs else xs.take(i) ++ xs.drop(i + 1)
   }
 
-  /** The v2 `name_match` feature: literal short-circuit, best pair over
-    * the name product, object-number penalty.
+  /** Vessel-style object-name prefixes stripped before comparison
+    * (rigour `remove_obj_prefixes`): MV/MT/MS/SS/FV/MY/SY/RV with
+    * optional punctuation.
+    */
+  private val ObjPrefix =
+    "^(?:m/v|m/t|m/s|f/v|s/s|mv|mt|ms|ss|fv|my|sy|rv)[.\\s]+".r
+
+  def removeObjPrefixes(name: String): String =
+    ObjPrefix.replaceFirstIn(name, "")
+
+  /** Asymmetric numeral check (`logic_v2/names/util.py numbers_mismatch`):
+    * true when the query carries a number the result lacks.
+    */
+  private def numbersMismatch(qName: String, rName: String): Boolean = {
+    val num = "\\d+".r
+    val qNums = num.findAllIn(qName).toSet
+    val rNums = num.findAllIn(rName).toSet
+    qNums.diff(rNums).nonEmpty
+  }
+
+  /** Object-name matching (`match.py match_object_names`): whole-string
+    * strict levenshtein at max_rate 5 over prefix-stripped normalized
+    * names, with the number-mismatch penalty.
+    */
+  private def matchObjectNames(qn: Seq[String], rn: Seq[String]): Double = {
+    var best = 0.0
+    for (a0 <- qn; b0 <- rn) {
+      val a = removeObjPrefixes(a0)
+      val b = removeObjPrefixes(b0)
+      var s = Levenshtein.strictLev(a, b, maxRate = 5)
+      if (numbersMismatch(a, b)) s *= (1.0 - NumberMismatchPenalty)
+      best = math.max(best, s)
+    }
+    best
+  }
+
+  /** Drop names whose token multiset is contained in a longer name on
+    * the same side (`Name.consolidate_names`): prevents a short variant
+    * ("John Smith") from outscoring the discriminating long form
+    * ("John K Smith" vs "John R Smith").
+    */
+  def consolidateNames(names: Seq[List[String]]): Seq[List[String]] = {
+    def subMultiset(a: List[String], b: List[String]): Boolean = {
+      val bc = scala.collection.mutable.Map.empty[String, Int]
+      b.foreach(t => bc(t) = bc.getOrElse(t, 0) + 1)
+      a.forall { t =>
+        val c = bc.getOrElse(t, 0)
+        if (c > 0) { bc(t) = c - 1; true } else false
+      }
+    }
+    val sorted = names.distinct.sortBy(n => (-n.size, n.mkString(" ")))
+    sorted.foldLeft(List.empty[List[String]]) { (kept, n) =>
+      if (kept.exists(k => subMultiset(n, k))) kept else n :: kept
+    }.reverse
+  }
+
+  /** The v2 `name_match` feature (`match.py name_match`): UNK schemata
+    * score 0; OBJ goes through whole-string object matching; PER/ORG
+    * take literal short-circuit → name consolidation → best aligned
+    * pair over the name product.
     */
   val nameMatch: Features.Feature = (q, r) => {
-    val person = q.isA("Person") && r.isA("Person")
+    val tag = Ftm.nameTypeTag(Ftm.commonSchema(Seq(q.schema, r.schema)))
     val qn = q.names.flatMap(n => TextNorm.cleanNameAscii(n)).distinct
     val rn = r.names.flatMap(n => TextNorm.cleanNameAscii(n)).distinct
-    if (qn.isEmpty || rn.isEmpty) 0.0
+    if (qn.isEmpty || rn.isEmpty || tag == Ftm.UNK) 0.0
+    else if (tag == Ftm.OBJ) matchObjectNames(qn, rn)
     else if (qn.toSet.intersect(rn.toSet).nonEmpty) 1.0 // literal rescue
     else {
+      val person = tag == Ftm.PER
+      val qParts = consolidateNames(qn.map(_.split(' ').toList))
+      val rParts = consolidateNames(rn.map(_.split(' ').toList))
       var best = 0.0
-      for (a <- qn; b <- rn) {
-        best = math.max(best,
-          scoreNamePair(a.split(' ').toList, b.split(' ').toList, person))
-      }
-      // number-mismatch penalty for non-person names
-      // (`match_object_names`, nm_number_mismatch default 0.3)
-      if (!person) {
-        val qNums = TextNorm.extractNumbers(q.names)
-        val rNums = TextNorm.extractNumbers(r.names)
-        if (qNums.nonEmpty && rNums.nonEmpty &&
-          qNums.intersect(rNums).isEmpty)
-          best *= (1.0 - NumberMismatchPenalty)
+      for (a <- qParts; b <- rParts if best < 1.0) {
+        best = math.max(best, scoreNamePair(a, b, person))
+        // clustering: a single-part name vs the other side glued
+        // without spaces ("PolPot"~"Pol Pot"; rigour compare_parts
+        // merges adjacent parts into clusters)
+        if (a.size == 1 || b.size == 1)
+          best = math.max(best, strictSim(a.mkString, b.mkString))
+        // acronym (INITIAL symbol): single part spelling the other
+        // side's first letters ("PLA"~"People's Liberation Army")
+        val acro =
+          (a.size == 1 && b.size > 1 && a.head == b.map(_.head).mkString) ||
+            (b.size == 1 && a.size > 1 && b.head == a.map(_.head).mkString)
+        if (acro) best = math.max(best, InitialScore)
       }
       best
     }

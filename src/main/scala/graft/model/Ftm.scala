@@ -91,6 +91,20 @@ object Ftm {
       caption = Seq("name"), props = Nil),
     Schema("PublicBody", Seq("Organization"), matchable = true,
       caption = Seq("name"), props = Nil),
+    Schema("Vehicle", Seq("Thing"), matchable = false,
+      caption = Seq("name"), props = Seq(
+        Prop("registrationNumber", T.Identifier),
+        Prop("type", T.StringT, matchable = false))),
+    Schema("Vessel", Seq("Vehicle"), matchable = true,
+      caption = Seq("name"), props = Seq(
+        Prop("imoNumber", T.Identifier),
+        Prop("mmsi", T.Identifier),
+        Prop("callSign", T.Identifier),
+        Prop("flag", T.Country))),
+    Schema("Airplane", Seq("Vehicle"), matchable = true,
+      caption = Seq("name"), props = Seq(
+        Prop("serialNumber", T.Identifier),
+        Prop("icaoCode", T.Identifier))),
     Schema("CryptoWallet", Seq("Thing"), matchable = true,
       caption = Seq("publicKey"), props = Seq(
         Prop("publicKey", T.Identifier),
@@ -119,6 +133,25 @@ object Ftm {
         Prop("purpose", T.Text, matchable = false),
         Prop("namesMentioned", T.Name, matchable = false)))
   ).map(s => s.name -> s).toMap
+
+  /** Name-type tag for the logic-v2 name matcher (the followthemoney
+    * `schema_type_tag` classification): PER for people, ORG for legal
+    * entities, OBJ for named things (vessels, planes, wallets), UNK
+    * otherwise — UNK schemata don't get name matching at all.
+    */
+  sealed trait NameTag
+  case object PER extends NameTag
+  case object ORG extends NameTag
+  case object OBJ extends NameTag
+  case object UNK extends NameTag
+
+  def nameTypeTag(schema: String): NameTag = {
+    val anc = ancestors(schema)
+    if (anc.contains("Person")) PER
+    else if (anc.contains("LegalEntity")) ORG
+    else if (anc.contains("Vehicle") || anc.contains("CryptoWallet")) OBJ
+    else UNK
+  }
 
   /** Transitive ancestors of a schema, including itself. */
   def ancestors(name: String): Set[String] = {

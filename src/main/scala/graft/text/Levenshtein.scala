@@ -41,6 +41,43 @@ object Levenshtein {
     else 1.0 - dist.toDouble / shorter
   }
 
+  /** Plain Levenshtein (no transpositions) — the metric under the
+    * logic-v2 strict distance (`logic_v2/names/distance.py`).
+    */
+  def plainDistance(a: String, b: String): Int = {
+    val la = a.length
+    val lb = b.length
+    if (la == 0) return lb
+    if (lb == 0) return la
+    var prev = Array.tabulate(lb + 1)(identity)
+    var cur = new Array[Int](lb + 1)
+    for (i <- 1 to la) {
+      cur(0) = i
+      for (j <- 1 to lb) {
+        val cost = if (a(i - 1) == b(j - 1)) 0 else 1
+        cur(j) = math.min(math.min(prev(j) + 1, cur(j - 1) + 1),
+          prev(j - 1) + cost)
+      }
+      val t = prev; prev = cur; cur = t
+    }
+    prev(lb)
+  }
+
+  /** The logic-v2 strict similarity (`logic_v2/names/distance.py:8-20`):
+    * equality → 1; the edit budget is `max_len / maxRate` (integer
+    * division, so short strings get none); within budget the score is
+    * `(1 − d/max_len)^budget`, else 0.
+    */
+  def strictLev(a: String, b: String, maxRate: Int = 4): Double = {
+    if (a == b) return 1.0
+    val maxLen = math.max(a.length, b.length)
+    val maxEdits = maxLen / maxRate
+    if (maxEdits < 1) return 0.0
+    val d = plainDistance(a, b)
+    if (d > maxEdits) 0.0
+    else math.pow(1.0 - d.toDouble / maxLen, maxEdits.toDouble)
+  }
+
   /** Unbounded similarity over the longer length (used by orgid
     * tolerance, `matching/name_based/misc.py:82-88`).
     */

@@ -111,6 +111,23 @@ object TextAnalysis {
         array_min(col("fp")).as("min_fp"), array_max(col("fp")).as("max_fp"))
   }
 
+  /** BPE-ish pre-tokenization regex (the GPT-2 pattern family, without
+    * lookahead so Java regex and RE2 agree): contractions, space-glued
+    * letter runs, digit runs, punctuation runs.
+    */
+  val BpeTokenRe = "'[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+"
+
+  /** Token counting two ways: whitespace tokens (the cheap budget
+    * estimate) and BPE-ish regex pre-tokens (the closer-to-tokenizer
+    * count). Map-only, codegen, no UDF.
+    */
+  def tokensQ(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      size(filter(split(col("text"), "\\s+"), x => length(x) > 0))
+        .as("n_ws_tokens"),
+      size(regexp_extract_all(lower(col("text")), lit(BpeTokenRe), lit(0)))
+        .as("n_bpe_tokens"))
+
   // ---------------------------------------------------------------- oracle
 
   private val wSql =
@@ -133,7 +150,8 @@ object TextAnalysis {
     "q_text_stats" -> (statsQ _),
     "q_text_quality" -> (qualityQ _),
     "q_text_langid" -> (langIdQ _),
-    "q_text_fingerprint" -> (fingerprintQ _))
+    "q_text_fingerprint" -> (fingerprintQ _),
+    "q_text_tokens" -> (tokensQ _))
 
   val oracles: Map[String, String] = Map(
     "q_text_stats" -> s"""
@@ -173,5 +191,13 @@ object TextAnalysis {
                    g -> ${Hashing.hash60Sql("g")}) AS hs
           FROM (SELECT doc_id, $wSql AS w FROM documents)
           WHERE len(w) >= 6))
-      WHERE len(fp) > 0""")
+      WHERE len(fp) > 0""",
+    "q_text_tokens" -> s"""
+      SELECT doc_id,
+             len(list_filter(string_split_regex(text, '\\s+'),
+               x -> length(x) > 0)) AS n_ws_tokens,
+             len(regexp_extract_all(lower(text),
+               '''[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+'))
+               AS n_bpe_tokens
+      FROM documents""")
 }
