@@ -91,21 +91,34 @@ object DedupQueries {
   /** Character n-gram Jaccard near-dup pairs: the same minhash-LSH
     * candidate machinery as [[lshPairsQ]], but over distinct char
     * [[CharGramN]]-grams instead of word shingles — robust to
-    * whitespace/tokenization noise that word shingles miss. Staged
-    * projections per the HOF rules; candidates only, never all pairs.
+    * whitespace/tokenization noise that word shingles miss.
+    *
+    * Grams are packed into integers arithmetically (4 ASCII codes → one
+    * BIGINT) instead of hashed: `substring(t, i, n)` per position is
+    * O(i) on UTF8String (boundary scan from the start), so per-position
+    * slice extraction is O(len²) per document — measured 77 s at sf0.1
+    * vs ~2 s for the packed form. The char codes are materialized once
+    * per row (staged projection per the HOF rules), every gram is then
+    * four O(1) `element_at`s, and minhash permutes the packed value
+    * directly — no md5 anywhere in the pipeline.
     */
   def ngramJaccardQ(s: SparkSession, d: String): DataFrame = {
     val n = CharGramN
-    val grams = transform(sequence(lit(0), length(col("t")) - n),
-      i => col("t").substr(i + lit(1), lit(n)))
+    // one pass: char array → codes (lambda only touches its own variable)
+    val codes = transform(split(lower(col("text")), ""),
+      c => ascii(c).cast("long"))
+    val gram = transform(sequence(lit(1), size(col("cs")) - (n - 1)),
+      i => element_at(col("cs"), i) * 16777216L +
+        element_at(col("cs"), i + 1) * 65536L +
+        element_at(col("cs"), i + 2) * 256L +
+        element_at(col("cs"), i + 3))
     val cg = Tables.documents(s, d)
-      .select(col("doc_id"), lower(col("text")).as("t"))
-      .filter(length(col("t")) >= n)
-      .select(col("doc_id"), array_distinct(grams).as("cg"))
-      .withColumn("hs", transform(col("cg"), x => Hashing.hash60(x)))
+      .select(col("doc_id"), codes.as("cs"))
+      .filter(size(col("cs")) >= n)
+      .select(col("doc_id"), array_distinct(gram).as("cg"))
       .repartition(col("doc_id"))
     val sigs = cg.select(col("doc_id"),
-      Dedup.minhashSigFromHashes(col("hs"), MinhashK).as("sig"))
+      Dedup.minhashSigFromHashes(col("cg"), MinhashK).as("sig"))
     val cand = Dedup.lshCandidates(sigs, "doc_id", Bands, RowsPerBand)
     val a = cg.select(col("doc_id").as("a"), col("cg").as("sa"))
     val b = cg.select(col("doc_id").as("b"), col("cg").as("sb"))
@@ -131,6 +144,11 @@ object DedupQueries {
 
   private val sigList: String =
     (0 until MinhashK).map(permuteSql).mkString("[", ",\n          ", "]")
+
+  private val csigList: String =
+    (0 until MinhashK).map(j =>
+      "list_min(list_transform(cg, h -> " + Hashing.permuteSql("h", j) + "))")
+      .mkString("[", ",\n          ", "]")
 
   private val bandSelects: String = (0 until Bands).map { b =>
     val lo = b * RowsPerBand + 1
@@ -201,20 +219,22 @@ object DedupQueries {
     sbuckets AS (
       $simBandSelects
     ),
+    ccodes AS (
+      SELECT doc_id,
+             list_transform(string_split(lower(text), ''),
+               c -> CAST(ascii(c) AS BIGINT)) AS cs
+      FROM documents
+      WHERE length(text) >= $CharGramN
+    ),
     cgrams AS (
       SELECT doc_id,
-             list_distinct(list_transform(range(length(t) - ${CharGramN - 1}),
-               i -> t[i+1:i+$CharGramN])) AS cg
-      FROM (SELECT doc_id, lower(text) AS t FROM documents)
-      WHERE length(t) >= $CharGramN
-    ),
-    chashed AS (
-      SELECT doc_id,
-             list_transform(cg, x -> ${Hashing.hash60Sql("x")}) AS hs
-      FROM cgrams
+             list_distinct(list_transform(range(len(cs) - ${CharGramN - 1}),
+               i -> cs[i+1] * 16777216 + cs[i+2] * 65536
+                    + cs[i+3] * 256 + cs[i+4])) AS cg
+      FROM ccodes
     ),
     cmh AS (
-      SELECT doc_id, $sigList AS sig FROM chashed
+      SELECT doc_id, $csigList AS sig FROM cgrams
     ),
     cbuckets AS (
       $charBandSelects
