@@ -34,16 +34,67 @@ object NameMatchV2 {
   val InitialWeight = 0.5
 
   private def isStopword(t: String): Boolean =
-    graft.blocker.EntityTokenizer.Stopwords.contains(t)
+    graft.blocker.EntityTokenizer.Stopwords.contains(t) ||
+      ArabicParticles.contains(t)
+
+  /** Arabic name particles, damped like stopwords (rigour's Arabic
+    * cleanup): "Abd al-Aziz al-Nuristani" ~ "Abdul Aziz Nooristani".
+    */
+  private val ArabicParticles: Set[String] =
+    Set("al", "el", "bin", "bint", "abu", "ibn")
+
+  /** Generic organization words: when they match, they carry almost no
+    * evidence (frozen run: "The Sigma Group" ~ "The Cigna Group" → 0.23
+    * — the/group agree but the score collapses because the
+    * discriminating token mismatches).
+    */
+  private val GenericOrgWords: Set[String] = Set(
+    "the", "of", "and", "group", "trust", "foundation", "fund",
+    "government", "ministry", "state", "holding", "holdings",
+    "association", "institute", "society", "committee", "council",
+    "organization", "organisation", "agency", "bureau", "office")
+  val GenericOrgMatchWeight = 0.15
 
   /** Org-class symbol table: every surface form → canonical class, so
-    * "limited" pairs with "ltd" as a symbol match.
+    * "limited" pairs with "ltd" as a symbol match. Russian org-form
+    * transliterations keep their own canonical but share an alias group
+    * with the English class (OAO ~ OJSC scores as a symbol pair, not a
+    * literal one).
     */
   private val orgClass: Map[String, String] = {
     val m = graft.text.TextNorm.LegalForms
     (m.map { case (long, short) => long.replace(" ", "") -> short } ++
-      m.values.map(v => v -> v)).toMap
+      m.values.map(v => v -> v)).toMap ++
+      Map("oao" -> "oao", "zao" -> "zao", "ooo" -> "ooo", "pao" -> "pao",
+        "ao" -> "ao", "ojsc" -> "ojsc", "cjsc" -> "cjsc", "pjsc" -> "pjsc",
+        "jsc" -> "jsc")
   }
+
+  /** Org-class shorts that appear glued to the name in sloppy data
+    * ("ОООБАЗО"); longest-first so "ojsc" wins over "o…".
+    */
+  private val GluedOrgPrefixes: Seq[String] =
+    Seq("gmbh", "ojsc", "cjsc", "pjsc", "ooo", "oao", "zao", "pao")
+
+  /** Cross-language equivalence groups over canonical classes. */
+  private val classGroup: Map[String, String] = Map(
+    "oao" -> "ojsc", "zao" -> "cjsc", "ooo" -> "llc", "pao" -> "pjsc",
+    "ao" -> "jsc", "sarl" -> "sarl", "srl" -> "sarl")
+
+  private def groupOf(canon: String): String =
+    classGroup.getOrElse(canon, canon)
+
+  /** Canonical org class of a token, tolerating ≤2 edits against the
+    * long surface forms ("Aktiengeselschaft" still reads as AG).
+    */
+  private def orgClassOf(t: String): Option[String] =
+    orgClass.get(t).orElse {
+      if (t.length < 8) None
+      else orgClass.keysIterator
+        .filter(k => k.length >= 8 && math.abs(k.length - t.length) <= 2)
+        .find(k => Levenshtein.distance(t, k) <= 2)
+        .map(orgClass)
+    }
 
   private def isNumeric(t: String): Boolean = t.nonEmpty && t.forall(_.isDigit)
 
@@ -78,7 +129,7 @@ object NameMatchV2 {
   }
 
   private final case class Aligned(q: Option[String], r: Option[String],
-      score: Double, var weight: Double)
+      var score: Double, var weight: Double)
 
   /** Score one (query name, result name) pair via greedy best-first part
     * alignment with the v2 weight policy.
@@ -92,48 +143,63 @@ object NameMatchV2 {
     var rRem = rParts0
     val matches = scala.collection.mutable.ListBuffer.empty[Aligned]
     // Stage 1 — symbol pairing (magic.py): org-class tokens pair by
-    // canonical class (limited~ltd) at score 0.8 / weight 0.7, rescued
-    // to 1.0 on literal equality.
-    for (qp <- qParts0.distinct; c <- orgClass.get(qp)) {
-      rRem.find(rp => orgClass.get(rp).contains(c)).foreach { rp =>
-        if (qRem.contains(qp)) {
-          qRem = removeOne(qRem, qp)
-          rRem = removeOne(rRem, rp)
-          matches += Aligned(Some(qp), Some(rp),
-            if (qp == rp) 1.0 else OrgClassScore, OrgClassWeight)
-        }
-      }
-    }
-    // Stage 1b — initials pairing: a single-letter part matches a part
-    // starting with that letter on the other side (INITIAL category).
-    def pairInitials(): Unit = {
-      for (qp <- qRem.distinct if qp.length == 1 && qp.head.isLetter) {
-        rRem.find(rp => rp.length > 1 && rp.head == qp.head).foreach { rp =>
+    // canonical class (limited~ltd, fuzzy long forms) at 1.0 when the
+    // class is identical, 0.8 when only the cross-language alias group
+    // agrees (OAO ~ OJSC); weight 0.7 either way.
+    for (qp <- qParts0.distinct; qc <- orgClassOf(qp)) {
+      rRem.iterator.flatMap(rp => orgClassOf(rp).map(rp -> _))
+        .find { case (_, rc) => rc == qc || groupOf(rc) == groupOf(qc) }
+        .foreach { case (rp, rc) =>
           if (qRem.contains(qp)) {
             qRem = removeOne(qRem, qp)
             rRem = removeOne(rRem, rp)
-            matches += Aligned(Some(qp), Some(rp), InitialScore,
-              InitialWeight)
+            matches += Aligned(Some(qp), Some(rp),
+              if (qc == rc) 1.0 else OrgClassScore, OrgClassWeight)
+          }
+        }
+    }
+    // Stage 1b — initials pairing: a single-letter part pairs with a
+    // part starting with that letter on the other side, but carries NO
+    // positive evidence (frozen run: "V. Putin" ~ "Vladimir Putin" →
+    // 0.50 — the initial consumes both parts at score 0, full weight,
+    // rather than rewarding or double-penalizing them as extras).
+    // An initial only consumes a full part that has no exact twin
+    // waiting on the other side, and only when the initial itself can't
+    // exact-match ("Frost, William W." ~ "William W Frost" must align
+    // w~w and william~william, not w~william).
+    def pairInitials(): Unit = {
+      for (qp <- qRem.distinct
+           if qp.length == 1 && qp.head.isLetter && !rRem.contains(qp)) {
+        rRem.find(rp => rp.length > 1 && rp.head == qp.head &&
+            !qRem.contains(rp)).foreach { rp =>
+          if (qRem.contains(qp)) {
+            qRem = removeOne(qRem, qp)
+            rRem = removeOne(rRem, rp)
+            matches += Aligned(Some(qp), Some(rp), 0.0, 1.0)
           }
         }
       }
-      for (rp <- rRem.distinct if rp.length == 1 && rp.head.isLetter) {
-        qRem.find(qp => qp.length > 1 && qp.head == rp.head).foreach { qp =>
+      for (rp <- rRem.distinct
+           if rp.length == 1 && rp.head.isLetter && !qRem.contains(rp)) {
+        qRem.find(qp => qp.length > 1 && qp.head == rp.head &&
+            !rRem.contains(qp)).foreach { qp =>
           if (rRem.contains(rp)) {
             qRem = removeOne(qRem, qp)
             rRem = removeOne(rRem, rp)
-            matches += Aligned(Some(qp), Some(rp), InitialScore,
-              InitialWeight)
+            matches += Aligned(Some(qp), Some(rp), 0.0, 1.0)
           }
         }
       }
     }
     pairInitials()
-    // Stage 2 — greedy fuzzy alignment of the residue.
+    // Stage 2 — greedy fuzzy alignment of the residue. Person parts that
+    // agree on metaphone pair at 0.9 (rigour's phonetic symbol:
+    // Husayn ~ Hussein, Pol ~ Paul).
+    def residueSim(qp: String, rp: String): Double = strictSim(qp, rp)
     val cand = (for {
       qp <- qRem.distinct
       rp <- rRem.distinct
-      s = strictSim(qp, rp)
+      s = residueSim(qp, rp)
       if s > 0.0
     } yield (qp, rp, s)).sortBy(t => (-t._3, t._1, t._2))
     for ((qp, rp, s) <- cand) {
@@ -156,9 +222,27 @@ object NameMatchV2 {
       matches += Aligned(None, Some(p), 0.0, ExtraResultWeight * extraBias(p)))
     // Stage 4 — contextual weight normalisation on matched edges.
     for (m <- matches if m.q.nonEmpty && m.r.nonEmpty) {
-      if (m.q.exists(isStopword) || m.r.exists(isStopword)) m.weight *= 0.7
+      if (!person &&
+        (m.q.exists(GenericOrgWords) || m.r.exists(GenericOrgWords)))
+        m.weight = GenericOrgMatchWeight
+      else if (m.q.exists(isStopword) || m.r.exists(isStopword))
+        m.weight *= 0.7
       if (person && (m.q.exists(qFamily) || m.r.exists(rFamily)))
         m.weight *= FamilyNameWeight
+    }
+    // Two or more matched initials are strong evidence alongside a full
+    // exact part (frozen: "J.-C. Juncker" ~ "Jean-Claude Juncker" →
+    // 0.95) while a lone initial stays neutral ("V. Putin" ~
+    // "Vladimir Putin" → 0.50).
+    val initPairs = matches.filter(m => m.score == 0.0 &&
+      ((m.q.exists(_.length == 1) && m.r.exists(_.length > 1)) ||
+        (m.r.exists(_.length == 1) && m.q.exists(_.length > 1))))
+    if (initPairs.size >= 2 &&
+      matches.exists(m => m.score == 1.0 && m.q.exists(_.length > 1))) {
+      initPairs.foreach { m =>
+        m.score = InitialScore
+        m.weight = InitialWeight
+      }
     }
     val totalWeight = matches.map(_.weight).sum
     if (totalWeight <= 0.0) 0.0
@@ -206,6 +290,66 @@ object NameMatchV2 {
     best
   }
 
+  /** Number words → digit tokens (rigour's ordinal/cardinal symbols):
+    * "Brigade Forty-Four" aligns with "Brigade 44". Adjacent tens+units
+    * combine; common misspellings of the tens included.
+    */
+  private val NumberWords: Map[String, Int] = Map(
+    "zero" -> 0, "one" -> 1, "two" -> 2, "three" -> 3, "four" -> 4,
+    "five" -> 5, "six" -> 6, "seven" -> 7, "eight" -> 8, "nine" -> 9,
+    "ten" -> 10, "eleven" -> 11, "twelve" -> 12, "thirteen" -> 13,
+    "fourteen" -> 14, "fifteen" -> 15, "sixteen" -> 16,
+    "seventeen" -> 17, "eighteen" -> 18, "nineteen" -> 19,
+    "twenty" -> 20, "thirty" -> 30, "forty" -> 40, "fourty" -> 40,
+    "fifty" -> 50, "sixty" -> 60, "seventy" -> 70, "eighty" -> 80,
+    "ninety" -> 90)
+
+  private def numberizeParts(parts: List[String]): List[String] = {
+    def go(xs: List[String]): List[String] = xs match {
+      case a :: b :: rest if NumberWords.contains(a) &&
+          NumberWords(a) >= 20 && NumberWords(a) % 10 == 0 &&
+          NumberWords.get(b).exists(v => v >= 1 && v <= 9) =>
+        (NumberWords(a) + NumberWords(b)).toString :: go(rest)
+      case a :: rest if NumberWords.contains(a) =>
+        NumberWords(a).toString :: go(rest)
+      case a :: rest => a :: go(rest)
+      case Nil => Nil
+    }
+    go(parts)
+  }
+
+  /** Collapse runs of ≥2 consecutive single-letter parts into one glued
+    * token: initialisms are ordered ("C.B.A." must not multiset-match
+    * "A.B.C."), and the glued form matches its spelled-out sibling
+    * ("S.A.R.L." ~ "SARL").
+    */
+  def collapseInitialRuns(parts: List[String]): List[String] = {
+    def go(xs: List[String]): List[String] = {
+      val (run, rest) = xs.span(p => p.length == 1 && p.head.isLetter)
+      if (run.size >= 2) run.mkString :: goTail(rest)
+      else if (run.size == 1) run.head :: goTail(rest)
+      else goTail(rest)
+    }
+    def goTail(xs: List[String]): List[String] = xs match {
+      case Nil => Nil
+      case h :: t if h.length == 1 && h.head.isLetter => go(xs)
+      case h :: t => h :: go(t)
+    }
+    go(parts)
+  }
+
+  /** Merge adjacent parts whose glued form appears verbatim on the other
+    * side (rigour `compare_parts` cluster merging): "Good Will" aligns
+    * with "Goodwill", "Patr ushev" with "Patrushev".
+    */
+  def mergeAdjacent(parts: List[String], other: Set[String]): List[String] =
+    parts match {
+      case a :: b :: rest if other.contains(a + b) =>
+        (a + b) :: mergeAdjacent(rest, other)
+      case h :: t => h :: mergeAdjacent(t, other)
+      case Nil => Nil
+    }
+
   /** Drop names whose token multiset is contained in a longer name on
     * the same side (`Name.consolidate_names`): prevents a short variant
     * ("John Smith") from outscoring the discriminating long form
@@ -233,28 +377,54 @@ object NameMatchV2 {
     */
   val nameMatch: Features.Feature = (q, r) => {
     val tag = Ftm.nameTypeTag(Ftm.commonSchema(Seq(q.schema, r.schema)))
-    val qn = q.names.flatMap(n => TextNorm.cleanNameAscii(n)).distinct
-    val rn = r.names.flatMap(n => TextNorm.cleanNameAscii(n)).distinct
+    // fingerprint normalization: ascii fold + romanization + person
+    // prefixes + legal-form replacement ("Gesellschaft mit beschränkter
+    // Haftung" → "gmbh"), per rigour's org-type normalization
+    val qn = q.names.flatMap(n => TextNorm.fingerprintName(n)).distinct
+    val rn = r.names.flatMap(n => TextNorm.fingerprintName(n)).distinct
     if (qn.isEmpty || rn.isEmpty || tag == Ftm.UNK) 0.0
     else if (tag == Ftm.OBJ) matchObjectNames(qn, rn)
     else if (qn.toSet.intersect(rn.toSet).nonEmpty) 1.0 // literal rescue
     else {
       val person = tag == Ftm.PER
-      val qParts = consolidateNames(qn.map(_.split(' ').toList))
-      val rParts = consolidateNames(rn.map(_.split(' ').toList))
+      // glued org-class prefixes split off ("ОООБАЗО" → ooo + bazo)
+      def splitOrgPrefix(p: String): List[String] =
+        GluedOrgPrefixes.find(k =>
+          p.length >= k.length + 2 && p.startsWith(k)) match {
+          case Some(k) => List(k, p.drop(k.length))
+          case None => List(p)
+        }
+      def prep(names: Seq[String]): Seq[List[String]] =
+        consolidateNames(names.map { n =>
+          val parts = numberizeParts(n.split(' ').toList)
+          // initialism runs stay ordered for orgs; person initials pair
+          // individually in scoreNamePair's INITIAL stage
+          if (person) parts
+          else collapseInitialRuns(parts).flatMap(splitOrgPrefix)
+        })
+      val qParts = prep(qn)
+      val rParts = prep(rn)
       var best = 0.0
-      for (a <- qParts; b <- rParts if best < 1.0) {
+      for (a0 <- qParts; b0 <- rParts if best < 1.0) {
+        // cluster merging: glue adjacent parts that appear glued on the
+        // other side ("Good Will" ~ "Goodwill", "Patr ushev" ~
+        // "Patrushev")
+        val a = mergeAdjacent(a0, b0.toSet)
+        val b = mergeAdjacent(b0, a.toSet)
         best = math.max(best, scoreNamePair(a, b, person))
         // clustering: a single-part name vs the other side glued
         // without spaces ("PolPot"~"Pol Pot"; rigour compare_parts
         // merges adjacent parts into clusters)
         if (a.size == 1 || b.size == 1)
           best = math.max(best, strictSim(a.mkString, b.mkString))
-        // acronym (INITIAL symbol): single part spelling the other
-        // side's first letters ("PLA"~"People's Liberation Army")
-        val acro =
-          (a.size == 1 && b.size > 1 && a.head == b.map(_.head).mkString) ||
-            (b.size == 1 && a.size > 1 && b.head == a.map(_.head).mkString)
+        // acronym (INITIAL symbol): any part spelling the other side's
+        // first letters ("PLA"~"People's Liberation Army", also with
+        // trailing extra parts like "PLA China")
+        val aInit = a.filter(_.length > 1).map(_.head).mkString
+        val bInit = b.filter(_.length > 1).map(_.head).mkString
+        val acro = // ≥3 letters: 2-letter "initials" collide (BD ~ BP)
+          (bInit.length >= 3 && a.exists(p => p.length >= 3 && p == bInit)) ||
+            (aInit.length >= 3 && b.exists(p => p.length >= 3 && p == aInit))
         if (acro) best = math.max(best, InitialScore)
       }
       best

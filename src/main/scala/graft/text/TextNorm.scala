@@ -29,16 +29,120 @@ object TextNorm {
     'э' -> "e", 'ю' -> "yu", 'я' -> "ya",
     'і' -> "i", 'ї' -> "yi", 'є' -> "ye", 'ґ' -> "g")
 
-  /** Lowercase + latin accent fold + cyrillic romanization. */
+  /** Greek → Latin (ELOT-style, lowercase input). */
+  private val greekMap: Map[Char, String] = Map(
+    'α' -> "a", 'β' -> "v", 'γ' -> "g", 'δ' -> "d", 'ε' -> "e",
+    'ζ' -> "z", 'η' -> "i", 'θ' -> "th", 'ι' -> "i", 'κ' -> "k",
+    'λ' -> "l", 'μ' -> "m", 'ν' -> "n", 'ξ' -> "x", 'ο' -> "o",
+    'π' -> "p", 'ρ' -> "r", 'σ' -> "s", 'ς' -> "s", 'τ' -> "t",
+    'υ' -> "y", 'φ' -> "f", 'χ' -> "ch", 'ψ' -> "ps", 'ω' -> "o",
+    'ά' -> "a", 'έ' -> "e", 'ή' -> "i", 'ί' -> "i", 'ό' -> "o",
+    'ύ' -> "y", 'ώ' -> "o", 'ϊ' -> "i", 'ϋ' -> "y")
+
+  /** Armenian → Latin (lowercase input; simplified 1:1). */
+  private val armenianMap: Map[Char, String] = Map(
+    'ա' -> "a", 'բ' -> "b", 'գ' -> "g", 'դ' -> "d", 'ե' -> "e",
+    'զ' -> "z", 'է' -> "e", 'ը' -> "e", 'թ' -> "t", 'ժ' -> "zh",
+    'ի' -> "i", 'լ' -> "l", 'խ' -> "kh", 'ծ' -> "ts", 'կ' -> "k",
+    'հ' -> "h", 'ձ' -> "dz", 'ղ' -> "gh", 'ճ' -> "ch", 'մ' -> "m",
+    'յ' -> "y", 'ն' -> "n", 'շ' -> "sh", 'ո' -> "o", 'չ' -> "ch",
+    'պ' -> "p", 'ջ' -> "j", 'ռ' -> "r", 'ս' -> "s", 'վ' -> "v",
+    'տ' -> "t", 'ր' -> "r", 'ց' -> "ts", 'ւ' -> "", 'փ' -> "p",
+    'ք' -> "k", 'օ' -> "o", 'ֆ' -> "f", 'և' -> "ev")
+
+  /** Georgian (mkhedruli, caseless) → Latin. */
+  private val georgianMap: Map[Char, String] = Map(
+    'ა' -> "a", 'ბ' -> "b", 'გ' -> "g", 'დ' -> "d", 'ე' -> "e",
+    'ვ' -> "v", 'ზ' -> "z", 'თ' -> "t", 'ი' -> "i", 'კ' -> "k",
+    'ლ' -> "l", 'მ' -> "m", 'ნ' -> "n", 'ო' -> "o", 'პ' -> "p",
+    'ჟ' -> "zh", 'რ' -> "r", 'ს' -> "s", 'ტ' -> "t", 'უ' -> "u",
+    'ფ' -> "p", 'ქ' -> "k", 'ღ' -> "gh", 'ყ' -> "q", 'შ' -> "sh",
+    'ჩ' -> "ch", 'ც' -> "ts", 'ძ' -> "dz", 'წ' -> "ts", 'ჭ' -> "ch",
+    'ხ' -> "kh", 'ჯ' -> "j", 'ჰ' -> "h")
+
+  // Hangul syllable decomposition (U+AC00..U+D7A3) → Revised
+  // Romanization. A syllable is 0xAC00 + (initial*21 + medial)*28 + final.
+  private val hangulInitials = Array("g", "kk", "n", "d", "tt", "r", "m",
+    "b", "pp", "s", "ss", "", "j", "jj", "ch", "k", "t", "p", "h")
+  private val hangulMedials = Array("a", "ae", "ya", "yae", "eo", "e",
+    "yeo", "ye", "o", "wa", "wae", "oe", "yo", "u", "wo", "we", "wi",
+    "yu", "eu", "ui", "i")
+  private val hangulFinals = Array("", "g", "kk", "gs", "n", "nj", "nh",
+    "d", "l", "lg", "lm", "lb", "ls", "lt", "lp", "lh", "m", "b", "bs",
+    "s", "ss", "ng", "j", "ch", "k", "t", "p", "h")
+
+  private def romanizeHangul(c: Char): String = {
+    val off = c - 0xAC00
+    hangulInitials(off / (21 * 28)) + hangulMedials(off / 28 % 21) +
+      hangulFinals(off % 28)
+  }
+
+  /** Katakana → romaji (base syllables; small-kana combinations are
+    * approximated by their plain vowels, the long-vowel mark dropped —
+    * edit-distance comparators tolerate the residue).
+    */
+  private val kanaMap: Map[Char, String] = Map(
+    'ア' -> "a", 'イ' -> "i", 'ウ' -> "u", 'エ' -> "e", 'オ' -> "o",
+    'カ' -> "ka", 'キ' -> "ki", 'ク' -> "ku", 'ケ' -> "ke", 'コ' -> "ko",
+    'サ' -> "sa", 'シ' -> "shi", 'ス' -> "su", 'セ' -> "se", 'ソ' -> "so",
+    'タ' -> "ta", 'チ' -> "chi", 'ツ' -> "tsu", 'テ' -> "te", 'ト' -> "to",
+    'ナ' -> "na", 'ニ' -> "ni", 'ヌ' -> "nu", 'ネ' -> "ne", 'ノ' -> "no",
+    'ハ' -> "ha", 'ヒ' -> "hi", 'フ' -> "fu", 'ヘ' -> "he", 'ホ' -> "ho",
+    'マ' -> "ma", 'ミ' -> "mi", 'ム' -> "mu", 'メ' -> "me", 'モ' -> "mo",
+    'ヤ' -> "ya", 'ユ' -> "yu", 'ヨ' -> "yo",
+    'ラ' -> "ra", 'リ' -> "ri", 'ル' -> "ru", 'レ' -> "re", 'ロ' -> "ro",
+    'ワ' -> "wa", 'ヲ' -> "o", 'ン' -> "n",
+    'ガ' -> "ga", 'ギ' -> "gi", 'グ' -> "gu", 'ゲ' -> "ge", 'ゴ' -> "go",
+    'ザ' -> "za", 'ジ' -> "ji", 'ズ' -> "zu", 'ゼ' -> "ze", 'ゾ' -> "zo",
+    'ダ' -> "da", 'ヂ' -> "ji", 'ヅ' -> "zu", 'デ' -> "de", 'ド' -> "do",
+    'バ' -> "ba", 'ビ' -> "bi", 'ブ' -> "bu", 'ベ' -> "be", 'ボ' -> "bo",
+    'パ' -> "pa", 'ピ' -> "pi", 'プ' -> "pu", 'ペ' -> "pe", 'ポ' -> "po",
+    'ァ' -> "a", 'ィ' -> "i", 'ゥ' -> "u", 'ェ' -> "e", 'ォ' -> "o",
+    'ャ' -> "ya", 'ュ' -> "yu", 'ョ' -> "yo", 'ッ' -> "", 'ー' -> "")
+
+  private def romanizeChar(c: Char): Option[String] =
+    if (c >= 0xAC00 && c <= 0xD7A3) Some(romanizeHangul(c))
+    else if (c >= 'ぁ' && c <= 'ゖ') // hiragana → same table via offset
+      kanaMap.get((c + 0x60).toChar)
+    else greekMap.get(c).orElse(armenianMap.get(c))
+      .orElse(georgianMap.get(c)).orElse(kanaMap.get(c))
+
+  /** Lowercase + latin accent fold + script romanization (cyrillic,
+    * greek, armenian, georgian, hangul, kana) — the pragmatic subset of
+    * rigour's script handling the fixtures and name-bench need. Han
+    * stays unromanized (pinyin needs a dictionary, not a table).
+    */
+  /** Generic diacritic strip for any Latin letter the explicit map
+    * misses (ă, ș, ț, ą, ř, ő …): NFD-decompose and drop combining
+    * marks. Returns None when decomposition changes nothing.
+    */
+  private def stripDiacritics(c: Char): Option[String] = {
+    val d = java.text.Normalizer.normalize(c.toString,
+      java.text.Normalizer.Form.NFD)
+      .filterNot(ch => Character.getType(ch) == Character.NON_SPACING_MARK)
+    if (d == c.toString) None else Some(d)
+  }
+
   def foldAscii(s: String): String =
     s.toLowerCase.flatMap(c =>
-      accentMap.getOrElse(c, cyrillicMap.getOrElse(c, c.toString)))
+      if (c < 128) c.toString
+      else accentMap.getOrElse(c, cyrillicMap.getOrElse(c,
+        romanizeChar(c)
+          .orElse(stripDiacritics(c))
+          .getOrElse(c.toString))))
+
+  /** Apostrophe-family characters are deleted, not spaced: "Qa'ida" is
+    * one token ("qaida"), "People's" is "peoples" (rigour's cleanup does
+    * the same — splitting on the apostrophe makes possessive-s and
+    * glottal-stop marks spurious tokens).
+    */
+  private val Apostrophes: Set[Char] = Set('\'', '’', '‘', 'ʻ', 'ʼ', '`', '´')
 
   /** Light cleanup (`clean_name_light`): lowercase, squash whitespace,
     * keep letters/digits/spaces.
     */
   def cleanNameLight(s: String): Option[String] = {
-    val out = s.toLowerCase.map(c =>
+    val out = s.toLowerCase.filterNot(Apostrophes).map(c =>
       if (c.isLetterOrDigit) c else ' ').replaceAll("\\s+", " ").trim
     if (out.isEmpty) None else Some(out)
   }
@@ -80,7 +184,13 @@ object TextNorm {
     "limited liability company" -> "llc",
     "kommanditgesellschaft" -> "kg", "offene handelsgesellschaft" -> "ohg",
     "eingetragener verein" -> "ev", "e v" -> "ev",
-    "societe a responsabilite limitee" -> "sarl")
+    "societe a responsabilite limitee" -> "sarl",
+    "societatea cu raspundere limitata" -> "srl",
+    "societate cu raspundere limitata" -> "srl",
+    "open joint stock company" -> "ojsc", "joint stock company" -> "jsc",
+    "aktsionernoe obshchestvo" -> "ao",
+    "obshchestvo s ogranichennoy otvetstvennostyu" -> "ooo",
+    "international" -> "intl")
 
   private def replaceLegalForms(s: String): String = {
     var out = s
