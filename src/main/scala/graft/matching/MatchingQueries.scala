@@ -51,33 +51,44 @@ object MatchingQueries {
           .as("nums"))
   }
 
+  private def lrAnalysis(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val an = analysis(s, d)
+    (an.select(col("id").as("lid"), col("name").as("lname"),
+      col("fp").as("lfp"), col("toks").as("ltoks"), col("nums").as("lnums")),
+      an.select(col("id").as("rid"), col("name").as("rname"),
+        col("fp").as("rfp"), col("toks").as("rtoks"),
+        col("nums").as("rnums")))
+  }
+
+  /** The feature vector as columns over a frame carrying both sides'
+    * analysis columns (lname/lfp/ltoks/lnums + r-side).
+    */
+  private def featureSelect(pairs: DataFrame): DataFrame = {
+    val overlap = size(array_intersect(col("ltoks"), col("rtoks")))
+    pairs.select(col("lid"), col("rid"),
+      when(col("lfp") === col("rfp"), 1.0).otherwise(0.0).as("literal"),
+      (lit(1.0) - levenshtein(col("lfp"), col("rfp")) /
+        greatest(length(col("lfp")), length(col("rfp")), lit(1)))
+        .as("lev_sim"),
+      (overlap.cast("double") /
+        (size(col("ltoks")) + size(col("rtoks")) - overlap))
+        .as("tok_jaccard"),
+      jwUdf(col("lname"), col("rname")).as("jw"),
+      when(size(col("lnums")) > 0 && size(col("rnums")) > 0 &&
+        size(array_intersect(col("lnums"), col("rnums"))) === 0, 1.0)
+        .otherwise(0.0).as("num_mismatch"),
+      when(substring(col("lid"), 1, 1) =!= substring(col("rid"), 1, 1), 1.0)
+        .otherwise(0.0).as("schema_mismatch"))
+  }
+
   /** Candidate pairs (blocker top-N) joined to both analysis rows, with
     * the feature vector evaluated as columns.
     */
   def features(s: SparkSession, d: String): DataFrame = {
-    val an = analysis(s, d)
-    val la = an.select(col("id").as("lid"), col("name").as("lname"),
-      col("fp").as("lfp"), col("toks").as("ltoks"), col("nums").as("lnums"))
-    val ra = an.select(col("id").as("rid"), col("name").as("rname"),
-      col("fp").as("rfp"), col("toks").as("rtoks"), col("nums").as("rnums"))
-    val overlap = size(array_intersect(col("ltoks"), col("rtoks")))
-    BlockerQueries.pairsQ(s, d)
+    val (la, ra) = lrAnalysis(s, d)
+    featureSelect(BlockerQueries.pairsQ(s, d)
       .join(la, Seq("lid"))
-      .join(ra, Seq("rid"))
-      .select(col("lid"), col("rid"),
-        when(col("lfp") === col("rfp"), 1.0).otherwise(0.0).as("literal"),
-        (lit(1.0) - levenshtein(col("lfp"), col("rfp")) /
-          greatest(length(col("lfp")), length(col("rfp")), lit(1)))
-          .as("lev_sim"),
-        (overlap.cast("double") /
-          (size(col("ltoks")) + size(col("rtoks")) - overlap))
-          .as("tok_jaccard"),
-        jwUdf(col("lname"), col("rname")).as("jw"),
-        when(size(col("lnums")) > 0 && size(col("rnums")) > 0 &&
-          size(array_intersect(col("lnums"), col("rnums"))) === 0, 1.0)
-          .otherwise(0.0).as("num_mismatch"),
-        when(substring(col("lid"), 1, 1) =!= substring(col("rid"), 1, 1), 1.0)
-          .otherwise(0.0).as("schema_mismatch"))
+      .join(ra, Seq("rid")))
   }
 
   def featuresRounded(s: SparkSession, d: String): DataFrame =
@@ -240,6 +251,46 @@ object MatchingQueries {
       .limit(1000)
   }
 
+  /** Training-set preparation (`matching/erun/train.py:155-216`):
+    * feature vectors digest-grouped so identical samples collapse, and
+    * digests carrying both labels are quarantined entirely. Features are
+    * integer-rounded (1e-6) before hashing so the digest is stable
+    * across engines; the pseudo-label is an md5-derived bit of the pair
+    * id (deterministic stand-in for judgement labels).
+    */
+  def trainQuarantineQ(s: SparkSession, d: String): DataFrame = {
+    val (la, ra) = lrAnalysis(s, d)
+    // diverse deterministic pair sample: first-letter blocking + md5-mod
+    // subsample (the blocker's top candidates are all exact dupes — a
+    // training set needs the full similarity spectrum)
+    val pairs = la.join(ra,
+      substring(col("lname"), 1, 1) === substring(col("rname"), 1, 1) &&
+        col("lid") < col("rid"))
+      .filter(conv(substring(md5(concat(col("lid"), lit("|"), col("rid"))),
+        1, 4), 16, 10) % 97 === 0)
+    val featCols = Seq("literal", "lev_sim", "tok_jaccard", "jw",
+      "num_mismatch", "schema_mismatch")
+    // fine quantization (1e-6): unique vectors survive as singletons,
+    // duplicated vectors collapse, contradictory duplicates drop
+    val ints = featCols.map(c =>
+      floor(col(c) * 1000000 + 0.5).cast("long").as(c))
+    // pseudo-judgement: high-JW pairs are "same" with a deterministic
+    // 1/16 label-noise slice — identical vectors with contradicting
+    // judgements are exactly what the quarantine exists to drop
+    val flip = conv(substring(md5(concat(col("lid"), lit("|"), col("rid"))),
+      1, 1), 16, 10).cast("int") % 16 === 0
+    val staged = featureSelect(pairs)
+      .select((Seq(col("lid"), col("rid")) ++ ints): _*)
+      .withColumn("label",
+        ((col("jw") >= 900000) =!= flip).cast("int"))
+      .withColumn("digest", md5(concat_ws("|", featCols.map(col): _*)))
+    staged.groupBy(col("digest"))
+      .agg(min(col("label")).as("lmin"), max(col("label")).as("lmax"),
+        count(lit(1)).as("n"))
+      .filter(col("lmin") === col("lmax"))
+      .select(col("digest"), col("lmin").as("label"), col("n"))
+  }
+
   // ---------------------------------------------------------------- oracle
 
   private val featSql: String = s"""
@@ -376,6 +427,7 @@ object MatchingQueries {
     "q_match_name_based" -> (nameBasedScore _),
     "q_match_name_qualified" -> (nameQualifiedScore _),
     "q_match_ofac" -> (ofacScore _),
+    "q_train_quarantine" -> (trainQuarantineQ _),
     "q_xref_suggest" -> (xrefSuggestQ _))
 
   val oracles: Map[String, String] = Map(
@@ -411,6 +463,62 @@ object MatchingQueries {
       SELECT lid, rid,
              round(least(greatest($ofacSql, 0.0), 1.0), 6) AS score
       FROM trio"""),
+    "q_train_quarantine" -> (prefix + """
+      , tpairs AS (
+        SELECT la.id AS lid, ra.id AS rid, la.name AS lname,
+               ra.name AS rname, la.fp AS lfp, ra.fp AS rfp,
+               la.toks AS ltoks, ra.toks AS rtoks,
+               la.nums AS lnums, ra.nums AS rnums
+        FROM analysis la JOIN analysis ra
+          ON substr(la.name, 1, 1) = substr(ra.name, 1, 1)
+             AND la.id < ra.id
+        WHERE CAST(('0x' || substr(md5(la.id || '|' || ra.id), 1, 4))
+                AS BIGINT) % 97 = 0
+      ),
+      tfeat AS (
+        SELECT lid, rid,
+          CASE WHEN lfp = rfp THEN 1.0 ELSE 0.0 END AS literal,
+          1.0 - CAST(levenshtein(lfp, rfp) AS DOUBLE)
+                / greatest(length(lfp), length(rfp), 1) AS lev_sim,
+          CAST(len(list_intersect(ltoks, rtoks)) AS DOUBLE)
+            / (len(ltoks) + len(rtoks)
+               - len(list_intersect(ltoks, rtoks))) AS tok_jaccard,
+          jaro_winkler_similarity(lname, rname) AS jw,
+          CASE WHEN len(lnums) > 0 AND len(rnums) > 0
+                AND len(list_intersect(lnums, rnums)) = 0
+               THEN 1.0 ELSE 0.0 END AS num_mismatch,
+          CASE WHEN substr(lid, 1, 1) <> substr(rid, 1, 1)
+               THEN 1.0 ELSE 0.0 END AS schema_mismatch
+        FROM tpairs
+      ),
+      ints AS (
+        SELECT lid, rid,
+          CAST(floor(literal * 1000000 + 0.5) AS BIGINT) AS literal,
+          CAST(floor(lev_sim * 1000000 + 0.5) AS BIGINT) AS lev_sim,
+          CAST(floor(tok_jaccard * 1000000 + 0.5) AS BIGINT) AS tok_jaccard,
+          CAST(floor(jw * 1000000 + 0.5) AS BIGINT) AS jw,
+          CAST(floor(num_mismatch * 1000000 + 0.5) AS BIGINT)
+            AS num_mismatch,
+          CAST(floor(schema_mismatch * 1000000 + 0.5) AS BIGINT)
+            AS schema_mismatch
+        FROM tfeat
+      ),
+      labeled AS (
+        SELECT md5(CAST(literal AS VARCHAR) || '|'
+                 || CAST(lev_sim AS VARCHAR) || '|'
+                 || CAST(tok_jaccard AS VARCHAR) || '|'
+                 || CAST(jw AS VARCHAR) || '|'
+                 || CAST(num_mismatch AS VARCHAR) || '|'
+                 || CAST(schema_mismatch AS VARCHAR)) AS digest,
+               CAST((jw >= 900000) <>
+                 (CAST(('0x' || substr(md5(lid || '|' || rid), 1, 1))
+                    AS INT) % 16 = 0) AS INT) AS label
+        FROM ints
+      )
+      SELECT digest, CAST(min(label) AS INT) AS label,
+             CAST(count(*) AS BIGINT) AS n
+      FROM labeled GROUP BY digest
+      HAVING min(label) = max(label)"""),
     "q_xref_suggest" -> (prefix + """
       , logic AS (
         SELECT lid, rid,

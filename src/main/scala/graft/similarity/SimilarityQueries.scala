@@ -69,6 +69,46 @@ object SimilarityQueries {
       .filter(col("cosine") >= NearThreshold)
   }
 
+  // IVF: every ~37th vector is a deterministic "centroid"; C ≈ n/37 at
+  // test SF but would be ~sqrt(n) k-means centroids in production — the
+  // plumbing (assign, probe, per-cluster search) is identical.
+  val CentroidMod = 37
+  val NProbe = 2
+
+  /** IVF (inverted-file) ANN: assign every vector to its nearest
+    * centroid (n×C broadcast product — the IVF scale story: C ≪ n, so
+    * assignment is linear and the corpus never self-joins), then each
+    * query probes its [[NProbe]] nearest centroid lists and ranks only
+    * those vectors. Complements [[annLsh]]: LSH buckets are oblivious,
+    * IVF lists adapt to the data's cluster structure.
+    */
+  def ivfTopK(s: SparkSession, d: String): DataFrame = {
+    val p = Similarity.prepared(s, d)
+    val cent = broadcast(p.filter(col("vec_id") % CentroidMod === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"),
+        col("nrm").as("cnrm")))
+    val asg = p.crossJoin(cent)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
+        (Similarity.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+          .as("csim"))
+    val wA = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cid").asc)
+    val ranked = asg.withColumn("arn", row_number().over(wA))
+    val assigned = ranked.filter(col("arn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
+    val probes = broadcast(ranked.filter(isQuery && col("arn") <= NProbe)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("cid")))
+    val scored = assigned.join(probes, Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(Similarity.dot(col("qv"), col("v")) /
+          (col("qnrm") * col("nrm")), 5).as("cosine"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= TopK)
+  }
+
   /** LSH-bucketed ANN: join query and corpus on hyperplane bucket, then
     * rank within bucket — the scale path (no all-pairs scan).
     */
@@ -137,7 +177,8 @@ object SimilarityQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_cosine_topk" -> (cosineTopK _),
     "q_sim_embed_near" -> (embedNearPairs _),
-    "q_sim_ann_lsh" -> (annLsh _))
+    "q_sim_ann_lsh" -> (annLsh _),
+    "q_sim_ivf" -> (ivfTopK _))
 
   val oracles: Map[String, String] = Map(
     "q_sim_cosine_topk" -> (ctePrefix + s"""
@@ -162,6 +203,39 @@ object SimilarityQueries {
         JOIN normed x ON c.a = x.vec_id
         JOIN normed y ON c.b = y.vec_id)
       WHERE cosine >= $NearThreshold"""),
+    "q_sim_ivf" -> (ctePrefix + s"""
+      , cents AS (
+        SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM normed
+        WHERE vec_id % $CentroidMod = 0
+      ),
+      asg AS (
+        SELECT n.vec_id, n.v, n.nrm, c.cid,
+               list_sum(list_transform(list_zip(n.v, c.cv),
+                 s -> s[1] * s[2])) / (n.nrm * c.cnrm) AS csim,
+               row_number() OVER (PARTITION BY n.vec_id
+                 ORDER BY list_sum(list_transform(list_zip(n.v, c.cv),
+                   s -> s[1] * s[2])) / (n.nrm * c.cnrm) DESC,
+                   c.cid ASC) AS arn
+        FROM normed n, cents c
+      ),
+      assigned AS (
+        SELECT vec_id, v, nrm, cid FROM asg WHERE arn = 1
+      ),
+      probes AS (
+        SELECT vec_id AS qid, v AS qv, nrm AS qnrm, cid FROM asg
+        WHERE vec_id % $QueryMod = 0 AND arn <= $NProbe
+      )
+      SELECT qid, vec_id, cosine, rn FROM (
+        SELECT p.qid, a.vec_id,
+               round(list_sum(list_transform(list_zip(p.qv, a.v),
+                 s -> s[1] * s[2])) / (p.qnrm * a.nrm), 5) AS cosine,
+               row_number() OVER (PARTITION BY p.qid
+                 ORDER BY round(list_sum(list_transform(list_zip(p.qv, a.v),
+                   s -> s[1] * s[2])) / (p.qnrm * a.nrm), 5) DESC,
+                   a.vec_id ASC) AS rn
+        FROM assigned a JOIN probes p ON a.cid = p.cid
+        WHERE a.vec_id <> p.qid)
+      WHERE rn <= $TopK"""),
     "q_sim_ann_lsh" -> (ctePrefix + s"""
       SELECT qid, vec_id, cosine, rn FROM (
         SELECT q.vec_id AS qid, c.vec_id,

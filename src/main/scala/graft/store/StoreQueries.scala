@@ -121,13 +121,57 @@ object StoreQueries {
     SELECT sid AS id, 'in' AS dir, prop, entity_id AS other
     FROM refs JOIN subjects ON refs.value = subjects.sid"""
 
+  /** Versioned-store ADD/MOD/DEL delta (`store/versioned.py:62-153`,
+    * `delta.py:1-4`) over two simulated snapshots of the statement
+    * corpus: the "from" version is missing every 7th entity (→ ADD in
+    * "to") and lacks the Part `type` field for every 5th part (→ MOD).
+    * Only per-entity digests join — content never ships.
+    */
+  def deltaQ(s: SparkSession, d: String): DataFrame = {
+    val all = StarStatements(s, d)
+      .withColumn("num", split(col("id"), ":").getItem(1).cast("long"))
+    val from = all.filter(col("num") % 7 =!= 0)
+      .filter(!(col("field") === "type" && col("num") % 5 === 0))
+    VersionedStore.deltaOps(
+      VersionedStore.contentDigests(from),
+      VersionedStore.contentDigests(all), "id")
+  }
+
+  val deltaSql: String = s"""
+    WITH ${StarStatements.sql.trim},
+    numbered AS (
+      SELECT id, field, value,
+             CAST(split_part(id, ':', 2) AS BIGINT) AS num
+      FROM stmts
+    ),
+    d_to AS (
+      SELECT id, md5(array_to_string(list_sort(list(field || '=' || value)),
+               '|')) AS d_to
+      FROM numbered GROUP BY id
+    ),
+    d_from AS (
+      SELECT id, md5(array_to_string(list_sort(list(field || '=' || value)),
+               '|')) AS d_from
+      FROM numbered
+      WHERE num % 7 <> 0 AND NOT (field = 'type' AND num % 5 = 0)
+      GROUP BY id
+    )
+    SELECT COALESCE(f.id, t.id) AS id,
+           CASE WHEN f.id IS NULL THEN 'ADD'
+                WHEN t.id IS NULL THEN 'DEL'
+                ELSE 'MOD' END AS op
+    FROM d_from f FULL OUTER JOIN d_to t ON f.id = t.id
+    WHERE f.id IS NULL OR t.id IS NULL OR f.d_from <> t.d_to"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_store_assemble" -> (assembleQ _),
     "q_store_entity_by_id" -> (entityByIdQ _),
-    "q_store_adjacency" -> (adjacencyQ _))
+    "q_store_adjacency" -> (adjacencyQ _),
+    "q_store_delta" -> (deltaQ _))
 
   val oracles: Map[String, String] = Map(
     "q_store_assemble" -> assembleSql,
     "q_store_entity_by_id" -> entityByIdSql,
-    "q_store_adjacency" -> adjacencySql)
+    "q_store_adjacency" -> adjacencySql,
+    "q_store_delta" -> deltaSql)
 }

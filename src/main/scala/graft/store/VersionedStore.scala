@@ -83,14 +83,33 @@ final class VersionedStore(base: String) {
         .groupBy(col("canonical_id"))
         .agg(md5(concat_ws("|", array_sort(collect_list(col("id")))))
           .as("digest"))
-    val a = digests(fromV).withColumnRenamed("digest", "d_from")
-    val b = digests(toV).withColumnRenamed("digest", "d_to")
-    a.join(b, Seq("canonical_id"), "full_outer")
-      .select(col("canonical_id"),
+    VersionedStore.deltaOps(
+      digests(fromV), digests(toV), "canonical_id")
+  }
+}
+
+object VersionedStore {
+
+  /** Digest-compare two per-entity digest frames (id, digest) into the
+    * ADD/MOD/DEL feed — one full outer join, no content ships, only
+    * digests (the scale property: the change feed between two 100 TB
+    * snapshots moves two slim digest tables).
+    */
+  def deltaOps(from: DataFrame, to: DataFrame, idCol: String): DataFrame = {
+    val a = from.withColumnRenamed("digest", "d_from")
+    val b = to.withColumnRenamed("digest", "d_to")
+    a.join(b, Seq(idCol), "full_outer")
+      .select(col(idCol),
         when(col("d_from").isNull, "ADD")
           .when(col("d_to").isNull, "DEL")
           .when(col("d_from") =!= col("d_to"), "MOD")
           .otherwise("SAME").as("op"))
       .filter(col("op") =!= "SAME")
   }
+
+  /** Per-entity content digest of a statement frame (id, field, value). */
+  def contentDigests(stmts: DataFrame): DataFrame =
+    stmts.groupBy(col("id"))
+      .agg(md5(concat_ws("|", array_sort(collect_list(
+        concat(col("field"), lit("="), col("value")))))).as("digest"))
 }
