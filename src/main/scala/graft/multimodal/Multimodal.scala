@@ -89,6 +89,70 @@ object Multimodal {
       .agg(count(lit(1)).as("n_frames"),
         round(avg(col("f")), 6).as("mean_feature"))
 
+  /** One sampled frame of a media document (decoder input row). */
+  final case class MediaFrame(doc_id: Long, frame_no: Int, frame: Array[Byte])
+
+  /** Decoded per-frame features (decoder output row). */
+  final case class FrameFeature(doc_id: Long, frame_no: Int, width: Int,
+      height: Int, feature: Array[Float])
+
+  /** Typed frame rows for the decoder stage. */
+  def frameDataset(s: SparkSession, d: String)
+      : org.apache.spark.sql.Dataset[MediaFrame] = {
+    import s.implicits._
+    media(s, d)
+      .select(col("doc_id"), col("content"),
+        least(lit(MaxFrames),
+          ceil(length(col("content")).cast("double") / FrameBytes))
+          .cast("int").as("n_frames"))
+      .filter(col("n_frames") > 0)
+      .select(col("doc_id"), col("content"),
+        explode(sequence(lit(0), col("n_frames") - 1)).as("frame_no"))
+      .select(col("doc_id"), col("frame_no"),
+        substring(col("content"), col("frame_no") * FrameBytes + 1,
+          lit(FrameBytes)).as("frame"))
+      .as[MediaFrame]
+  }
+
+  /** Partition-batched decode stage — the Scala/Arrow analogue of a
+    * `mapInPandas` decoder: rows stream through `mapPartitions`, the
+    * decoder consumes them in fixed-size batches (the shape a vectorized
+    * image/audio library or JNI binding wants), and emits typed feature
+    * rows. THE DECODE ITSELF IS A STUB (`decodeBatch` derives
+    * width/height/features deterministically from the bytes — no media
+    * codecs exist in this environment); everything around it — the typed
+    * row schema, the per-partition batching, the 1:1 frame→feature
+    * contract, the downstream pooling — is the production plan shape:
+    * map-only, no shuffle, codegen on both sides of the stage.
+    */
+  def decodeFrames(frames: org.apache.spark.sql.Dataset[MediaFrame],
+      batchSize: Int = 64): org.apache.spark.sql.Dataset[FrameFeature] = {
+    import frames.sparkSession.implicits._
+    frames.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // vectorized decoder call-site: one invocation per batch
+        decodeBatch(batch)
+      }
+    }
+  }
+
+  /** STUB vectorized decoder: one call per batch, deterministic
+    * pseudo-decode per frame (replace with the real codec binding).
+    */
+  private def decodeBatch(batch: Seq[MediaFrame]): Seq[FrameFeature] =
+    batch.map { f =>
+      val n = f.frame.length
+      val w = math.max(1, n / 16)
+      val h = math.max(1, n / w)
+      val feat = Array.tabulate(4) { i =>
+        var acc = 0L
+        var j = i
+        while (j < n) { acc += (f.frame(j) & 0xff); j += 4 }
+        (acc % 997).toFloat / 997f
+      }
+      FrameFeature(f.doc_id, f.frame_no, w, h, feat)
+    }
+
   // ---------------------------------------------------------------- oracle
 
   // The oracle mirrors the byte math on VARCHAR: the corpus is verified
