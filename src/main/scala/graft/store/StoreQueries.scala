@@ -163,15 +163,48 @@ object StoreQueries {
     FROM d_from f FULL OUTER JOIN d_to t ON f.id = t.id
     WHERE f.id IS NULL OR t.id IS NULL OR f.d_from <> t.d_to"""
 
+  /** Pack/unpack round-trip (`store/util.py:7-47` wire form, applied to
+    * the star statement projection): statements → compact JSON tuple →
+    * parsed back, emitted alongside the packed string so the oracle
+    * hash-compare proves both directions byte-for-byte.
+    */
+  def packQ(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val packed = StarStatements(s, d)
+      .select(col("id"),
+        to_json(array(col("schema"), col("field"), col("value")))
+          .as("packed"))
+    packed
+      .select(col("id"), col("packed"),
+        from_json(col("packed"), ArrayType(StringType)).as("a"))
+      .select(col("id"), col("packed"),
+        col("a")(0).as("r_schema"), col("a")(1).as("r_field"),
+        col("a")(2).as("r_value"))
+  }
+
+  val packSql: String = s"""
+    WITH ${StarStatements.sql.trim},
+    packed AS (
+      SELECT id, CAST(to_json([schema, field, value]) AS VARCHAR) AS packed
+      FROM stmts
+    )
+    SELECT id, packed,
+           json_extract_string(packed, '$$[0]') AS r_schema,
+           json_extract_string(packed, '$$[1]') AS r_field,
+           json_extract_string(packed, '$$[2]') AS r_value
+    FROM packed"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_store_assemble" -> (assembleQ _),
     "q_store_entity_by_id" -> (entityByIdQ _),
     "q_store_adjacency" -> (adjacencyQ _),
-    "q_store_delta" -> (deltaQ _))
+    "q_store_delta" -> (deltaQ _),
+    "q_store_pack" -> (packQ _))
 
   val oracles: Map[String, String] = Map(
     "q_store_assemble" -> assembleSql,
     "q_store_entity_by_id" -> entityByIdSql,
     "q_store_adjacency" -> adjacencySql,
-    "q_store_delta" -> deltaSql)
+    "q_store_delta" -> deltaSql,
+    "q_store_pack" -> packSql)
 }
