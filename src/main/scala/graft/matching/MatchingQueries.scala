@@ -260,14 +260,25 @@ object MatchingQueries {
     */
   def trainQuarantineQ(s: SparkSession, d: String): DataFrame = {
     val (la, ra) = lrAnalysis(s, d)
-    // diverse deterministic pair sample: first-letter blocking + md5-mod
-    // subsample (the blocker's top candidates are all exact dupes — a
-    // training set needs the full similarity spectrum)
-    val pairs = la.join(ra,
-      substring(col("lname"), 1, 1) === substring(col("rname"), 1, 1) &&
-        col("lid") < col("rid"))
-      .filter(conv(substring(md5(concat(col("lid"), lit("|"), col("rid"))),
-        1, 4), 16, 10) % 97 === 0)
+    // diverse deterministic pair sample, LINEAR in the corpus: each
+    // entity pairs with 7 computed partner ids (5 same-schema offsets +
+    // 2 cross-schema) via one equi-join — a training set needs the full
+    // similarity spectrum, but never an n² self-join (the blocker's top
+    // candidates are all exact dupes; a letter-blocked join is
+    // quadratic on this corpus)
+    val base = la
+      .withColumn("num", split(col("lid"), ":").getItem(1).cast("long"))
+      .withColumn("pfx", substring(col("lid"), 1, 2))
+      .withColumn("j", explode(sequence(lit(1), lit(7))))
+    val rpfx = when(col("j") <= 5, col("pfx"))
+      .otherwise(when(col("pfx") === "c:", "s:")
+        .when(col("pfx") === "s:", "p:").otherwise("c:"))
+    val roff = when(col("j") <= 5, col("j")).otherwise(col("j") - 5)
+    val pairs = base
+      .withColumn("rid",
+        concat(rpfx, (col("num") + roff * 13).cast("string")))
+      .drop("num", "pfx", "j")
+      .join(ra, Seq("rid"))
     val featCols = Seq("literal", "lev_sim", "tok_jaccard", "jw",
       "num_mismatch", "schema_mismatch")
     // fine quantization (1e-6): unique vectors survive as singletons,
@@ -465,15 +476,20 @@ object MatchingQueries {
       FROM trio"""),
     "q_train_quarantine" -> (prefix + """
       , tpairs AS (
-        SELECT la.id AS lid, ra.id AS rid, la.name AS lname,
-               ra.name AS rname, la.fp AS lfp, ra.fp AS rfp,
-               la.toks AS ltoks, ra.toks AS rtoks,
-               la.nums AS lnums, ra.nums AS rnums
-        FROM analysis la JOIN analysis ra
-          ON substr(la.name, 1, 1) = substr(ra.name, 1, 1)
-             AND la.id < ra.id
-        WHERE CAST(('0x' || substr(md5(la.id || '|' || ra.id), 1, 4))
-                AS BIGINT) % 97 = 0
+        SELECT q.lid, q.rid, q.lname, q.lfp, q.ltoks, q.lnums,
+               ra.name AS rname, ra.fp AS rfp, ra.toks AS rtoks,
+               ra.nums AS rnums
+        FROM (
+          SELECT a.id AS lid, a.name AS lname, a.fp AS lfp,
+                 a.toks AS ltoks, a.nums AS lnums,
+                 (CASE WHEN t.j <= 5 THEN substr(a.id, 1, 2)
+                       ELSE CASE substr(a.id, 1, 2) WHEN 'c:' THEN 's:'
+                            WHEN 's:' THEN 'p:' ELSE 'c:' END END)
+                 || CAST(CAST(split_part(a.id, ':', 2) AS BIGINT)
+                      + (CASE WHEN t.j <= 5 THEN t.j ELSE t.j - 5 END) * 13
+                    AS VARCHAR) AS rid
+          FROM analysis a, unnest(range(1, 8)) t(j)
+        ) q JOIN analysis ra ON q.rid = ra.id
       ),
       tfeat AS (
         SELECT lid, rid,
