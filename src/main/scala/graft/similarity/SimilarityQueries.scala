@@ -87,16 +87,26 @@ object SimilarityQueries {
     val cent = broadcast(p.filter(col("vec_id") % CentroidMod === 0)
       .select(col("vec_id").as("cid"), col("v").as("cv"),
         col("nrm").as("cnrm")))
-    val asg = p.crossJoin(cent)
+    def withCsim(df: DataFrame): DataFrame = df.crossJoin(cent)
       .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
         (Similarity.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
           .as("csim"))
+    // assignment argmax as ONE aggregation (max over an ordered struct,
+    // ties → min cid): map-side partial combine collapses the n×C
+    // product before the shuffle — a window over n×C rows would ship
+    // the corpus C times
+    val assigned = withCsim(p)
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("csim"), (-col("cid")).as("ncid"), col("cid"),
+        col("v"), col("nrm"))).as("m"))
+      .select(col("vec_id"), col("m.v").as("v"), col("m.nrm").as("nrm"),
+        col("m.cid").as("cid"))
+    // probes: queries only — the window runs over #queries × C rows
     val wA = Window.partitionBy(col("vec_id"))
       .orderBy(col("csim").desc, col("cid").asc)
-    val ranked = asg.withColumn("arn", row_number().over(wA))
-    val assigned = ranked.filter(col("arn") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
-    val probes = broadcast(ranked.filter(isQuery && col("arn") <= NProbe)
+    val probes = broadcast(withCsim(p.filter(isQuery))
+      .withColumn("arn", row_number().over(wA))
+      .filter(col("arn") <= NProbe)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("nrm").as("qnrm"), col("cid")))
     val scored = assigned.join(probes, Seq("cid"))
