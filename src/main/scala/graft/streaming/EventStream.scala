@@ -41,6 +41,25 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup: first occurrence per event id wins, state
+    * bounded by the watermark (late duplicates beyond it age out of the
+    * dedup state instead of accumulating forever — the streaming twin
+    * of the batch content-hash dedup).
+    */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts", timestamp_micros((col("ts_ns") / 1000).cast("long")))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-static enrichment: each event joins the (broadcastable)
+    * static dimension — no streaming state at all, the planner re-reads
+    * the static side per micro-batch. The streaming twin of the
+    * enrichment candidate join (`enrich/common.py` mirror match).
+    */
+  def enrichEvents(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("user_id"), "left")
+
   /** Stateful sessionization: a session closes when a newer event
     * arrives past the gap, or (with the default processing-time
     * timeout) when the user goes quiet. Tests pass `NoTimeout` —

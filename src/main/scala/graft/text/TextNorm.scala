@@ -50,6 +50,20 @@ object TextNorm {
     'տ' -> "t", 'ր' -> "r", 'ց' -> "ts", 'ւ' -> "", 'փ' -> "p",
     'ք' -> "k", 'օ' -> "o", 'ֆ' -> "f", 'և' -> "ev")
 
+  /** Arabic → Latin (base letters; harakat vanish via the combining-
+    * mark strip, vowel ambiguity is inherent to the script — the edit
+    * budget absorbs it).
+    */
+  private val arabicMap: Map[Char, String] = Map(
+    'ا' -> "a", 'آ' -> "a", 'أ' -> "a", 'إ' -> "i", 'ء' -> "",
+    'ؤ' -> "u", 'ئ' -> "i", 'ب' -> "b", 'ت' -> "t", 'ث' -> "th",
+    'ج' -> "j", 'ح' -> "h", 'خ' -> "kh", 'د' -> "d", 'ذ' -> "dh",
+    'ر' -> "r", 'ز' -> "z", 'س' -> "s", 'ش' -> "sh", 'ص' -> "s",
+    'ض' -> "d", 'ط' -> "t", 'ظ' -> "z", 'ع' -> "", 'غ' -> "gh",
+    'ف' -> "f", 'ق' -> "q", 'ك' -> "k", 'ل' -> "l", 'م' -> "m",
+    'ن' -> "n", 'ه' -> "h", 'و' -> "w", 'ي' -> "y", 'ى' -> "a",
+    'ة' -> "a", 'پ' -> "p", 'چ' -> "ch", 'ژ' -> "zh", 'گ' -> "g")
+
   /** Georgian (mkhedruli, caseless) → Latin. */
   private val georgianMap: Map[Char, String] = Map(
     'ა' -> "a", 'ბ' -> "b", 'გ' -> "g", 'დ' -> "d", 'ე' -> "e",
@@ -106,6 +120,7 @@ object TextNorm {
       kanaMap.get((c + 0x60).toChar)
     else greekMap.get(c).orElse(armenianMap.get(c))
       .orElse(georgianMap.get(c)).orElse(kanaMap.get(c))
+      .orElse(arabicMap.get(c))
 
   /** Lowercase + latin accent fold + script romanization (cyrillic,
     * greek, armenian, georgian, hangul, kana) — the pragmatic subset of

@@ -57,4 +57,21 @@ class SimilaritySpec extends AnyFunSuite {
     val overlap = ann.intersect(brute).size.toDouble / ann.size
     info(s"ANN∩brute overlap: $overlap")
   }
+
+  test("IVF top-k recall against brute-force") {
+    val ivf = SimilarityQueries.ivfTopK(s, sf)
+      .select(col("qid"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = SimilarityQueries.cosineTopK(s, sf)
+      .select(col("qid"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.nonEmpty)
+    // recall = fraction of true top-k found while searching only the
+    // 2 probed centroid lists; random centroids on random vectors give
+    // a modest but real floor, documenting the recall/probe trade
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    info(s"IVF recall@${SimilarityQueries.TopK}: $recall " +
+      s"(nprobe=${SimilarityQueries.NProbe})")
+    assert(recall > 0.0)
+  }
 }

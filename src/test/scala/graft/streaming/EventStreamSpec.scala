@@ -64,4 +64,45 @@ class EventStreamSpec extends AnyFunSuite {
       assert(closed.head.start_ns === 1000L && closed.head.end_ns === 2000L)
     } finally q.stop()
   }
+
+  test("streaming dedup keeps the first occurrence per event id") {
+    implicit val sc = spark.sqlContext
+    val src = MemoryStream[(Long, Long, Long, String, Double)]
+    val events = src.toDF()
+      .toDF("user_id", "event_id", "ts_ns", "event_type", "value")
+    val q = EventStream.dedupEvents(events)
+      .writeStream.format("memory").queryName("dedup_events")
+      .outputMode("append").start()
+    try {
+      src.addData((1L, 10L, 1000L, "click", 1.0),
+        (1L, 10L, 2000L, "click", 9.0), // same id, same batch
+        (2L, 11L, 3000L, "view", 2.0))
+      q.processAllAvailable()
+      src.addData((1L, 10L, 4000L, "click", 5.0)) // dup across batches
+      q.processAllAvailable()
+      val ids = spark.table("dedup_events").select("event_id", "value")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(ids === Set((10L, 1.0), (11L, 2.0)))
+    } finally q.stop()
+  }
+
+  test("stream-static enrichment joins the broadcast dimension per batch") {
+    implicit val sc = spark.sqlContext
+    val src = MemoryStream[(Long, Long, Long, String, Double)]
+    val events = src.toDF()
+      .toDF("user_id", "event_id", "ts_ns", "event_type", "value")
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val q = EventStream.enrichEvents(events, dim)
+      .writeStream.format("memory").queryName("enriched_events")
+      .outputMode("append").start()
+    try {
+      src.addData((1L, 1L, 1000L, "click", 1.0),
+        (3L, 2L, 2000L, "view", 2.0))
+      q.processAllAvailable()
+      val rows = spark.table("enriched_events")
+        .select("event_id", "tier").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+      assert(rows === Set((1L, Some("gold")), (2L, None)))
+    } finally q.stop()
+  }
 }
