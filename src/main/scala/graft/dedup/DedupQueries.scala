@@ -123,10 +123,13 @@ object DedupQueries {
     val a = cg.select(col("doc_id").as("a"), col("cg").as("sa"))
     val b = cg.select(col("doc_id").as("b"), col("cg").as("sb"))
     val inter = size(array_intersect(col("sa"), col("sb")))
+    // floor-form rounding: Spark and DuckDB round() disagree on decimal
+    // ties, and char-gram unions are large enough to land on them
     cand.join(a, Seq("a")).join(b, Seq("b"))
       .select(col("a"), col("b"),
-        round(inter.cast("double") /
-          (size(col("sa")) + size(col("sb")) - inter), 4).as("jaccard"))
+        (floor(inter.cast("double") /
+          (size(col("sa")) + size(col("sb")) - inter) * 10000 + 0.5) / 10000)
+          .as("jaccard"))
       .filter(col("jaccard") >= CharJaccardThreshold)
   }
 
@@ -282,9 +285,9 @@ object DedupQueries {
     "q_dedup_ngram_jaccard" -> (ctePrefix + s"""
       SELECT a, b, jaccard FROM (
         SELECT c.a, c.b,
-               round(CAST(len(list_intersect(ga.cg, gb.cg)) AS DOUBLE)
-                 / (len(ga.cg) + len(gb.cg) - len(list_intersect(ga.cg, gb.cg))),
-                 4) AS jaccard
+               floor(CAST(len(list_intersect(ga.cg, gb.cg)) AS DOUBLE)
+                 / (len(ga.cg) + len(gb.cg) - len(list_intersect(ga.cg, gb.cg)))
+                 * 10000 + 0.5) / 10000 AS jaccard
         FROM ccand c
         JOIN cgrams ga ON c.a = ga.doc_id
         JOIN cgrams gb ON c.b = gb.doc_id)

@@ -24,21 +24,25 @@ object EnricherQueries {
     StarStatements.compat.toDF("ls", "rs")
   }
 
+  private val cfg = BlockerQueries.cfg
+
   def candidatesQ(s: SparkSession, d: String): DataFrame = {
     val t = BlockerQueries.tfCk(s, d)
     val topk = Blocker.matchTopK(
       t.filter(col("id").startsWith("c:")),
       t.filter(col("id").startsWith("s:")),
-      compatDf(s), BlockerQueries.cfg)
-    val counts = StarStatements(s, d).filter(col("id").startsWith("s:"))
-      .groupBy(col("id")).agg(count(lit(1)).as("n_stmts"))
-      .withColumnRenamed("id", "cid")
+      compatDf(s), cfg)
+    // expand pull-size: restrict the mirror statements to matched
+    // candidate ids BEFORE counting — only matched ids shuffle, never
+    // one row per mirror entity
+    val cids = broadcast(topk.select(col("cid")).distinct())
+    val counts = StarStatements(s, d)
+      .join(cids, col("id") === col("cid"))
+      .groupBy(col("cid")).agg(count(lit(1)).as("n_stmts"))
     topk.join(counts, Seq("cid"))
       .select(col("qid"), col("cid"), col("score"), col("rn"),
         col("n_stmts"))
   }
-
-  private val cfg = BlockerQueries.cfg
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_enrich_candidates" -> (candidatesQ _))

@@ -71,10 +71,12 @@ object NameMatchV2 {
   }
 
   /** Org-class shorts that appear glued to the name in sloppy data
-    * ("ОООБАЗО"); longest-first so "ojsc" wins over "o…".
+    * ("ОООБАЗО"); longest-first so "ojsc" wins over "o…". "pao" is
+    * deliberately absent — it prefixes ordinary name tokens ("Paolo"),
+    * and splitting those destroys the adjacent-part merge.
     */
   private val GluedOrgPrefixes: Seq[String] =
-    Seq("gmbh", "ojsc", "cjsc", "pjsc", "ooo", "oao", "zao", "pao")
+    Seq("gmbh", "ojsc", "cjsc", "pjsc", "ooo", "oao", "zao")
 
   /** Cross-language equivalence groups over canonical classes. */
   private val classGroup: Map[String, String] = Map(
@@ -85,13 +87,16 @@ object NameMatchV2 {
     classGroup.getOrElse(canon, canon)
 
   /** Canonical org class of a token, tolerating ≤2 edits against the
-    * long surface forms ("Aktiengeselschaft" still reads as AG).
+    * LONG surface forms only ("Aktiengeselschaft" still reads as AG).
+    * The fuzzy arm requires keys ≥13 chars: at 11 chars ordinary words
+    * collide ("cooperation" is 2 edits from "corporation" — fuzzing
+    * that would score Shanghai Cooperation ~ Shanghai Corporation 1.0).
     */
   private def orgClassOf(t: String): Option[String] =
     orgClass.get(t).orElse {
-      if (t.length < 8) None
+      if (t.length < 11) None
       else orgClass.keysIterator
-        .filter(k => k.length >= 8 && math.abs(k.length - t.length) <= 2)
+        .filter(k => k.length >= 13 && math.abs(k.length - t.length) <= 2)
         .find(k => Levenshtein.distance(t, k) <= 2)
         .map(orgClass)
     }
@@ -192,14 +197,14 @@ object NameMatchV2 {
       }
     }
     pairInitials()
-    // Stage 2 — greedy fuzzy alignment of the residue. Person parts that
-    // agree on metaphone pair at 0.9 (rigour's phonetic symbol:
-    // Husayn ~ Hussein, Pol ~ Paul).
-    def residueSim(qp: String, rp: String): Double = strictSim(qp, rp)
+    // Stage 2 — greedy fuzzy alignment of the residue. (No phonetic
+    // credit here: the frozen run scores metaphone-equal-but-distinct
+    // names like Tom~Tim at zero; its Husayn~Hussein credit comes from
+    // a curated variant lexicon this port does not carry.)
     val cand = (for {
       qp <- qRem.distinct
       rp <- rRem.distinct
-      s = residueSim(qp, rp)
+      s = strictSim(qp, rp)
       if s > 0.0
     } yield (qp, rp, s)).sortBy(t => (-t._3, t._1, t._2))
     for ((qp, rp, s) <- cand) {
@@ -255,11 +260,12 @@ object NameMatchV2 {
   }
 
   /** Vessel-style object-name prefixes stripped before comparison
-    * (rigour `remove_obj_prefixes`): MV/MT/MS/SS/FV/MY/SY/RV with
-    * optional punctuation.
+    * (rigour `remove_obj_prefixes`): MV/MT/MS/SS/FV/MY/SY/RV. Names
+    * arrive fingerprint-cleaned, where "M/V"/"M.V." have become "m v" —
+    * so the pattern matches the cleaned forms, not raw punctuation.
     */
   private val ObjPrefix =
-    "^(?:m/v|m/t|m/s|f/v|s/s|mv|mt|ms|ss|fv|my|sy|rv)[.\\s]+".r
+    "^(?:m v|m t|m s|f v|s s|mv|mt|ms|ss|fv|my|sy|rv)\\s+".r
 
   def removeObjPrefixes(name: String): String =
     ObjPrefix.replaceFirstIn(name, "")
