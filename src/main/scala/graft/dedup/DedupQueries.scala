@@ -142,28 +142,30 @@ object DedupQueries {
 
   // ---------------------------------------------------------------- oracle
 
-  private def permuteSql(j: Int): String =
-    "list_min(list_transform(hs, h -> " + Hashing.permuteSql("h", j) + "))"
-
-  private val sigList: String =
-    (0 until MinhashK).map(permuteSql).mkString("[", ",\n          ", "]")
-
-  private val csigList: String =
+  /** Minhash signature list over a hashed-values column: one formula,
+    * instantiated for the word-shingle (`hs`) and char-gram (`cg`)
+    * pipelines so the permute plumbing cannot diverge between them.
+    */
+  private def sigListOver(hashCol: String): String =
     (0 until MinhashK).map(j =>
-      "list_min(list_transform(cg, h -> " + Hashing.permuteSql("h", j) + "))")
+      s"list_min(list_transform($hashCol, h -> " +
+        Hashing.permuteSql("h", j) + "))")
       .mkString("[", ",\n          ", "]")
 
-  private val bandSelects: String = (0 until Bands).map { b =>
+  private val sigList: String = sigListOver("hs")
+  private val csigList: String = sigListOver("cg")
+
+  /** Band-key selects over a signature CTE — shared by both minhash
+    * pipelines (same bands/rows split).
+    */
+  private def bandSelectsFrom(cte: String): String = (0 until Bands).map { b =>
     val lo = b * RowsPerBand + 1
     val hi = (b + 1) * RowsPerBand
-    s"SELECT doc_id, $b AS band, array_to_string(sig[$lo:$hi], '-') AS key FROM mh"
+    s"SELECT doc_id, $b AS band, array_to_string(sig[$lo:$hi], '-') AS key FROM $cte"
   }.mkString("\n      UNION ALL ")
 
-  private val charBandSelects: String = (0 until Bands).map { b =>
-    val lo = b * RowsPerBand + 1
-    val hi = (b + 1) * RowsPerBand
-    s"SELECT doc_id, $b AS band, array_to_string(sig[$lo:$hi], '-') AS key FROM cmh"
-  }.mkString("\n      UNION ALL ")
+  private val bandSelects: String = bandSelectsFrom("mh")
+  private val charBandSelects: String = bandSelectsFrom("cmh")
 
   private val simBandSelects: String = (0 until SimhashBands).map { i =>
     val mask = (1L << SimhashBandBits) - 1

@@ -46,45 +46,42 @@ object Multimodal {
       md5(col("content")).as("digest"),
       hex(substring(col("content"), 1, 4)).as("magic"))
 
-  /** Frame sampling: up to [[MaxFrames]] fixed-size byte windows per
-    * document, one row per frame — the batch shape a frame-level decoder
-    * consumes. Pure map-side explode, no shuffle.
+  /** Shared frame explode: one row per (doc_id, frame_no, frame bytes).
+    * Map-side only, no shuffle. The `n_frames > 0` filter guards empty
+    * content — `sequence(0, -1)` counts DOWN (the oracle's `range(0)`
+    * is empty). All three frame consumers (framesQ, featuresQ,
+    * frameDataset) derive from this single projection.
     */
-  def framesQ(s: SparkSession, d: String): DataFrame =
+  private def explodedFrames(s: SparkSession, d: String): DataFrame =
     media(s, d)
       .select(col("doc_id"), col("content"),
         least(lit(MaxFrames),
           ceil(length(col("content")).cast("double") / FrameBytes))
           .cast("int").as("n_frames"))
-      // empty content → n_frames = 0, and sequence(0, -1) counts DOWN —
-      // guard so empty docs yield no frames (like the oracle's range(0))
       .filter(col("n_frames") > 0)
       .select(col("doc_id"), col("content"),
         explode(sequence(lit(0), col("n_frames") - 1)).as("frame_no"))
       .select(col("doc_id"), col("frame_no"),
-        md5(substring(col("content"), col("frame_no") * FrameBytes + 1,
-          lit(FrameBytes))).as("frame_digest"),
-        length(substring(col("content"), col("frame_no") * FrameBytes + 1,
-          lit(FrameBytes))).as("frame_bytes"))
+        substring(col("content"), col("frame_no") * FrameBytes + 1,
+          lit(FrameBytes)).as("frame"))
+
+  /** Frame sampling: up to [[MaxFrames]] fixed-size byte windows per
+    * document, one row per frame — the batch shape a frame-level decoder
+    * consumes.
+    */
+  def framesQ(s: SparkSession, d: String): DataFrame =
+    explodedFrames(s, d)
+      .select(col("doc_id"), col("frame_no"),
+        md5(col("frame")).as("frame_digest"),
+        length(col("frame")).as("frame_bytes"))
 
   /** Per-document pooled stub features: decode each frame (stub), mean-
     * pool back to one feature per document — the plan shape of
     * embed-and-pool pipelines.
     */
   def featuresQ(s: SparkSession, d: String): DataFrame =
-    media(s, d)
-      .select(col("doc_id"), col("content"),
-        least(lit(MaxFrames),
-          ceil(length(col("content")).cast("double") / FrameBytes))
-          .cast("int").as("n_frames"))
-      // empty content → n_frames = 0, and sequence(0, -1) counts DOWN —
-      // guard so empty docs yield no frames (like the oracle's range(0))
-      .filter(col("n_frames") > 0)
-      .select(col("doc_id"), col("content"),
-        explode(sequence(lit(0), col("n_frames") - 1)).as("frame_no"))
-      .select(col("doc_id"),
-        stubFeature(substring(col("content"), col("frame_no") * FrameBytes + 1,
-          lit(FrameBytes))).as("f"))
+    explodedFrames(s, d)
+      .select(col("doc_id"), stubFeature(col("frame")).as("f"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_frames"),
         round(avg(col("f")), 6).as("mean_feature"))
@@ -100,18 +97,7 @@ object Multimodal {
   def frameDataset(s: SparkSession, d: String)
       : org.apache.spark.sql.Dataset[MediaFrame] = {
     import s.implicits._
-    media(s, d)
-      .select(col("doc_id"), col("content"),
-        least(lit(MaxFrames),
-          ceil(length(col("content")).cast("double") / FrameBytes))
-          .cast("int").as("n_frames"))
-      .filter(col("n_frames") > 0)
-      .select(col("doc_id"), col("content"),
-        explode(sequence(lit(0), col("n_frames") - 1)).as("frame_no"))
-      .select(col("doc_id"), col("frame_no"),
-        substring(col("content"), col("frame_no") * FrameBytes + 1,
-          lit(FrameBytes)).as("frame"))
-      .as[MediaFrame]
+    explodedFrames(s, d).as[MediaFrame]
   }
 
   /** Partition-batched decode stage — the Scala/Arrow analogue of a
