@@ -234,6 +234,20 @@ object TextNorm {
   def namesWordList(names: Seq[String], minLength: Int = 1): List[String] =
     names.toList.flatMap(n => nameWords(fingerprintName(n), minLength))
 
+  /** Slugify (normality's `slugify` as the reference uses it for
+    * dataset names, `store/__init__.py:32`): fold to ascii, lowercase,
+    * collapse non-alphanumerics into the separator, trim.
+    */
+  def slugify(s: String, sep: String = "-"): Option[String] = {
+    val folded = foldAscii(s).flatMap(c =>
+      if (c.isLetterOrDigit) c.toString
+      else if (c < 128 || c.isWhitespace) sep else "")
+    val squashed = folded
+      .split(java.util.regex.Pattern.quote(sep)).filter(_.nonEmpty)
+      .mkString(sep)
+    if (squashed.isEmpty) None else Some(squashed)
+  }
+
   private val NumRe = "\\d+".r
 
   /** All digit runs across values (`extract_numbers`). */

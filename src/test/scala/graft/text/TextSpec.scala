@@ -124,6 +124,14 @@ class TextSpec extends AnyFunSuite {
       Set("19", "76135"))
   }
 
+  test("slugify folds, separates and trims") {
+    assert(TextNorm.slugify("My Dataset (v2)") === Some("my-dataset-v2"))
+    assert(TextNorm.slugify("donations.small", "_") ===
+      Some("donations_small"))
+    assert(TextNorm.slugify("Müller & Söhne") === Some("muller-sohne"))
+    assert(TextNorm.slugify("--- ") === None)
+  }
+
   // -------------------------------------------------------- identifiers
 
   test("identifier checksum validators accept known-good codes") {
