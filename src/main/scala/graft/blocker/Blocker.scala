@@ -194,9 +194,14 @@ object Blocker {
     * (`blocker/index.py:653-694`). The query side is expected to be small
     * → broadcast it so the index side never shuffles.
     */
+  /** `broadcastQuery` belongs to SMALL interactive query batches (the
+    * yente match-API shape); bulk callers whose query side is a whole
+    * corpus (DatasetEnricher) must pass false or the collect to the
+    * driver OOMs — the join then shuffles both sides on (token, field).
+    */
   def matchTopK(tfQuery: DataFrame, tfIndex: DataFrame, compat: DataFrame,
-      cfg: Config = Config()): DataFrame = {
-    val l = broadcast(tfQuery).as("l")
+      cfg: Config = Config(), broadcastQuery: Boolean = true): DataFrame = {
+    val l = (if (broadcastQuery) broadcast(tfQuery) else tfQuery).as("l")
     val r = tfIndex.as("r")
     val joined = l.join(r,
       col("l.token") === col("r.token") && col("l.field") === col("r.field") &&

@@ -66,6 +66,12 @@ object BlockerQueries {
   def tfCk(s: SparkSession, d: String): DataFrame =
     tfCache.getOrElseUpdate((s, d), tf(s, d).localCheckpoint(true))
 
+  /** Drop cached TF indexes (long-lived sessions iterating many dirs
+    * would otherwise pin every checkpoint for the session's lifetime,
+    * and a regenerated dir would keep serving its stale index).
+    */
+  def clearTfCache(): Unit = tfCache.clear()
+
   def tfRounded(s: SparkSession, d: String): DataFrame =
     tf(s, d).withColumn("weight", round(col("weight"), 6))
 

@@ -131,9 +131,25 @@ object EntityTokenizer {
       .groupBy(col("id"), col("schema"), col("field"), col("token"))
       .agg(count(lit(1)).as("cnt"))
 
-    setFam.select(col("schema"), col("id"), col("field"), col("token"),
-        col("cnt"))
+    val union = setFam.select(col("schema"), col("id"), col("field"),
+        col("token"), col("cnt"))
       .unionByName(counted.select(col("schema"), col("id"), col("field"),
         col("token"), col("cnt")))
+    // One row per (id, field, token) with the cluster's MERGED schema:
+    // a mixed-schema canonical cluster (Person merged under LegalEntity)
+    // must not emit the same token once per statement schema — that
+    // doubles n in the pair score and inflates xref ranking. The
+    // reference tokenizes the assembled entity, which has one schema.
+    // The groupBy key matches the per-entity count shuffle that was
+    // already here; commonSchema runs on the (tiny) distinct-schema set.
+    union
+      .groupBy(col("id"), col("field"), col("token"))
+      .agg(commonSchemaUdf(collect_set(col("schema"))).as("schema"),
+        sum(col("cnt")).as("cnt"))
+      .select(col("schema"), col("id"), col("field"), col("token"),
+        col("cnt"))
   }
+
+  private val commonSchemaUdf =
+    udf((schemata: Seq[String]) => Ftm.commonSchema(schemata))
 }

@@ -41,7 +41,8 @@ final class DatasetEnricher(val name: String, mirror: DataFrame) {
     val tfS = tf.join(sides, Seq("id"))
     val topk = Blocker.matchTopK(
       tfS.filter(col("side") === "q").drop("side"),
-      tfS.filter(col("side") === "m").drop("side"), compat, cfg)
+      tfS.filter(col("side") === "m").drop("side"), compat, cfg,
+      broadcastQuery = false) // bulk path: the query side is a corpus
     val views = EntityMatch.views(EntityStore.assemble(all), all)
     EntityMatch.scorePairs(
       topk.select(col("qid").as("lid"), col("cid").as("rid"),

@@ -27,15 +27,25 @@ object StatementFormats {
     StructField("first_seen", TimestampType),
     StructField("last_seen", TimestampType)))
 
+  // \N distinguishes SQL NULL from the empty string (Spark's CSV default
+  // reads "" back as null); multiLine handles values with embedded
+  // newlines (addresses), which the writer quotes.
+  private val csvOptions = Map(
+    "header" -> "true", "nullValue" -> "\\N", "escape" -> "\"",
+    "multiLine" -> "true")
+
   def writeCsv(stmts: DataFrame, path: String): Unit =
     stmts.select(EntityStore.statementCols.map(col): _*)
-      .write.mode("overwrite").option("header", "true").csv(path)
+      .write.mode("overwrite").options(csvOptions).csv(path)
 
   def readCsv(s: SparkSession, path: String): DataFrame =
-    s.read.option("header", "true").schema(csvSchema).csv(path)
+    s.read.options(csvOptions).schema(csvSchema).csv(path)
 
   /** Pack: one compact JSON array per statement — the KV-store wire
-    * form (`store/util.py:7-47`).
+    * form (`store/util.py:7-47`). The external flag and seen-timestamps
+    * ARE part of the tuple: dropping `external` on the wire would let
+    * unvetted enrichment statements re-enter default store views after
+    * a round-trip (`store/memory.py:72-87` gate).
     */
   def pack(stmts: DataFrame): DataFrame =
     stmts.select(col("id").as("key"), to_json(array(
@@ -44,7 +54,11 @@ object StatementFormats {
       coalesce(col("original_value"), lit("")),
       coalesce(col("origin"), lit("")),
       col("schema"), col("dataset"), col("canonical_id"),
-      col("prop_type"))).as("packed"))
+      col("prop_type"),
+      col("external").cast("string"),
+      coalesce(unix_micros(col("first_seen")).cast("string"), lit("")),
+      coalesce(unix_micros(col("last_seen")).cast("string"), lit(""))))
+      .as("packed"))
 
   def unpack(packed: DataFrame): DataFrame =
     packed.select(col("key").as("id"),
@@ -58,7 +72,9 @@ object StatementFormats {
         col("a")(7).as("dataset"),
         when(col("a")(5) === "", null).otherwise(col("a")(5)).as("origin"),
         when(col("a")(3) === "", null).otherwise(col("a")(3)).as("lang"),
-        lit(false).as("external"),
-        lit(null).cast("timestamp").as("first_seen"),
-        lit(null).cast("timestamp").as("last_seen"))
+        (col("a")(10) === "true").as("external"),
+        timestamp_micros(when(col("a")(11) === "", null)
+          .otherwise(col("a")(11)).cast("long")).as("first_seen"),
+        timestamp_micros(when(col("a")(12) === "", null)
+          .otherwise(col("a")(12)).cast("long")).as("last_seen"))
 }

@@ -24,10 +24,20 @@ final class VersionedStore(base: String) {
 
   private def latestFile(dataset: String) = Paths.get(s"$base/$dataset/LATEST")
 
-  /** Upsert-write a snapshot: statements deduped on id. */
-  def write(stmts: DataFrame, dataset: String, version: String): Unit =
-    stmts.dropDuplicates("id").write.mode("overwrite")
+  /** Upsert-write a snapshot: statements deduped on id. The survivor is
+    * deterministic (min over the full remaining row) — `dropDuplicates`
+    * keeps whichever row a run sees first, so two writes of the same
+    * input could persist different schema/external columns for a
+    * colliding id (the FtM statement key omits both).
+    */
+  def write(stmts: DataFrame, dataset: String, version: String): Unit = {
+    val others = stmts.columns.filter(_ != "id")
+    stmts.groupBy(col("id"))
+      .agg(min(struct(others.map(col): _*)).as("m"))
+      .select(col("id") +: others.map(c => col(s"m.$c").as(c)): _*)
+      .write.mode("overwrite")
       .parquet(dir(dataset, version))
+  }
 
   /** Flip the latest pointer (reference `release_version`). */
   def release(dataset: String, version: String): Unit = {
@@ -78,10 +88,15 @@ final class VersionedStore(base: String) {
     */
   def delta(s: SparkSession, dataset: String, fromV: String,
       toV: String): DataFrame = {
+    // digest covers id + schema + external: the FtM statement id hashes
+    // only (dataset, entity_id, prop, value), so a schema correction or
+    // an external-flag flip would otherwise compare SAME and never
+    // reach change-feed consumers
     def digests(v: String): DataFrame =
       s.read.parquet(dir(dataset, v))
         .groupBy(col("canonical_id"))
-        .agg(md5(concat_ws("|", array_sort(collect_list(col("id")))))
+        .agg(md5(concat_ws("|", array_sort(collect_list(concat_ws(":",
+          col("id"), col("schema"), col("external").cast("string"))))))
           .as("digest"))
     VersionedStore.deltaOps(
       digests(fromV), digests(toV), "canonical_id")

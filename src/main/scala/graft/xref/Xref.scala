@@ -60,10 +60,13 @@ object Xref {
     val pairs = Blocker.pairs(tf, compat,
       cfg.blocker.copy(maxPairs = cfg.limit * cfg.limitFactor))
     // skip already-decided pairs (check_candidate, resolver.py:284-288)
+    // no broadcast hint: the judgement set grows with every xref round
+    // and is unbounded — AQE broadcasts it while small, and the anti
+    // join degrades gracefully to a shuffle once it is not
     val dec = decided.select(
       least(col("src"), col("dst")).as("da"),
       greatest(col("src"), col("dst")).as("db")).distinct()
-    val undecided = pairs.join(broadcast(dec),
+    val undecided = pairs.join(dec,
       least(col("lid"), col("rid")) === col("da") &&
         greatest(col("lid"), col("rid")) === col("db"), "left_anti")
     val assembled = EntityStore.assemble(stmts)
@@ -131,5 +134,28 @@ object Xref {
       .map(t => col("score") > t).getOrElse(lit(false))
     scored.filter(gate)
       .select(col("lid").as("src"), col("rid").as("dst"), col("score"))
+  }
+
+  /** The standard xref run (`xref.py:138-153`): ONE scored pass,
+    * materialized, then partitioned into (auto-merge edges,
+    * suggestions) — calling [[autoMerges]] and [[suggestions]]
+    * separately executes the whole tokenize/TF/pair/score pipeline
+    * twice.
+    */
+  def run(s: SparkSession, stmts: DataFrame, decided: DataFrame,
+      cfg: Config = Config()): (DataFrame, DataFrame) = {
+    val scored = scoredPairs(s, stmts, decided, cfg).localCheckpoint(true)
+    val gate = cfg.autoThreshold
+      .map(t => col("score") > t).getOrElse(lit(false))
+    val merges = scored.filter(gate)
+      .select(col("lid").as("src"), col("rid").as("dst"), col("score"))
+    val below = cfg.autoThreshold match {
+      case Some(t) => scored.filter(col("score") <= t)
+      case None => scored
+    }
+    val suggest = below
+      .orderBy(col("score").desc, col("lid").asc, col("rid").asc)
+      .limit(cfg.limit)
+    (merges, suggest)
   }
 }

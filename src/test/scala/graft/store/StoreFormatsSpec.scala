@@ -42,6 +42,25 @@ class StoreFormatsSpec extends AnyFunSuite {
     assert(b.exceptAll(a).count() === 0L)
   }
 
+  test("pack/unpack preserves the external gate and CSV survives newlines") {
+    import spark.implicits._
+    // external=true must survive the wire form — dropping it would let
+    // unvetted enrichment statements re-enter default store views
+    val ext = stmts.limit(3).withColumn("external", lit(true))
+    val extBack = StatementFormats.unpack(StatementFormats.pack(ext))
+    assert(extBack.filter(col("external")).count() === 3L)
+    // CSV: embedded newline and a genuinely-null original_value
+    val tricky = stmts.limit(1)
+      .withColumn("value", lit("1 Main St\nSpringfield"))
+      .withColumn("original_value", lit(null).cast("string"))
+    val tmp = Files.createTempDirectory("graft-csvn").toString + "/stmts"
+    StatementFormats.writeCsv(tricky, tmp)
+    val back = StatementFormats.readCsv(spark, tmp)
+    assert(back.count() === 1L)
+    assert(back.head.getAs[String]("value") === "1 Main St\nSpringfield")
+    assert(back.head.getAs[String]("original_value") === null)
+  }
+
   test("versioned store: write, release, latest, delta, drop") {
     val base = Files.createTempDirectory("graft-vs").toString
     val store = new VersionedStore(base)
