@@ -105,4 +105,15 @@ class XrefSpec extends AnyFunSuite {
     assert(merges.count() > 0)
     assert(sugg.agg(max(col("score"))).head.getDouble(0) <= 0.6 + 1e-9)
   }
+
+  test("run() partitions one scored pass into the same two outputs") {
+    val cfg = Xref.Config(algorithm = "logic-v1",
+      autoThreshold = Some(0.6))
+    val (merges, sugg) = Xref.run(spark, stmts, emptyDecided, cfg)
+    val merges2 = Xref.autoMerges(spark, stmts, emptyDecided, cfg)
+    val sugg2 = Xref.suggestions(spark, stmts, emptyDecided, cfg)
+    assert(merges.exceptAll(merges2).count() === 0L)
+    assert(merges2.exceptAll(merges).count() === 0L)
+    assert(sugg.count() === sugg2.count())
+  }
 }
