@@ -86,7 +86,9 @@ object Features {
     if (!Levenshtein.plausible(qa, ra)) 0.0 else total
   }
 
-  private def remove1(xs: List[String], x: String): List[String] = {
+  /** Remove one occurrence (multiset semantics); shared with
+    * [[NameMatchV2]]'s alignment. */
+  private[matching] def remove1(xs: List[String], x: String): List[String] = {
     val i = xs.indexOf(x)
     if (i < 0) xs else xs.take(i) ++ xs.drop(i + 1)
   }

@@ -156,8 +156,8 @@ object NameMatchV2 {
         .find { case (_, rc) => rc == qc || groupOf(rc) == groupOf(qc) }
         .foreach { case (rp, rc) =>
           if (qRem.contains(qp)) {
-            qRem = removeOne(qRem, qp)
-            rRem = removeOne(rRem, rp)
+            qRem = Features.remove1(qRem, qp)
+            rRem = Features.remove1(rRem, rp)
             matches += Aligned(Some(qp), Some(rp),
               if (qc == rc) 1.0 else OrgClassScore, OrgClassWeight)
           }
@@ -178,8 +178,8 @@ object NameMatchV2 {
         rRem.find(rp => rp.length > 1 && rp.head == qp.head &&
             !qRem.contains(rp)).foreach { rp =>
           if (qRem.contains(qp)) {
-            qRem = removeOne(qRem, qp)
-            rRem = removeOne(rRem, rp)
+            qRem = Features.remove1(qRem, qp)
+            rRem = Features.remove1(rRem, rp)
             matches += Aligned(Some(qp), Some(rp), 0.0, 1.0)
           }
         }
@@ -189,8 +189,8 @@ object NameMatchV2 {
         qRem.find(qp => qp.length > 1 && qp.head == rp.head &&
             !rRem.contains(qp)).foreach { qp =>
           if (rRem.contains(rp)) {
-            qRem = removeOne(qRem, qp)
-            rRem = removeOne(rRem, rp)
+            qRem = Features.remove1(qRem, qp)
+            rRem = Features.remove1(rRem, rp)
             matches += Aligned(Some(qp), Some(rp), 0.0, 1.0)
           }
         }
@@ -209,8 +209,8 @@ object NameMatchV2 {
     } yield (qp, rp, s)).sortBy(t => (-t._3, t._1, t._2))
     for ((qp, rp, s) <- cand) {
       while (qRem.contains(qp) && rRem.contains(rp)) {
-        qRem = removeOne(qRem, qp)
-        rRem = removeOne(rRem, rp)
+        qRem = Features.remove1(qRem, qp)
+        rRem = Features.remove1(rRem, rp)
         val w = if (isNumeric(qp) && isNumeric(rp)) NumericWeight else 1.0
         matches += Aligned(Some(qp), Some(rp), s, w)
       }
@@ -252,11 +252,6 @@ object NameMatchV2 {
     val totalWeight = matches.map(_.weight).sum
     if (totalWeight <= 0.0) 0.0
     else matches.map(m => m.score * m.weight).sum / totalWeight
-  }
-
-  private def removeOne(xs: List[String], x: String): List[String] = {
-    val i = xs.indexOf(x)
-    if (i < 0) xs else xs.take(i) ++ xs.drop(i + 1)
   }
 
   /** Vessel-style object-name prefixes stripped before comparison

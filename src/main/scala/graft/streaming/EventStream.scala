@@ -33,7 +33,7 @@ object EventStream {
   /** Watermarked tumbling-window counts per event type. */
   def windowedCounts(events: DataFrame): DataFrame =
     events
-      .withColumn("ts", timestamp_micros((col("ts_ns") / 1000).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
@@ -48,7 +48,7 @@ object EventStream {
     */
   def dedupEvents(events: DataFrame): DataFrame =
     events
-      .withColumn("ts", timestamp_micros((col("ts_ns") / 1000).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 

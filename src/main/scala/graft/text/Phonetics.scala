@@ -54,13 +54,18 @@ object Phonetics {
     val n = word.length
     val out = new StringBuilder
     var i = 0
+    // `start` marks the effective first letter after dropped-prefix
+    // exceptions: the original algorithm slices the word, so AE- leaves
+    // an INITIAL E that must be emitted as a vowel (AEberhard and
+    // Eberhard code identically)
+    var start = 0
 
     // initial-letter exceptions
     if (n >= 2) {
       (word(0), word(1)) match {
-        case ('A', 'E') => i = 1
-        case ('G' | 'K' | 'P', 'N') => i = 1
-        case ('W', 'R') => i = 1
+        case ('A', 'E') => i = 1; start = 1
+        case ('G' | 'K' | 'P', 'N') => i = 1; start = 1
+        case ('W', 'R') => i = 1; start = 1
         case ('X', _) => out += 'S'; i = 1
         case ('W', 'H') => out += 'W'; i = 2
         case _ =>
@@ -78,7 +83,7 @@ object Phonetics {
       else {
         c match {
           case 'A' | 'E' | 'I' | 'O' | 'U' =>
-            if (i == 0) out += c
+            if (i == start) out += c
           case 'B' =>
             if (!(i == n - 1 && prev == 'M')) out += 'B'
           case 'C' =>

@@ -207,9 +207,16 @@ object TextNorm {
     "obshchestvo s ogranichennoy otvetstvennostyu" -> "ooo",
     "international" -> "intl")
 
+  // Longest key first: Map iteration order is arbitrary, and a short
+  // key replacing first destroys the longer phrase it is part of
+  // ("limited" → "ltd" would turn "limited liability company" into
+  // "ltd liability co" so the "llc" entry could never fire).
+  private val LegalFormsOrdered: Seq[(String, String)] =
+    LegalForms.toSeq.sortBy { case (k, _) => (-k.length, k) }
+
   private def replaceLegalForms(s: String): String = {
     var out = s
-    for ((long, short) <- LegalForms)
+    for ((long, short) <- LegalFormsOrdered)
       out = out.replaceAll(s"\\b${java.util.regex.Pattern.quote(long)}\\b", short)
     out
   }
