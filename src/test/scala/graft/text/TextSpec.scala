@@ -124,6 +124,22 @@ class TextSpec extends AnyFunSuite {
       Set("19", "76135"))
   }
 
+  test("multi-word legal forms win over their embedded short forms") {
+    // regression: unordered replacement let "limited" fire first and
+    // destroy "limited liability company" before "llc" could match
+    assert(TextNorm.fingerprintName("Acme Limited Liability Company") ===
+      Some("acme llc"))
+    assert(TextNorm.fingerprintName("Gazprom Open Joint Stock Company") ===
+      Some("gazprom ojsc"))
+    assert(TextNorm.fingerprintName("Acme Limited") === Some("acme ltd"))
+  }
+
+  test("metaphone dropped-prefix exceptions keep the new initial vowel") {
+    assert(Phonetics.metaphone("AEBERHARD") ===
+      Phonetics.metaphone("EBERHARD"))
+    assert(Phonetics.metaphone("KNIGHT") === Phonetics.metaphone("NIGHT"))
+  }
+
   test("slugify folds, separates and trims") {
     assert(TextNorm.slugify("My Dataset (v2)") === Some("my-dataset-v2"))
     assert(TextNorm.slugify("donations.small", "_") ===
