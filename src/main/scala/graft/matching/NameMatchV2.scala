@@ -67,7 +67,7 @@ object NameMatchV2 {
       m.values.map(v => v -> v)).toMap ++
       Map("oao" -> "oao", "zao" -> "zao", "ooo" -> "ooo", "pao" -> "pao",
         "ao" -> "ao", "ojsc" -> "ojsc", "cjsc" -> "cjsc", "pjsc" -> "pjsc",
-        "jsc" -> "jsc")
+        "jsc" -> "jsc", "bvba" -> "bvba", "sprl" -> "bvba")
   }
 
   /** Org-class shorts that appear glued to the name in sloppy data
@@ -81,7 +81,7 @@ object NameMatchV2 {
   /** Cross-language equivalence groups over canonical classes. */
   private val classGroup: Map[String, String] = Map(
     "oao" -> "ojsc", "zao" -> "cjsc", "ooo" -> "llc", "pao" -> "pjsc",
-    "ao" -> "jsc", "sarl" -> "sarl", "srl" -> "sarl")
+    "ao" -> "jsc", "sarl" -> "sarl", "srl" -> "sarl", "bvba" -> "bv")
 
   private def groupOf(canon: String): String =
     classGroup.getOrElse(canon, canon)
@@ -395,13 +395,30 @@ object NameMatchV2 {
           case Some(k) => List(k, p.drop(k.length))
           case None => List(p)
         }
+      // multi-token org phrases collapse to their class short BEFORE
+      // alignment: a truncated/misspelled "Joint Stock Compan" still
+      // glues to "jointstockcompan", fuzzy-resolves to jsc, and pairs
+      // with the other side's replaced "jsc" instead of bleeding three
+      // unmatched extra tokens
+      def collapseOrgPhrases(parts: List[String]): List[String] =
+        parts match {
+          case a :: b :: c :: rest
+              if orgClassOf(a + b + c).isDefined && (a + b + c).length >= 8 =>
+            orgClassOf(a + b + c).get :: collapseOrgPhrases(rest)
+          case a :: b :: rest
+              if orgClassOf(a + b).isDefined && (a + b).length >= 8 =>
+            orgClassOf(a + b).get :: collapseOrgPhrases(rest)
+          case h :: t => h :: collapseOrgPhrases(t)
+          case Nil => Nil
+        }
       def prep(names: Seq[String]): Seq[List[String]] =
         consolidateNames(names.map { n =>
           val parts = numberizeParts(n.split(' ').toList)
           // initialism runs stay ordered for orgs; person initials pair
           // individually in scoreNamePair's INITIAL stage
           if (person) parts
-          else collapseInitialRuns(parts).flatMap(splitOrgPrefix)
+          else collapseOrgPhrases(
+            collapseInitialRuns(parts).flatMap(splitOrgPrefix))
         })
       val qParts = prep(qn)
       val rParts = prep(rn)

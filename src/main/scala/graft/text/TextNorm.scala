@@ -27,7 +27,10 @@ object TextNorm {
     'у' -> "u", 'ф' -> "f", 'х' -> "kh", 'ц' -> "ts", 'ч' -> "ch",
     'ш' -> "sh", 'щ' -> "shch", 'ъ' -> "", 'ы' -> "y", 'ь' -> "",
     'э' -> "e", 'ю' -> "yu", 'я' -> "ya",
-    'і' -> "i", 'ї' -> "yi", 'є' -> "ye", 'ґ' -> "g")
+    'і' -> "i", 'ї' -> "yi", 'є' -> "ye", 'ґ' -> "g",
+    // Serbian/Macedonian letters
+    'ђ' -> "dj", 'ј' -> "j", 'љ' -> "lj", 'њ' -> "nj", 'ћ' -> "c",
+    'џ' -> "dz", 'ѓ' -> "g", 'ќ' -> "k", 'ѕ' -> "dz")
 
   /** Greek → Latin (ELOT-style, lowercase input). */
   private val greekMap: Map[Char, String] = Map(
@@ -205,7 +208,8 @@ object TextNorm {
     "open joint stock company" -> "ojsc", "joint stock company" -> "jsc",
     "aktsionernoe obshchestvo" -> "ao",
     "obshchestvo s ogranichennoy otvetstvennostyu" -> "ooo",
-    "international" -> "intl")
+    "besloten vennootschap" -> "bv", "naamloze vennootschap" -> "nv",
+    "international" -> "intl", "united states" -> "us")
 
   // Longest key first: Map iteration order is arbitrary, and a short
   // key replacing first destroys the longer phrase it is part of
