@@ -1,6 +1,14 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
+  /** Force FULL evaluation of every output column: `count()` lets
+    * Catalyst prune the projections (a map-only query would be timed as
+    * a bare parquet scan); the noop sink evaluates each row's columns
+    * and discards them.
+    */
+  private def exhaust(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -13,20 +21,26 @@ object Bench {
     // untimed warmup: first-query cost is dominated by one-off JVM work
     // (codegen compiler, shuffle machinery, parquet reader init), not
     // engine throughput — absorb it before the timed loop
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    try exhaust(SparkEntry.entry(spark)) catch { case _: Throwable => () }
     // deterministic name order: per-query timings comparable across
     // rounds, and shared materializations (tf index, score table) are
     // attributed to the first query of their family
+    var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try exhaust(fn(spark, sfDir)) catch {
+          case e: Throwable =>
+            failed ::= name
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
         name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

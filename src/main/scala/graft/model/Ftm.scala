@@ -201,6 +201,6 @@ object Ftm {
   def commonSchema(names: Seq[String]): String = {
     val distinct = names.distinct
     distinct.find(n => distinct.forall(o => ancestors(n).contains(o)))
-      .getOrElse(distinct.maxBy(n => (ancestors(n).size, n)))
+      .getOrElse(distinct.minBy(n => (-ancestors(n).size, n)))
   }
 }

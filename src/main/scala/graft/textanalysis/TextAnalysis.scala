@@ -39,13 +39,19 @@ object TextAnalysis {
 
   def statsQ(s: SparkSession, d: String): DataFrame = {
     val w = col("w")
+    // token-less documents (punctuation-only text) yield NULL ratios:
+    // under Spark's default ANSI mode an unguarded /0 would crash the
+    // whole query (DIVIDE_BY_ZERO), and the oracle mirrors the CASE
+    val nTok = size(w)
+    def safe(c: Column): Column = when(nTok > 0, c)
     wordsDf(s, d).select(col("doc_id"),
       length(col("text")).as("n_chars"),
       size(w).as("n_tokens"),
       size(array_distinct(w)).as("n_distinct"),
-      round(aggregate(transform(w, x => length(x)), lit(0),
-        (acc, x) => acc + x).cast("double") / size(w), 4).as("avg_token_len"),
-      round(size(array_distinct(w)).cast("double") / size(w), 4).as("ttr"))
+      safe(round(aggregate(transform(w, x => length(x)), lit(0),
+        (acc, x) => acc + x).cast("double") / nTok, 4)).as("avg_token_len"),
+      safe(round(size(array_distinct(w)).cast("double") / nTok, 4))
+        .as("ttr"))
   }
 
   /** Composite quality score: length saturation, lexical diversity,
@@ -63,7 +69,9 @@ object TextAnalysis {
     // rounds the binary value — they disagree on representation ties.
     val q4 = floor((lit(0.4) * lenScore + lit(0.3) * ttr +
       lit(0.3) * (lit(1.0) - abs(stopRatio - 0.4))) * 10000 + 0.5) / 10000
-    wordsDf(s, d).select(col("doc_id"), q4.as("quality"))
+    // NULL (not a crash) for token-less docs — see statsQ
+    wordsDf(s, d).select(col("doc_id"),
+      when(size(w) > 0, q4).as("quality"))
   }
 
   /** Language ID by marker-word counts, argmax with fixed precedence. */
@@ -157,18 +165,23 @@ object TextAnalysis {
     "q_text_stats" -> s"""
       SELECT doc_id, length(text) AS n_chars, len(w) AS n_tokens,
              len(list_distinct(w)) AS n_distinct,
-             round(CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
-                   / len(w), 4) AS avg_token_len,
-             round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 4) AS ttr
+             CASE WHEN len(w) > 0 THEN
+               round(CAST(list_sum(list_transform(w, x -> length(x)))
+                     AS DOUBLE) / len(w), 4) END AS avg_token_len,
+             CASE WHEN len(w) > 0 THEN
+               round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 4)
+             END AS ttr
       FROM (SELECT doc_id, text, $wSql AS w FROM documents)""",
     "q_text_quality" -> s"""
       SELECT doc_id,
+             CASE WHEN len(w) > 0 THEN
              floor((0.4 * least(CAST(len(w) AS DOUBLE) / 50.0, 1.0)
                  + 0.3 * (CAST(len(list_distinct(w)) AS DOUBLE) / len(w))
                  + 0.3 * (1.0 - abs(
                      CAST(len(list_filter(w, x -> list_contains(
                        ${markersSql(LangMarkers.head._2)}, x))) AS DOUBLE)
-                     / len(w) - 0.4))) * 10000 + 0.5) / 10000 AS quality
+                     / len(w) - 0.4))) * 10000 + 0.5) / 10000
+             END AS quality
       FROM (SELECT doc_id, $wSql AS w FROM documents)""",
     "q_text_langid" -> s"""
       SELECT doc_id, $predSql AS pred_lang
