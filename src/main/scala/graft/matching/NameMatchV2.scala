@@ -1,7 +1,7 @@
 package graft.matching
 
 import graft.model.Ftm
-import graft.text.{Levenshtein, TextNorm}
+import graft.text.{Levenshtein, Symbols, TextNorm}
 
 /** Partial port of the logic-v2 name matcher
   * (`matching/logic_v2/names/match.py:170-244` + helpers): literal-match
@@ -23,19 +23,34 @@ object NameMatchV2 {
 
   val ExtraQueryWeight = 0.8
   val ExtraResultWeight = 0.2
-  val FamilyNameWeight = 1.3
   val NumberMismatchPenalty = 0.3
-  // magic.py category constants for the ported categories
+  // magic.py category constants (SYM_SCORES / SYM_WEIGHTS /
+  // EXTRAS_WEIGHTS) for the ported categories
   val OrgClassScore = 0.8
   val OrgClassWeight = 0.7
   val OrgClassExtraBias = 0.7
   val NumericWeight = 1.3
   val InitialScore = 0.9
   val InitialWeight = 0.5
+  val NameVariantScore = 0.9 // Symbol.Category.NAME
+  val NickScore = 0.6 // Symbol.Category.NICK
+  val NickWeight = 0.8
+  val GenericMatchWeight = 0.3 // SYMBOL matched (SYM_WEIGHTS)
+  val GenericExtraBias = 0.7 // SYMBOL unmatched (EXTRAS_WEIGHTS)
+  val LocationWeight = 0.8 // LOCATION matched
+  val LocationExtraBias = 0.7 // LOCATION unmatched extra
+  val StopwordMatchWeight = 0.35 // STOP-tagged part (0.5) × stopword 0.7
+
+  /** Function words damped in alignment. Superset of the tokenizer's
+    * stopword list — "of" is needed so "Bank of Armenia" ~ "Bank of
+    * America" reproduces the frozen 0.8380 (of~of at weight 0.35).
+    */
+  private val NameStopwords: Set[String] = Set(
+    "of", "in", "de", "la", "le", "del", "di", "van", "den", "dem", "do")
 
   private def isStopword(t: String): Boolean =
     graft.blocker.EntityTokenizer.Stopwords.contains(t) ||
-      ArabicParticles.contains(t)
+      NameStopwords.contains(t) || ArabicParticles.contains(t)
 
   /** Arabic name particles, damped like stopwords (rigour's Arabic
     * cleanup): "Abd al-Aziz al-Nuristani" ~ "Abdul Aziz Nooristani".
@@ -43,17 +58,8 @@ object NameMatchV2 {
   private val ArabicParticles: Set[String] =
     Set("al", "el", "bin", "bint", "abu", "ibn")
 
-  /** Generic organization words: when they match, they carry almost no
-    * evidence (frozen run: "The Sigma Group" ~ "The Cigna Group" → 0.23
-    * — the/group agree but the score collapses because the
-    * discriminating token mismatches).
-    */
-  private val GenericOrgWords: Set[String] = Set(
-    "the", "of", "and", "group", "trust", "foundation", "fund",
-    "government", "ministry", "state", "holding", "holdings",
-    "association", "institute", "society", "committee", "council",
-    "organization", "organisation", "agency", "bureau", "office")
-  val GenericOrgMatchWeight = 0.15
+  // Generic org words / locations / name-variant groups live in
+  // graft.text.Symbols (shared with the blocker's sy: token emission).
 
   /** Org-class symbol table: every surface form → canonical class, so
     * "limited" pairs with "ltd" as a symbol match. Russian org-form
@@ -62,12 +68,23 @@ object NameMatchV2 {
     * literal one).
     */
   private val orgClass: Map[String, String] = {
-    val m = graft.text.TextNorm.LegalForms
+    val m = graft.text.TextNorm.LegalForms --
+      // fingerprint replacements that are NOT legal forms — treating
+      // "international"/"us" as org classes would symbol-pair them
+      // with real class tokens ("ABC International" ~ "A.B.C. Company"
+      // must not score intl~co as a class edge)
+      Seq("international", "united states")
     (m.map { case (long, short) => long.replace(" ", "") -> short } ++
       m.values.map(v => v -> v)).toMap ++
       Map("oao" -> "oao", "zao" -> "zao", "ooo" -> "ooo", "pao" -> "pao",
         "ao" -> "ao", "ojsc" -> "ojsc", "cjsc" -> "cjsc", "pjsc" -> "pjsc",
-        "jsc" -> "jsc", "bvba" -> "bvba", "sprl" -> "bvba")
+        "jsc" -> "jsc", "bvba" -> "bvba", "sprl" -> "bvba",
+        // short forms that only exist glued/collapsed: Polish Sp. z
+        // o.o., fund L.P., Swedish AB, French S.A.S., Italian S.p.A.,
+        // Finnish Oy — all appear as one part after initial-run
+        // collapsing
+        "spzoo" -> "spzoo", "lp" -> "lp", "llp" -> "llp", "ab" -> "ab",
+        "sas" -> "sas", "spa" -> "spa", "oy" -> "oy")
   }
 
   /** Org-class shorts that appear glued to the name in sloppy data
@@ -78,10 +95,16 @@ object NameMatchV2 {
   private val GluedOrgPrefixes: Seq[String] =
     Seq("gmbh", "ojsc", "cjsc", "pjsc", "ooo", "oao", "zao")
 
-  /** Cross-language equivalence groups over canonical classes. */
+  /** Cross-language equivalence groups over canonical classes. The
+    * whole Russian/English stock-company family collapses to one group:
+    * the frozen run scores "OAO Gazprom" ~ "Gazprom JSC" as a 0.8-score
+    * ORG_CLASS symbol pair (0.9176 total — exact fit), so OAO/ZAO/PAO/
+    * AO map with their OJSC/CJSC/PJSC/JSC transliterations.
+    */
   private val classGroup: Map[String, String] = Map(
-    "oao" -> "ojsc", "zao" -> "cjsc", "ooo" -> "llc", "pao" -> "pjsc",
-    "ao" -> "jsc", "sarl" -> "sarl", "srl" -> "sarl", "bvba" -> "bv")
+    "oao" -> "jsc", "zao" -> "jsc", "ooo" -> "llc", "pao" -> "jsc",
+    "ao" -> "jsc", "ojsc" -> "jsc", "cjsc" -> "jsc", "pjsc" -> "jsc",
+    "sarl" -> "sarl", "srl" -> "sarl", "bvba" -> "bv")
 
   private def groupOf(canon: String): String =
     classGroup.getOrElse(canon, canon)
@@ -116,21 +139,167 @@ object NameMatchV2 {
       sc == Character.UnicodeScript.HANGUL
   }
 
-  /** Fuzzy score for a residue part pair. The reference routes residues
-    * through rigour's `compare_parts` DP (strict_levenshtein only
-    * scores object names); measured against the frozen run, the closest
-    * shape is 1 − d/shorter with an edit budget of shorter/4 capped at
-    * 4 (Sukamto~Sukarno → 0 at budget 1, FridrichBuchenberg glued →
-    * 0.944 at budget 4), and no fuzzy credit across CJK scripts.
+  /** Grammatical-suffix strip: Baltic nominative -s ("Sergejs
+    * Lavrovs") compared with the bare stem. Only for parts long enough
+    * that the trailing s is plausibly inflection.
     */
-  private def strictSim(a: String, b: String): Double = {
-    if (a == b) return 1.0
-    if (hasCjk(a) || hasCjk(b)) return 0.0
-    val shorter = math.min(a.length, b.length)
-    val cap = math.min(4, shorter / 4)
-    if (cap < 1) return 0.0
-    val d = Levenshtein.distance(a, b)
-    if (d > cap) 0.0 else 1.0 - d.toDouble / shorter
+  private def stripS(t: String): String =
+    if (t.length >= 5 && t.endsWith("s")) t.dropRight(1) else t
+
+  private val Vowels: Set[Char] = Set('a', 'e', 'i', 'o', 'u', 'y')
+
+  private def consStr(s: String): String = s.filterNot(Vowels)
+
+  /** Soundex-style consonant class; vowels and h/w vanish. */
+  private def phonClass(c: Char): Char = c match {
+    case 'b' | 'p' | 'f' | 'v' | 'w' => '1'
+    case 'c' | 'g' | 'j' | 'k' | 'q' | 's' | 'x' | 'z' => '2'
+    case 'd' | 't' => '3'
+    case 'l' => '4'
+    case 'm' | 'n' => '5'
+    case 'r' => '6'
+    case _ => ' '
+  }
+
+  /** Consonant-class skeleton, collapsing only raw-adjacent duplicates
+    * (Soundex-style): "schulze" and "scholz" share "242"; "sancho" and
+    * "sanchez" do not.
+    */
+  private def skeleton(s: String): String = {
+    val sb = new StringBuilder
+    var prev = ' '
+    for (c <- s) {
+      val p = phonClass(c)
+      if (p != ' ' && p != prev) sb += p
+      prev = p
+    }
+    sb.toString
+  }
+
+  /** Vowel proximity groups: e/i/y(/j) swap freely in transliteration,
+    * o/u likewise; a is its own group (Brody↔Brady is a real surname
+    * change — the frozen run scores it squared, while Qaeda↔Qaida and
+    * Jinpeng↔Jinping stay near-linear).
+    */
+  private val CloseVowelGroups: Map[Char, Int] = Map(
+    'e' -> 0, 'i' -> 0, 'y' -> 0, 'j' -> 0, 'o' -> 1, 'u' -> 1, 'a' -> 2)
+
+  /** Same length and every differing position a same-group vowel swap. */
+  private def closeVowelSubs(a: String, b: String): Boolean =
+    a.length == b.length && a.zip(b).forall { case (x, y) =>
+      x == y || ((CloseVowelGroups.get(x), CloseVowelGroups.get(y)) match {
+        case (Some(gx), Some(gy)) => gx == gy
+        case _ => false
+      })
+    }
+
+  /** Digit→letter fold for leetspeak-obfuscated parts ("Ig0r Sech1n" ~
+    * "Igor Sechin" scores 0.84 in the frozen run). Only fires on mixed
+    * digit+letter tokens, so real numerals stay numerals.
+    */
+  private val LeetMap: Map[Char, Char] = Map('0' -> 'o', '1' -> 'i',
+    '3' -> 'e', '4' -> 'a', '5' -> 's', '7' -> 't', '8' -> 'b', '9' -> 'g')
+
+  def leetFold(s: String): String =
+    if (s.exists(_.isDigit) && s.exists(_.isLetter))
+      s.map(c => LeetMap.getOrElse(c, c))
+    else s
+
+  /** Slavic adjectival-surname suffixes: Зеленський romanizes as
+    * zelenskij / zelenskyy / zelenskiy depending on the system; equal
+    * stems of ≥5 chars score 0.95.
+    */
+  private val SlavicSuffixes = Seq("ij", "yj", "iy", "yy", "ii")
+
+  private def slavicStem(s: String): Option[String] =
+    SlavicSuffixes.collectFirst {
+      case suf if s.endsWith(suf) && s.length - suf.length >= 5 =>
+        s.dropRight(suf.length)
+    }
+
+  /** Fuzzy score for a residue part pair, fitted against the frozen
+    * logic-v2 run (rigour `compare_parts` is not public source here, so
+    * the shape is reverse-derived from exact frozen scores):
+    *  - pure insertions/deletions: 1 − d/max_len
+    *    (Barack~Barak 0.8333, Scholze~Scholz 0.8571, Michel~Michelle
+    *    0.75 — all exact);
+    *  - any substitution: (1 − d/max_len)² (Brody~Brady 0.64,
+    *    Armenia~America 0.51 — exact), and nothing for parts ≤4 chars
+    *    (Cock~Cook, Tom~Tim score 0 in the frozen run);
+    *  - edit budget ⌈max_len/4⌉ capped at 4;
+    *  - no fuzzy credit across CJK scripts (one char = one morpheme);
+    *  - numeral tokens must be equal (Vessel 1 ≠ Vessel 2).
+    */
+  private def lcsLen(a: String, b: String): Int = {
+    val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      dp(i)(j) =
+        if (a(i - 1) == b(j - 1)) dp(i - 1)(j - 1) + 1
+        else math.max(dp(i - 1)(j), dp(i)(j - 1))
+    dp(a.length)(b.length)
+  }
+
+  private def strictSim(a0: String, b0: String,
+      person: Boolean = true): Double = {
+    def core(a: String, b: String): Double = {
+      if (a == b) return 1.0
+      if (hasCjk(a) || hasCjk(b)) return 0.0
+      if (isNumeric(a) || isNumeric(b)) return 0.0 // unequal numerals
+      val maxLen = math.max(a.length, b.length)
+      if (maxLen <= 3) return 0.0 // uun~un, tom~tim: dead in the frozen run
+      val d = Levenshtein.distance(a, b)
+      val budget = math.min(4, (maxLen + 3) / 4)
+      if (d > budget) return 0.0
+      // pure letter-repetition artifacts of ≥2 edits are dead in the
+      // frozen run ("Kim Joonng-un" ~ "Kim Jong-un" → given name 0)
+      // while a single doubling survives ("Barackk" ~ "Barack" 0.857)
+      if (d >= 2 && squeeze(a) == squeeze(b)) return 0.0
+      val s = 1.0 - d.toDouble / maxLen
+      val vowelOnly = consStr(a) == consStr(b)
+      if (vowelOnly && closeVowelSubs(a, b)) math.pow(s, 1.5)
+      // short family names are all-signal for persons: one consonant
+      // edit is a different name (Cock~Cook 0); org words tolerate the
+      // single edit softened (Beta~Meta = 0.75^1.5 = 0.6495, exact in
+      // the frozen run). budget=1 at this length, so d == 1 here.
+      else if (maxLen <= 4) { if (person) 0.0 else math.pow(s, 1.5) }
+      else {
+        // substitution-free optimal path (Barakhoev~Barkhanoev is a
+        // 1-del + 2-ins rearrangement — indel even though d ≠ Δlen)
+        val pureIndel = d == a.length + b.length - 2 * lcsLen(a, b)
+        val phonSame = vowelOnly || skeleton(a) == skeleton(b)
+        if (pureIndel) { if (phonSame) s else s * s * s }
+        // phonetically-conserving substitutions survive while the edit
+        // share stays ≤ ⅓ (Frederick~Friedrich ✓, Song~Kyong ✗)
+        else if (phonSame) { if (d * 3 <= maxLen) s * s else 0.0 }
+        // consonant-changing substitutions die at the budget edge or
+        // at ≥3 edits (Guchkov~Guchaev, Sancho~Sanchez → 0 frozen);
+        // with slack they survive cubed (Abdurrahim~Abdurrahman)
+        else if (d >= budget || d >= 3) 0.0
+        else s * s * s
+      }
+    }
+    val a1 = leetFold(a0)
+    val b1 = leetFold(b0)
+    val direct = core(a1, b1)
+    if (direct >= 1.0) return direct
+    // suffix-normalized retry: equal stems = transliteration siblings
+    // (zelenskij ~ zelenskyy → 0.95); near stems propagate damped
+    // (selenskyj ~ zelenskyy → 0.95 · sim(selensk, zelensk))
+    val stem = (slavicStem(a1), slavicStem(b1)) match {
+      case (Some(x), Some(y)) if x == y => 0.95
+      case (Some(x), Some(y)) => 0.95 * core(x, y)
+      case _ => 0.0
+    }
+    List(direct, stem,
+      if (stripS(a1) != a1) core(stripS(a1), b1) else 0.0,
+      if (stripS(b1) != b1) core(a1, stripS(b1)) else 0.0).max
+  }
+
+  /** Collapse runs of the same letter ("joonng" → "jong"). */
+  private def squeeze(s: String): String = {
+    val sb = new StringBuilder
+    for (c <- s) if (sb.isEmpty || sb.last != c) sb += c
+    sb.toString
   }
 
   private final case class Aligned(q: Option[String], r: Option[String],
@@ -142,26 +311,45 @@ object NameMatchV2 {
   def scoreNamePair(qParts0: List[String], rParts0: List[String],
       person: Boolean): Double = {
     if (qParts0.isEmpty || rParts0.isEmpty) return 0.0
-    val qFamily = qParts0.lastOption.toSet
-    val rFamily = rParts0.lastOption.toSet
     var qRem = qParts0
     var rRem = rParts0
     val matches = scala.collection.mutable.ListBuffer.empty[Aligned]
     // Stage 1 — symbol pairing (magic.py): org-class tokens pair by
     // canonical class (limited~ltd, fuzzy long forms) at 1.0 when the
-    // class is identical, 0.8 when only the cross-language alias group
-    // agrees (OAO ~ OJSC); weight 0.7 either way.
+    // class is identical, 0.8 otherwise — ANY two legal-form tokens
+    // pair ("construction ltd" ~ "LLC CONSTRUCTION …" scores 0.7241 in
+    // the frozen run, which requires the ltd~llc edge); weight 0.7.
+    // Same-group pairs (OAO ~ OJSC) are preferred over cross-class.
     for (qp <- qParts0.distinct; qc <- orgClassOf(qp)) {
-      rRem.iterator.flatMap(rp => orgClassOf(rp).map(rp -> _))
-        .find { case (_, rc) => rc == qc || groupOf(rc) == groupOf(qc) }
+      val rCands = rRem.iterator.flatMap(rp => orgClassOf(rp).map(rp -> _)).toList
+      rCands.find { case (_, rc) => rc == qc }
+        .orElse(rCands.find { case (_, rc) => groupOf(rc) == groupOf(qc) })
+        .orElse(rCands.headOption)
         .foreach { case (rp, rc) =>
-          if (qRem.contains(qp)) {
+          if (qRem.contains(qp) && rRem.contains(rp)) {
             qRem = Features.remove1(qRem, qp)
             rRem = Features.remove1(rRem, rp)
             matches += Aligned(Some(qp), Some(rp),
               if (qc == rc) 1.0 else OrgClassScore, OrgClassWeight)
           }
         }
+    }
+    // Stage 1a — NAME / NICK symbol pairing: curated variant groups
+    // (transliteration siblings score 0.9 full weight; hypocorisms 0.6
+    // at weight 0.8 — "Ted Doe" ~ "Theodore Doe" is 0.8222 frozen).
+    for (qp <- qRem.distinct; rp <- rRem.distinct) {
+      if (qRem.contains(qp) && rRem.contains(rp)) {
+        if (Symbols.sameNameVariant(qp, rp) ||
+          (stripS(qp) != qp && Symbols.sameNameVariant(stripS(qp), rp))) {
+          qRem = Features.remove1(qRem, qp)
+          rRem = Features.remove1(rRem, rp)
+          matches += Aligned(Some(qp), Some(rp), NameVariantScore, 1.0)
+        } else if (Symbols.sameNick(qp, rp)) {
+          qRem = Features.remove1(qRem, qp)
+          rRem = Features.remove1(rRem, rp)
+          matches += Aligned(Some(qp), Some(rp), NickScore, NickWeight)
+        }
+      }
     }
     // Stage 1b — initials pairing: a single-letter part pairs with a
     // part starting with that letter on the other side, but carries NO
@@ -172,6 +360,11 @@ object NameMatchV2 {
     // waiting on the other side, and only when the initial itself can't
     // exact-match ("Frost, William W." ~ "William W Frost" must align
     // w~w and william~william, not w~william).
+    // Lead initials ("V. Putin") consume at full weight (frozen 0.50 =
+    // 1/2 exact); mid-name initials ("Ali A. Velayati") at 0.7 (frozen
+    // 0.7407 = 2/2.7 exact).
+    def initWeight(p: String, parts: List[String]): Double =
+      if (parts.headOption.contains(p)) 1.0 else 0.7
     def pairInitials(): Unit = {
       for (qp <- qRem.distinct
            if qp.length == 1 && qp.head.isLetter && !rRem.contains(qp)) {
@@ -180,7 +373,7 @@ object NameMatchV2 {
           if (qRem.contains(qp)) {
             qRem = Features.remove1(qRem, qp)
             rRem = Features.remove1(rRem, rp)
-            matches += Aligned(Some(qp), Some(rp), 0.0, 1.0)
+            matches += Aligned(Some(qp), Some(rp), 0.0, initWeight(qp, qParts0))
           }
         }
       }
@@ -191,7 +384,7 @@ object NameMatchV2 {
           if (rRem.contains(rp)) {
             qRem = Features.remove1(qRem, qp)
             rRem = Features.remove1(rRem, rp)
-            matches += Aligned(Some(qp), Some(rp), 0.0, 1.0)
+            matches += Aligned(Some(qp), Some(rp), 0.0, initWeight(rp, rParts0))
           }
         }
       }
@@ -204,7 +397,7 @@ object NameMatchV2 {
     val cand = (for {
       qp <- qRem.distinct
       rp <- rRem.distinct
-      s = strictSim(qp, rp)
+      s = strictSim(qp, rp, person)
       if s > 0.0
     } yield (qp, rp, s)).sortBy(t => (-t._3, t._1, t._2))
     for ((qp, rp, s) <- cand) {
@@ -215,25 +408,44 @@ object NameMatchV2 {
         matches += Aligned(Some(qp), Some(rp), s, w)
       }
     }
-    // Stage 3 — extras with per-category bias (weight_extra_match).
+    // Stage 3 — extras with per-category bias (weight_extra_match):
+    // stopwords 0.5, org classes/SYMBOL words 0.7, locations 0.8,
+    // numerals 1.3, everything else 1.0.
+    // a lone stray initial is weak noise (Thomas A. Lindeman ~ Thomas
+    // Lindemann, 0.7917 frozen), but initials stranded on BOTH sides
+    // are conflicting evidence at full weight (Frost, William G. ~
+    // William W Frost, 0.6667 frozen)
+    val initialsConflict =
+      qRem.exists(p => p.length == 1 && p.head.isLetter) &&
+        rRem.exists(p => p.length == 1 && p.head.isLetter)
     def extraBias(p: String): Double =
       if (isStopword(p)) 0.5
+      else if (p.length == 1 && p.head.isLetter) {
+        if (initialsConflict) 1.0 else 0.5
+      }
       else if (orgClass.contains(p)) OrgClassExtraBias
+      else if (!person && Symbols.GenericOrgWords(p)) GenericExtraBias
+      else if (!person && Symbols.Locations(p)) LocationExtraBias
       else if (isNumeric(p)) NumericWeight
       else 1.0
     qRem.foreach(p =>
       matches += Aligned(Some(p), None, 0.0, ExtraQueryWeight * extraBias(p)))
     rRem.foreach(p =>
       matches += Aligned(None, Some(p), 0.0, ExtraResultWeight * extraBias(p)))
-    // Stage 4 — contextual weight normalisation on matched edges.
+    // Stage 4 — contextual weight normalisation on matched edges. The
+    // frozen run applies no family-name boost to these raw (untagged)
+    // name strings — "Tim Cock" ~ "Tim Cook" is exactly
+    // 1/(1+0.8+0.2) = 0.5 — so none is applied here either; rigour
+    // reserves the 1.3× for parts carrying explicit FAMILY tags.
     for (m <- matches if m.q.nonEmpty && m.r.nonEmpty) {
-      if (!person &&
-        (m.q.exists(GenericOrgWords) || m.r.exists(GenericOrgWords)))
-        m.weight = GenericOrgMatchWeight
-      else if (m.q.exists(isStopword) || m.r.exists(isStopword))
-        m.weight *= 0.7
-      if (person && (m.q.exists(qFamily) || m.r.exists(rFamily)))
-        m.weight *= FamilyNameWeight
+      val qp = m.q.get
+      val rp = m.r.get
+      if (!person && Symbols.GenericOrgWords(qp) && Symbols.GenericOrgWords(rp))
+        m.weight = GenericMatchWeight
+      else if (!person && qp == rp && Symbols.Locations(qp))
+        m.weight = LocationWeight
+      if (isStopword(qp) || isStopword(rp))
+        m.weight = math.min(m.weight, StopwordMatchWeight)
     }
     // Two or more matched initials are strong evidence alongside a full
     // exact part (frozen: "J.-C. Juncker" ~ "Jean-Claude Juncker" →
@@ -305,14 +517,47 @@ object NameMatchV2 {
     "fifty" -> 50, "sixty" -> 60, "seventy" -> 70, "eighty" -> 80,
     "ninety" -> 90)
 
-  private def numberizeParts(parts: List[String]): List[String] = {
+  /** Ordinal words and suffixed ordinals → digits ("1st International
+    * Bank" ~ "First International Bank", frozen 0.9435).
+    */
+  private val OrdinalWords: Map[String, Int] = Map(
+    "first" -> 1, "second" -> 2, "third" -> 3, "fourth" -> 4,
+    "fifth" -> 5, "sixth" -> 6, "seventh" -> 7, "eighth" -> 8,
+    "ninth" -> 9, "tenth" -> 10)
+
+  private val OrdinalSuffixed = "^(\\d+)(st|nd|rd|th)$".r
+
+  /** Roman numerals ii..xx → digits (PE-fund vintage markers:
+    * "Fund VII" vs "Fund VIII" must compare as unequal numerals, not
+    * as a 1-edit fuzzy match). Single letters (i, v, x) are left alone
+    * — they collide with initials.
+    */
+  private val RomanNumerals: Map[String, Int] = Map(
+    "ii" -> 2, "iii" -> 3, "iv" -> 4, "vi" -> 6, "vii" -> 7,
+    "viii" -> 8, "ix" -> 9, "xi" -> 11, "xii" -> 12, "xiii" -> 13,
+    "xiv" -> 14, "xv" -> 15, "xvi" -> 16, "xvii" -> 17, "xviii" -> 18,
+    "xix" -> 19, "xx" -> 20)
+
+  /** Roman/ordinal folding is org-only: person names contain "Xi" and
+    * "Ivan IV"-style regnal numbers where the conversion misfires.
+    */
+  private def numberizeParts(parts: List[String],
+      roman: Boolean = false): List[String] = {
+    def one(a: String): Option[Int] =
+      NumberWords.get(a)
+        .orElse(if (roman) OrdinalWords.get(a) else None)
+        .orElse(if (roman) RomanNumerals.get(a) else None)
+        .orElse(a match {
+          case OrdinalSuffixed(n, _) => Some(n.toInt)
+          case _ => None
+        })
     def go(xs: List[String]): List[String] = xs match {
       case a :: b :: rest if NumberWords.contains(a) &&
           NumberWords(a) >= 20 && NumberWords(a) % 10 == 0 &&
           NumberWords.get(b).exists(v => v >= 1 && v <= 9) =>
         (NumberWords(a) + NumberWords(b)).toString :: go(rest)
-      case a :: rest if NumberWords.contains(a) =>
-        NumberWords(a).toString :: go(rest)
+      case a :: rest if one(a).isDefined =>
+        one(a).get.toString :: go(rest)
       case a :: rest => a :: go(rest)
       case Nil => Nil
     }
@@ -339,16 +584,42 @@ object NameMatchV2 {
     go(parts)
   }
 
-  /** Merge adjacent parts whose glued form appears verbatim on the other
-    * side (rigour `compare_parts` cluster merging): "Good Will" aligns
-    * with "Goodwill", "Patr ushev" with "Patrushev".
+  /** Merge adjacent parts whose glued form appears verbatim — or as a
+    * NAME-variant sibling — on the other side (rigour `compare_parts`
+    * cluster merging): "Good Will" aligns with "Goodwill", "Patr ushev"
+    * with "Patrushev", "Plat Ono Vich" (3-run) with "Platonovich",
+    * "Tse Tung" with "Zedong" (via the tsetung~zedong variant group).
     */
-  def mergeAdjacent(parts: List[String], other: Set[String]): List[String] =
+  def mergeAdjacent(parts: List[String], other: Set[String]): List[String] = {
+    def present(glued: String): Boolean =
+      other.contains(glued) ||
+        other.exists(o => Symbols.sameNameVariant(glued, o))
     parts match {
-      case a :: b :: rest if other.contains(a + b) =>
+      case a :: b :: c :: rest if present(a + b + c) =>
+        (a + b + c) :: mergeAdjacent(rest, other)
+      case a :: b :: rest if present(a + b) =>
         (a + b) :: mergeAdjacent(rest, other)
       case h :: t => h :: mergeAdjacent(t, other)
       case Nil => Nil
+    }
+  }
+
+  /** Conjunction tokens dropped from org-name parts before alignment. */
+  private val OrgConjunctions: Set[String] = Set("and", "und")
+
+  /** Split a compact initialism into letters when it spells the
+    * initials of ≥2 consecutive multi-letter parts on the other side
+    * and is not itself a part over there ("jc" vs [jean, claude, …] →
+    * [j, c]).
+    */
+  def splitInitialism(parts: List[String], other: List[String]): List[String] =
+    parts.flatMap { p =>
+      val spells = p.length >= 2 && p.length <= 4 && p.forall(_.isLetter) &&
+        !other.contains(p) &&
+        other.sliding(p.length).exists(w =>
+          w.size == p.length && w.forall(_.length > 1) &&
+            w.map(_.head).mkString == p)
+      if (spells) p.toList.map(_.toString) else List(p)
     }
 
   /** Drop names whose token multiset is contained in a longer name on
@@ -381,8 +652,21 @@ object NameMatchV2 {
     // fingerprint normalization: ascii fold + romanization + person
     // prefixes + legal-form replacement ("Gesellschaft mit beschränkter
     // Haftung" → "gmbh"), per rigour's org-type normalization
-    val qn = q.names.flatMap(n => TextNorm.fingerprintName(n)).distinct
-    val rn = r.names.flatMap(n => TextNorm.fingerprintName(n)).distinct
+    val strip: String => String =
+      if (tag == Ftm.PER) TextNorm.removeHonorifics else identity
+    // "/" separates alias variants inside one name field
+    // ("Al-Qa'ida/Islamic Army") — each side scores independently.
+    // Only when every fragment is a plausible name (≥3 chars): legal
+    // forms like "A/S" must not shed a one-letter ghost name.
+    def aliasSplit(n: String): Seq[String] = {
+      val frags = n.split('/').map(_.trim)
+      if (frags.length > 1 && frags.forall(_.length >= 3)) frags.toSeq
+      else Seq(n)
+    }
+    val qn = q.names.flatMap(aliasSplit)
+      .flatMap(n => TextNorm.fingerprintName(n)).map(strip).distinct
+    val rn = r.names.flatMap(aliasSplit)
+      .flatMap(n => TextNorm.fingerprintName(n)).map(strip).distinct
     if (qn.isEmpty || rn.isEmpty || tag == Ftm.UNK) 0.0
     else if (tag == Ftm.OBJ) matchObjectNames(qn, rn)
     else if (qn.toSet.intersect(rn.toSet).nonEmpty) 1.0 // literal rescue
@@ -400,30 +684,43 @@ object NameMatchV2 {
       // glues to "jointstockcompan", fuzzy-resolves to jsc, and pairs
       // with the other side's replaced "jsc" instead of bleeding three
       // unmatched extra tokens
+      // phrase-glue guard: ≥8 chars for fuzzy resolution, or an exact
+      // short-form hit ("sp"+"zoo" → spzoo)
+      def phraseClass(g: String): Option[String] =
+        if (g.length >= 8) orgClassOf(g)
+        else if (orgClass.contains(g)) Some(orgClass(g))
+        else None
       def collapseOrgPhrases(parts: List[String]): List[String] =
         parts match {
-          case a :: b :: c :: rest
-              if orgClassOf(a + b + c).isDefined && (a + b + c).length >= 8 =>
-            orgClassOf(a + b + c).get :: collapseOrgPhrases(rest)
-          case a :: b :: rest
-              if orgClassOf(a + b).isDefined && (a + b).length >= 8 =>
-            orgClassOf(a + b).get :: collapseOrgPhrases(rest)
+          case a :: b :: c :: rest if phraseClass(a + b + c).isDefined =>
+            phraseClass(a + b + c).get :: collapseOrgPhrases(rest)
+          case a :: b :: rest if phraseClass(a + b).isDefined =>
+            phraseClass(a + b).get :: collapseOrgPhrases(rest)
           case h :: t => h :: collapseOrgPhrases(t)
           case Nil => Nil
         }
       def prep(names: Seq[String]): Seq[List[String]] =
         consolidateNames(names.map { n =>
-          val parts = numberizeParts(n.split(' ').toList)
+          val parts = numberizeParts(n.split(' ').toList, roman = !person)
           // initialism runs stay ordered for orgs; person initials pair
-          // individually in scoreNamePair's INITIAL stage
+          // individually in scoreNamePair's INITIAL stage. Orgs drop
+          // conjunction tokens — "H&M" fingerprints to "h m" while the
+          // long form spells "H and M"; the "and" would bleed extras.
           if (person) parts
           else collapseOrgPhrases(
-            collapseInitialRuns(parts).flatMap(splitOrgPrefix))
+            collapseInitialRuns(parts.filterNot(OrgConjunctions))
+              .flatMap(splitOrgPrefix))
         })
       val qParts = prep(qn)
       val rParts = prep(rn)
       var best = 0.0
-      for (a0 <- qParts; b0 <- rParts if best < 1.0) {
+      for (a00 <- qParts; b00 <- rParts if best < 1.0) {
+        // person initialisms: a 2-4 letter part spelling the initials
+        // of a consecutive run on the other side splits into single
+        // letters ("JC Juncker" ~ "Jean-Claude Juncker" → j c juncker,
+        // frozen 0.95), feeding the INITIAL pairing stage
+        val a0 = if (person) splitInitialism(a00, b00) else a00
+        val b0 = if (person) splitInitialism(b00, a00) else b00
         // cluster merging: glue adjacent parts that appear glued on the
         // other side ("Good Will" ~ "Goodwill", "Patr ushev" ~
         // "Patrushev")
@@ -434,7 +731,7 @@ object NameMatchV2 {
         // without spaces ("PolPot"~"Pol Pot"; rigour compare_parts
         // merges adjacent parts into clusters)
         if (a.size == 1 || b.size == 1)
-          best = math.max(best, strictSim(a.mkString, b.mkString))
+          best = math.max(best, strictSim(a.mkString, b.mkString, person))
         // acronym (INITIAL symbol): any part spelling the other side's
         // first letters ("PLA"~"People's Liberation Army", also with
         // trailing extra parts like "PLA China")

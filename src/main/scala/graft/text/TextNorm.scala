@@ -22,7 +22,10 @@ object TextNorm {
   private val cyrillicMap: Map[Char, String] = Map(
     'а' -> "a", 'б' -> "b", 'в' -> "v", 'г' -> "g", 'д' -> "d",
     'е' -> "e", 'ё' -> "e", 'ж' -> "zh", 'з' -> "z", 'и' -> "i",
-    'й' -> "y", 'к' -> "k", 'л' -> "l", 'м' -> "m", 'н' -> "n",
+    // й → j (scientific translit): "Сергей" must read "sergej" so the
+    // "Serej Lavrov" frozen case aligns at one edit, and the
+    // sergej/sergey variant group catches the BGN spelling
+    'й' -> "j", 'к' -> "k", 'л' -> "l", 'м' -> "m", 'н' -> "n",
     'о' -> "o", 'п' -> "p", 'р' -> "r", 'с' -> "s", 'т' -> "t",
     'у' -> "u", 'ф' -> "f", 'х' -> "kh", 'ц' -> "ts", 'ч' -> "ch",
     'ш' -> "sh", 'щ' -> "shch", 'ъ' -> "", 'ы' -> "y", 'ь' -> "",
@@ -176,6 +179,35 @@ object TextNorm {
     "mr", "mrs", "ms", "miss", "dr", "prof", "sir", "herr", "frau",
     "monsieur", "madame", "mme", "dott", "shri", "smt")
 
+  /** Honorifics/titles stripped from PERSON names only ("Präsident
+    * Barack Obama" ~ "Barack Obama" scores 1.0 in the frozen logic-v2
+    * run; "President Erdoğan" ~ "Recep Tayyip Erdoğan" 0.7143). Kept
+    * separate from [[PersonPrefixes]] because the generic fingerprint
+    * also runs on org names, where "General Motors" and "Saint Gobain"
+    * must survive intact.
+    */
+  val Honorifics: Seq[String] = Seq(
+    "president", "präsident", "prasident", "président", "presidente",
+    // NB: amir/emir/sultan/haji deliberately absent — they are common
+    // given names ("AMIR SAYYID ABDULLAH"), not just titles
+    "mister", "madam", "lady", "lord", "dame", "rev", "hon",
+    "sheikh", "shaikh", "sheik", "shaykh",
+    "imam", "mullah", "ayatollah",
+    "general", "gen", "colonel", "col", "major", "maj", "captain",
+    "capt", "admiral", "adm", "commander", "sergeant", "sgt",
+    "lieutenant", "lt", "senator", "sen", "governor", "gov", "mayor",
+    "minister", "secretary", "ambassador", "chancellor", "judge",
+    "justice", "rabbi", "bishop", "cardinal", "pastor")
+
+  private val HonorificSet: Set[String] = Honorifics.toSet
+
+  /** Strip leading honorific tokens from a cleaned person name. */
+  def removeHonorifics(cleaned: String): String = {
+    val parts = cleaned.split(' ').toList
+    val rest = parts.dropWhile(HonorificSet)
+    if (rest.isEmpty) cleaned else rest.mkString(" ")
+  }
+
   def removePersonPrefixes(name: String): String = {
     var out = name
     var changed = true
@@ -208,6 +240,8 @@ object TextNorm {
     "open joint stock company" -> "ojsc", "joint stock company" -> "jsc",
     "aktsionernoe obshchestvo" -> "ao",
     "obshchestvo s ogranichennoy otvetstvennostyu" -> "ooo",
+    // й→j romanization spelling of the same phrase
+    "obshchestvo s ogranichennoj otvetstvennostyu" -> "ooo",
     "besloten vennootschap" -> "bv", "naamloze vennootschap" -> "nv",
     "international" -> "intl", "united states" -> "us")
 

@@ -18,4 +18,19 @@ class NameBenchDiagSpec extends AnyFunSuite {
         f"[${c.schema}] '${c.name1}' vs '${c.name2}'")
     }
   }
+
+  test("all classification disagreements vs frozen") {
+    val spec = new NameBenchParitySpec
+    val bad = spec.cases.map { c =>
+      val s = Algorithms.LogicV2.score(spec.view(c.schema, c.name1),
+        spec.view(c.schema, c.name2))
+      (c, s, s >= spec.Threshold)
+    }.filter { case (c, _, p) => p != c.frozenPred }
+    info(s"total classification disagreements: ${bad.size}")
+    bad.sortBy { case (c, s, _) => -math.abs(s - c.frozenScore) }
+      .foreach { case (c, s, _) =>
+        info(f"us=$s%.2f frozen=${c.frozenScore}%.2f " +
+          f"[${c.schema}] '${c.name1}' vs '${c.name2}'")
+      }
+  }
 }

@@ -79,11 +79,15 @@ class NameBenchParitySpec extends AnyFunSuite {
     info(f"n=$n agreeFrozen=${agreeFrozen.toDouble / n}%.3f " +
       f"agreeTruth=${agreeTruth.toDouble / n}%.3f " +
       f"precision=$precision%.3f recall=$recall%.3f MAE=$mae%.3f")
-    // measured: agreeFrozen 0.823, agreeTruth 0.718 (the frozen run
-    // itself reaches ~0.79 on ground truth — the gap is the unported
-    // nickname/cross-script symbol machinery, SURVEY §7.4)
+    // measured (round 4): agreeFrozen 0.967, MAE 0.033 — after the
+    // NAME/NICK variant groups, fitted fuzzy shape (indel linear, sub
+    // squared, phonetic-class gates), initials/extras weights, and the
+    // honorific/romanization normalizations. Remaining disagreements
+    // are the Han/Khmer transliteration dataset (out of scope) and a
+    // tail of borderline ±0.05-at-threshold org cases.
     assert(n > 100)
-    assert(agreeFrozen.toDouble / n >= 0.78)
-    assert(agreeTruth.toDouble / n >= 0.65)
+    assert(agreeFrozen.toDouble / n >= 0.95)
+    assert(agreeTruth.toDouble / n >= 0.72)
+    assert(mae <= 0.04)
   }
 }
