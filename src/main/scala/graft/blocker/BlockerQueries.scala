@@ -92,6 +92,14 @@ object BlockerQueries {
       compatDf(s), cfg)
   }
 
+  /** Symbol-token emission (`sy:` families) over the star names —
+    * the blocking analogue of the reference's symbol spans
+    * (`blocker/tokenizer.py:71-78`). Map-only until the distinct.
+    */
+  def symbolsQ(s: SparkSession, d: String): DataFrame =
+    EntityTokenizer.symbolEntries(
+      StarStatements(s, d).filter(col("field") === "name"))
+
   // ---------------------------------------------------------------- oracle
 
   /** Shared CTE chain mirroring the DataFrame lineage above (also reused
@@ -191,8 +199,23 @@ object BlockerQueries {
     )
     """
 
+  // Lexicon VALUES tables for the symbol oracle — generated from the
+  // same Symbols maps the Spark side uses, sorted for determinism.
+  private def q(s: String) = s"'${s}'"
+  private val symOrgVals = graft.text.Symbols.OrgClasses.toSeq
+    .map { case (k, c) => k -> graft.text.Symbols.orgClassGroup(c) }
+    .sortBy(_._1).map { case (k, g) => s"(${q(k)}, ${q(g)})" }
+    .mkString(", ")
+  private val symNameVals = graft.text.Symbols.NameVariants.toSeq
+    .sortBy(_._1).map { case (k, g) => s"(${q(k)}, $g)" }.mkString(", ")
+  private val symNickVals = graft.text.Symbols.Nicknames.toSeq
+    .sortBy(_._1).map { case (k, g) => s"(${q(k)}, $g)" }.mkString(", ")
+  private val symLocVals = graft.text.Symbols.Locations.toSeq.sorted
+    .map(t => s"(${q(t)})").mkString(", ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_blk_entries" -> (entries _),
+    "q_blk_symbols" -> (symbolsQ _),
     "q_blk_token_stats" -> (tokenStats _),
     "q_blk_stopwords" -> (stopwordsQ _),
     "q_blk_stopword_stats" -> (stopwordStatsQ _),
@@ -204,6 +227,35 @@ object BlockerQueries {
   val oracles: Map[String, String] = Map(
     "q_blk_entries" -> (ctePrefix +
       "SELECT schema, id, field, token, cnt FROM entries"),
+    "q_blk_symbols" -> (ctePrefix + s""",
+      sym_org(tok, grp) AS (VALUES $symOrgVals),
+      sym_name(tok, gid) AS (VALUES $symNameVals),
+      sym_nick(tok, gid) AS (VALUES $symNickVals),
+      sym_loc(tok) AS (VALUES $symLocVals),
+      name_parts AS (
+        SELECT DISTINCT id, schema, t AS part
+        FROM stmts, unnest(string_split_regex(lower(value), '[^a-z0-9]+')) AS u(t)
+        WHERE field = 'name' AND length(t) > 0
+      ),
+      sy AS (
+        SELECT id, schema,
+               'sy:numeric:' || CAST(CAST(part AS BIGINT) AS VARCHAR) AS token
+          FROM name_parts WHERE regexp_full_match(part, '[0-9]{1,15}')
+        UNION
+        SELECT id, schema, 'sy:org_class:' || s.grp
+          FROM name_parts p JOIN sym_org s ON p.part = s.tok
+        UNION
+        SELECT id, schema, 'sy:name:' || CAST(s.gid AS VARCHAR)
+          FROM name_parts p JOIN sym_name s ON p.part = s.tok
+        UNION
+        SELECT id, schema, 'sy:nick:' || CAST(s.gid AS VARCHAR)
+          FROM name_parts p JOIN sym_nick s ON p.part = s.tok
+        UNION
+        SELECT id, schema, 'sy:location:' || part
+          FROM name_parts p JOIN sym_loc s ON p.part = s.tok
+      )
+      SELECT schema, id, 'sy' AS field, token, CAST(1 AS BIGINT) AS cnt
+      FROM sy"""),
     "q_blk_token_stats" -> (ctePrefix +
       "SELECT token, schema, df, freq, field FROM token_stats"),
     "q_blk_stopwords" -> (ctePrefix + "SELECT token, cost FROM stopwords"),

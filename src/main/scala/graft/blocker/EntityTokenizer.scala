@@ -21,9 +21,12 @@ import graft.model.Ftm
   *    `wd:<word>` for words >6 chars
   *  - string/text/identifier values → `wd:<token>` for tokens ≥6 chars
   *    (counted)
-  *
-  * The rigour symbol lexicon (`sy:` tokens) is not reproduced; see
-  * SURVEY §7.4 risk 1.
+  *  - `sy`    → `sy:<category>:<id>` symbol tokens from name parts
+  *    (org-class groups, name-variant groups, nicknames, locations,
+  *    numerals — [[graft.text.Symbols.blockingSymbols]]), set
+  *    semantics; the engine's analogue of the reference's symbol-span
+  *    emission (`blocker/tokenizer.py:71-78`, which skips the INITIAL
+  *    and SYMBOL categories)
   */
 object EntityTokenizer {
 
@@ -105,8 +108,12 @@ object EntityTokenizer {
     val date = st.filter(col("prop_type") === Ftm.T.Date)
       .select(col("id"), col("schema"), lit("date").as("field"),
         concat(lit("d:"), substring(col("value"), 1, 10)).as("token"))
+    val symbols = st.filter(col("prop_type") === Ftm.T.Name)
+      .select(col("id"), col("schema"), explode(symbolsUdf(p)).as("token"))
+      .select(col("id"), col("schema"), lit(SymbolField).as("field"),
+        col("token"))
     val setFam = nameFp.unionByName(nameParts).unionByName(full)
-      .unionByName(ident).unionByName(date)
+      .unionByName(ident).unionByName(date).unionByName(symbols)
       .distinct()
       .withColumn("cnt", lit(1L))
 
@@ -152,4 +159,19 @@ object EntityTokenizer {
 
   private val commonSchemaUdf =
     udf((schemata: Seq[String]) => Ftm.commonSchema(schemata))
+
+  private val symbolsUdf = udf((parts: Seq[String]) =>
+    parts.flatMap(graft.text.Symbols.blockingSymbols).distinct)
+
+  /** Symbol tokens of raw (id, schema, value) name rows →
+    * (schema, id, field='sy', token, cnt=1), set semantics. The
+    * standalone form of the `sy` family for callers whose input is not
+    * a full statement table (q_blk_symbols).
+    */
+  def symbolEntries(named: DataFrame): DataFrame =
+    named.select(col("schema"), col("id"),
+        explode(symbolsUdf(parts(col("value")))).as("token"))
+      .distinct()
+      .select(col("schema"), col("id"), lit(SymbolField).as("field"),
+        col("token"), lit(1L).as("cnt"))
 }

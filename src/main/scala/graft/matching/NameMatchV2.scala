@@ -67,25 +67,7 @@ object NameMatchV2 {
     * with the English class (OAO ~ OJSC scores as a symbol pair, not a
     * literal one).
     */
-  private val orgClass: Map[String, String] = {
-    val m = graft.text.TextNorm.LegalForms --
-      // fingerprint replacements that are NOT legal forms — treating
-      // "international"/"us" as org classes would symbol-pair them
-      // with real class tokens ("ABC International" ~ "A.B.C. Company"
-      // must not score intl~co as a class edge)
-      Seq("international", "united states")
-    (m.map { case (long, short) => long.replace(" ", "") -> short } ++
-      m.values.map(v => v -> v)).toMap ++
-      Map("oao" -> "oao", "zao" -> "zao", "ooo" -> "ooo", "pao" -> "pao",
-        "ao" -> "ao", "ojsc" -> "ojsc", "cjsc" -> "cjsc", "pjsc" -> "pjsc",
-        "jsc" -> "jsc", "bvba" -> "bvba", "sprl" -> "bvba",
-        // short forms that only exist glued/collapsed: Polish Sp. z
-        // o.o., fund L.P., Swedish AB, French S.A.S., Italian S.p.A.,
-        // Finnish Oy — all appear as one part after initial-run
-        // collapsing
-        "spzoo" -> "spzoo", "lp" -> "lp", "llp" -> "llp", "ab" -> "ab",
-        "sas" -> "sas", "spa" -> "spa", "oy" -> "oy")
-  }
+  private val orgClass: Map[String, String] = Symbols.OrgClasses
 
   /** Org-class shorts that appear glued to the name in sloppy data
     * ("ОООБАЗО"); longest-first so "ojsc" wins over "o…". "pao" is
@@ -95,19 +77,10 @@ object NameMatchV2 {
   private val GluedOrgPrefixes: Seq[String] =
     Seq("gmbh", "ojsc", "cjsc", "pjsc", "ooo", "oao", "zao")
 
-  /** Cross-language equivalence groups over canonical classes. The
-    * whole Russian/English stock-company family collapses to one group:
-    * the frozen run scores "OAO Gazprom" ~ "Gazprom JSC" as a 0.8-score
-    * ORG_CLASS symbol pair (0.9176 total — exact fit), so OAO/ZAO/PAO/
-    * AO map with their OJSC/CJSC/PJSC/JSC transliterations.
-    */
-  private val classGroup: Map[String, String] = Map(
-    "oao" -> "jsc", "zao" -> "jsc", "ooo" -> "llc", "pao" -> "jsc",
-    "ao" -> "jsc", "ojsc" -> "jsc", "cjsc" -> "jsc", "pjsc" -> "jsc",
-    "sarl" -> "sarl", "srl" -> "sarl", "bvba" -> "bv")
-
-  private def groupOf(canon: String): String =
-    classGroup.getOrElse(canon, canon)
+  // Cross-language class equivalence (OAO ~ OJSC ~ JSC, fitted to the
+  // frozen "OAO Gazprom" ~ "Gazprom JSC" = 0.9176) lives in
+  // Symbols.OrgClassGroups, shared with the sy: blocking tokens.
+  private def groupOf(canon: String): String = Symbols.orgClassGroup(canon)
 
   /** Canonical org class of a token, tolerating ≤2 edits against the
     * LONG surface forms only ("Aktiengeselschaft" still reads as AG).

@@ -178,6 +178,54 @@ object Symbols {
   private def groupMap(groups: Seq[Seq[String]]): Map[String, Int] =
     groups.zipWithIndex.flatMap { case (g, i) => g.map(_ -> i) }.toMap
 
+  /** Org-class surface form → canonical class ("limited" → "ltd").
+    * Built from the fingerprint legal-form table plus short forms that
+    * only exist post-normalization. "international"/"united states" are
+    * fingerprint replacements, not legal forms, and are excluded — they
+    * must not class-pair with real legal-form tokens.
+    */
+  val OrgClasses: Map[String, String] = {
+    val m = TextNorm.LegalForms -- Seq("international", "united states")
+    (m.map { case (long, short) => long.replace(" ", "") -> short } ++
+      m.values.map(v => v -> v)).toMap ++
+      Map("oao" -> "oao", "zao" -> "zao", "ooo" -> "ooo", "pao" -> "pao",
+        "ao" -> "ao", "ojsc" -> "ojsc", "cjsc" -> "cjsc", "pjsc" -> "pjsc",
+        "jsc" -> "jsc", "bvba" -> "bvba", "sprl" -> "bvba",
+        "spzoo" -> "spzoo", "lp" -> "lp", "llp" -> "llp", "ab" -> "ab",
+        "sas" -> "sas", "spa" -> "spa", "oy" -> "oy")
+  }
+
+  /** Cross-language equivalence groups over canonical classes: the
+    * whole stock-company family (OAO/ZAO/PAO/AO and the OJSC/CJSC/PJSC/
+    * JSC transliterations) collapses to one group.
+    */
+  val OrgClassGroups: Map[String, String] = Map(
+    "oao" -> "jsc", "zao" -> "jsc", "ooo" -> "llc", "pao" -> "jsc",
+    "ao" -> "jsc", "ojsc" -> "jsc", "cjsc" -> "jsc", "pjsc" -> "jsc",
+    "sarl" -> "sarl", "srl" -> "sarl", "bvba" -> "bv")
+
+  def orgClassGroup(canon: String): String =
+    OrgClassGroups.getOrElse(canon, canon)
+
+  /** Blocking symbol tokens of one (lowercased, fingerprinted) name
+    * part — the engine's `sy:` token families, mirroring the reference
+    * tokenizer's symbol emission (`blocker/tokenizer.py:61-132`, which
+    * skips INITIAL and SYMBOL categories):
+    * `sy:name:<group>`, `sy:nick:<group>`, `sy:location:<word>`,
+    * `sy:org_class:<group>`, `sy:numeric:<value>`.
+    */
+  def blockingSymbols(part: String): Seq[String] = {
+    val b = Seq.newBuilder[String]
+    NameVariants.get(part).foreach(g => b += s"sy:name:$g")
+    Nicknames.get(part).foreach(g => b += s"sy:nick:$g")
+    if (Locations(part)) b += s"sy:location:$part"
+    OrgClasses.get(part).foreach(c =>
+      b += s"sy:org_class:${orgClassGroup(c)}")
+    if (part.nonEmpty && part.length <= 15 && part.forall(_.isDigit))
+      b += s"sy:numeric:${BigInt(part)}"
+    b.result()
+  }
+
   /** Same NAME variant group on both sides. */
   def sameNameVariant(a: String, b: String): Boolean =
     a != b && NameVariants.get(a).exists(NameVariants.get(b).contains)

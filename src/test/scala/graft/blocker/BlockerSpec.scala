@@ -101,4 +101,23 @@ class BlockerSpec extends AnyFunSuite {
     assert(rows.map(_.getString(1)).toSeq === Seq("c2", "c1"))
     assert(rows.head.getDouble(2) >= rows.last.getDouble(2))
   }
+
+  test("symbol tokens block cross-form org/person variants together") {
+    val named = Seq(
+      ("Company", "o1", "ACME Limited"),
+      ("Company", "o2", "ACME Ltd"),
+      ("Company", "o3", "Siemens Russia 012"),
+      ("Person", "p1", "Bill Smith"),
+      ("Person", "p2", "William Smith")).toDF("schema", "id", "value")
+    val sy = EntityTokenizer.symbolEntries(named)
+      .collect().map(r => (r.getString(1), r.getString(3))).toSet
+    // limited and ltd collapse to one ORG_CLASS symbol -> same bucket
+    assert(sy(("o1", "sy:org_class:ltd")) && sy(("o2", "sy:org_class:ltd")))
+    // location + zero-normalized numeral
+    assert(sy(("o3", "sy:location:russia")) && sy(("o3", "sy:numeric:12")))
+    // Bill and William share a NICK symbol
+    val shared = sy.collect { case ("p1", t) => t }
+      .intersect(sy.collect { case ("p2", t) => t })
+    assert(shared.exists(_.startsWith("sy:nick:")))
+  }
 }
