@@ -50,9 +50,21 @@ object EntityTokenizer {
     "wikidataId", "wikipediaUrl", "publisher", "publisherUrl", "programId",
     "recordId", "legalForm", "status")
 
-  /** Tiny function-word list standing in for rigour's `is_stopword`. */
+  /** Multi-language function words standing in for rigour's
+    * `is_stopword`: filtered from generic word tokens and damped in
+    * name alignment. English, German, Dutch, Romance and Slavic
+    * articles/prepositions that appear inside entity names.
+    */
   val Stopwords: Seq[String] = Seq(
-    "the", "and", "for", "von", "und", "der", "die", "das", "les", "los")
+    "the", "and", "for", "with", "from",
+    "von", "und", "der", "die", "das", "des", "den", "dem", "ein",
+    "eine", "fur", "bei", "nach", "uber", "unter", "zum", "zur",
+    "van", "het", "een", "ten", "ter",
+    "les", "los", "las", "del", "della", "delle", "degli", "dei",
+    "aux", "par", "pour", "sur", "chez", "et",
+    "dos", "nas", "nos", "pelo", "pela",
+    "och", "med", "pa", "av",
+    "na", "po", "pri", "za", "iz", "ot", "pod", "nad")
 
   /** Lower + latin-1 accent fold (ä→a … ß→ss) — the pragmatic subset of
     * rigour's transliteration the fixtures need.

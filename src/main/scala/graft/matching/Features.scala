@@ -277,9 +277,15 @@ object Features {
     else 1.0
   }
 
-  /** Countries disjoint (`compare/countries.py:9-14`). */
+  /** Countries disjoint under territory containment
+    * (`compare/countries.py:9-14`): "ua-cri" does not mismatch "ua",
+    * "hk" does not mismatch "cn", "suhh" covers its successor states —
+    * [[graft.text.Territories]].
+    */
   val countryMismatch: Feature = (q, r) =>
-    if (disjoint(q.countries, r.countries)) 1.0 else 0.0
+    if (q.countries.isEmpty || r.countries.isEmpty) 0.0
+    else if (graft.text.Territories.intersect(q.countries, r.countries)) 0.0
+    else 1.0
 
   /** Genders disjoint (`compare/gender.py:8-15`). */
   val genderMismatch: Feature = (q, r) =>
@@ -364,23 +370,54 @@ object Features {
 
   // --------------------------------------------------------- addresses
 
-  /** Shared `addressEntity` reference — the two entities point at the
-    * same (canonical) Address entity (`compare/addresses.py:60-66`).
+  /** The reference's `_address_match` composite
+    * (`compare/addresses.py:25-57`): normalize, drop generic address
+    * keywords, then per value pair — full token-subset ⇒ 1.0, else
+    * blend exact-overlap credit with a sorted-residual levenshtein:
+    * (|overlap| + remLen·lev) / (remLen + |overlap|).
+    */
+  private def addressComposite(qa0: Seq[String], ra0: Seq[String]): Double = {
+    def norm(vs: Seq[String]): Seq[Set[String]] = vs
+      .flatMap(TextNorm.normalizeAddress)
+      .map(TextNorm.removeAddressKeywords)
+      .map(_.split(' ').filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    val qn = norm(qa0)
+    val rn = norm(ra0)
+    var best = 0.0
+    for (qt <- qn; rt <- rn if best < 1.0) {
+      val overlap = qt.intersect(rt)
+      if (overlap.size == qt.size || overlap.size == rt.size) best = 1.0
+      else {
+        val qRem = (qt -- overlap).toSeq.sorted
+        val rRem = (rt -- overlap).toSeq.sorted
+        val qs = qRem.mkString(" ")
+        val rs = rRem.mkString(" ")
+        val lev = Levenshtein.similarity(qs, rs,
+          maxEdits = math.max(qs.length, rs.length), maxPercent = 0.5)
+        val remLen = math.max(qRem.size, rRem.size)
+        best = math.max(best,
+          (overlap.size + remLen * lev) / (remLen + overlap.size).toDouble)
+      }
+    }
+    best
+  }
+
+  /** Address-entity similarity: shared canonical `addressEntity`
+    * reference short-circuits to 1.0, else the text composite over the
+    * entities' address values (`compare/addresses.py:60-66`).
     */
   val addressEntityMatch: Feature = (q, r) => {
     if (q.addressEntityIds.toSet.intersect(r.addressEntityIds.toSet).nonEmpty)
       1.0
-    else 0.0
+    else addressComposite(q.addresses, r.addresses)
   }
 
-  /** Shared normalized address text, own + referenced `full` values
+  /** Stated-address similarity for non-Address pairs
     * (`compare/addresses.py:68-73` `address_prop_match` shape).
     */
-  val addressPropMatch: Feature = (q, r) => {
-    val qa = q.addresses.flatMap(TextNorm.cleanNameAscii).toSet
-    val ra = r.addresses.flatMap(TextNorm.cleanNameAscii).toSet
-    if (qa.intersect(ra).nonEmpty) 1.0 else 0.0
-  }
+  val addressPropMatch: Feature = (q, r) =>
+    addressComposite(q.addresses, r.addresses)
 
   // ------------------------------------------------- name_based family
 

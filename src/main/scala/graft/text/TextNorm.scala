@@ -271,6 +271,56 @@ object TextNorm {
         if (replaced.isEmpty) None else Some(replaced)
     }
 
+  // ------------------------------------------------------- addresses
+
+  /** Address keyword shortening ("Street" → "st") — the engine's table
+    * for the reference's `shorten_address_keywords`
+    * (`matching/erun/misc.py:13-17`). Standard postal abbreviations
+    * (USPS C1 list + common European street words), folded/lowercase.
+    */
+  val AddressShorten: Map[String, String] = Map(
+    "street" -> "st", "road" -> "rd", "avenue" -> "ave",
+    "boulevard" -> "blvd", "drive" -> "dr", "lane" -> "ln",
+    "court" -> "ct", "place" -> "pl", "square" -> "sq",
+    "highway" -> "hwy", "parkway" -> "pkwy", "terrace" -> "ter",
+    "circle" -> "cir", "crescent" -> "cres", "gardens" -> "gdns",
+    "building" -> "bldg", "apartment" -> "apt", "suite" -> "ste",
+    "floor" -> "fl", "room" -> "rm", "number" -> "no",
+    "mount" -> "mt", "saint" -> "st", "fort" -> "ft", "point" -> "pt",
+    "north" -> "n", "south" -> "s", "east" -> "e", "west" -> "w",
+    // German / Russian / Romance street words
+    "strasse" -> "str", "platz" -> "pl", "ulitsa" -> "ul",
+    "prospekt" -> "pr", "pereulok" -> "per", "oblast" -> "obl",
+    "avenida" -> "av", "calle" -> "c", "carrera" -> "cra",
+    "chaussee" -> "ch")
+
+  /** Generic address words carrying no discriminating evidence —
+    * dropped entirely before comparison (the reference's
+    * `remove_address_keywords`, `compare/addresses.py:13-27`). Includes
+    * the shortened forms so either spelling vanishes.
+    */
+  val AddressRemove: Set[String] = Set(
+    "street", "st", "road", "rd", "avenue", "ave", "boulevard", "blvd",
+    "drive", "dr", "lane", "ln", "court", "ct", "place", "pl",
+    "building", "bldg", "house", "apartment", "apt", "suite", "ste",
+    "floor", "fl", "room", "rm", "unit", "block", "district",
+    "the", "of", "and", "po", "box", "number", "no",
+    "strasse", "str", "ulitsa", "ul", "prospekt", "pr", "pereulok",
+    "per", "avenida", "av", "calle", "rua")
+
+  /** Lowercase, fold, strip punctuation — the address normalization
+    * entry (`normalize_address(latinize=True)` analogue).
+    */
+  def normalizeAddress(s: String): Option[String] = cleanNameAscii(s)
+
+  def shortenAddressKeywords(norm: String): String =
+    norm.split(' ').filter(_.nonEmpty)
+      .map(w => AddressShorten.getOrElse(w, w)).mkString(" ")
+
+  def removeAddressKeywords(norm: String): String =
+    norm.split(' ').filter(_.nonEmpty).filterNot(AddressRemove)
+      .mkString(" ")
+
   /** Words of a (cleaned) name, min length filter. */
   def nameWords(name: Option[String], minLength: Int = 1): List[String] =
     name.toList.flatMap(_.split(' ')).filter(_.length >= minLength)

@@ -75,6 +75,21 @@ class MatchingSpec extends AnyFunSuite {
     assert(Features.countryMismatch(m, u) === 0.0)
   }
 
+  test("country mismatch respects territory containment") {
+    def withC(id: String, c: String) =
+      person(id, Seq("X"), country = Seq(c))
+    // contained / claimed territories do not mismatch their parents
+    assert(Features.countryMismatch(withC("a", "ua-cri"), withC("b", "ua")) === 0.0)
+    assert(Features.countryMismatch(withC("a", "ua-cri"), withC("b", "ru")) === 0.0)
+    assert(Features.countryMismatch(withC("a", "hk"), withC("b", "cn")) === 0.0)
+    assert(Features.countryMismatch(withC("a", "xk"), withC("b", "rs")) === 0.0)
+    assert(Features.countryMismatch(withC("a", "SUHH"), withC("b", "ua")) === 0.0)
+    assert(Features.countryMismatch(withC("a", "gl"), withC("b", "dk")) === 0.0)
+    // sibling territories and plain different countries still mismatch
+    assert(Features.countryMismatch(withC("a", "ua"), withC("b", "ru")) === 1.0)
+    assert(Features.countryMismatch(withC("a", "hk"), withC("b", "ua")) === 1.0)
+  }
+
   test("logic-v1 composition: qualifiers only apply when a main fired") {
     val p1 = person("p1", Seq("Johanna Quandt"), dob = Seq("1926-06-21"))
     val p2 = person("p2", Seq("Johanna Quandt"), dob = Seq("1930-01-01"))
