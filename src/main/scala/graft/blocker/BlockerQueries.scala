@@ -26,8 +26,21 @@ object BlockerQueries {
   def entries(s: SparkSession, d: String): DataFrame =
     Blocker.entries(StarStatements(s, d), cfg)
 
+  /** The entries table, materialized once per (session, dir) — the
+    * reference persists `entries` as a DuckDB TABLE before any
+    * frequency work (`blocker/index.py:148-195`); without this every
+    * TF-derived query re-tokenizes the corpus, and the first
+    * alphabetical bench query to touch the TF chain (q_blk_match_topk)
+    * gets billed for the whole tokenize.
+    */
+  private val entriesCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def entriesCk(s: SparkSession, d: String): DataFrame =
+    entriesCache.getOrElseUpdate((s, d), entries(s, d).localCheckpoint(true))
+
   def tokenStats(s: SparkSession, d: String): DataFrame =
-    Blocker.tokenStats(entries(s, d))
+    Blocker.tokenStats(entriesCk(s, d))
 
   def stopwordsQ(s: SparkSession, d: String): DataFrame =
     Blocker.stopwords(tokenStats(s, d), compatDf(s), cfg)
@@ -52,7 +65,7 @@ object BlockerQueries {
       .limit(10)
 
   def tf(s: SparkSession, d: String): DataFrame =
-    Blocker.termFrequencies(entries(s, d), compatDf(s), boostsDf(s), cfg)
+    Blocker.termFrequencies(entriesCk(s, d), compatDf(s), boostsDf(s), cfg)
 
   /** The term-frequency index, materialized once per (session, dir) —
     * the DataFrame analogue of the reference persisting
@@ -70,7 +83,7 @@ object BlockerQueries {
     * would otherwise pin every checkpoint for the session's lifetime,
     * and a regenerated dir would keep serving its stale index).
     */
-  def clearTfCache(): Unit = tfCache.clear()
+  def clearTfCache(): Unit = { tfCache.clear(); entriesCache.clear() }
 
   def tfRounded(s: SparkSession, d: String): DataFrame =
     tf(s, d).withColumn("weight", round(col("weight"), 6))
@@ -214,7 +227,7 @@ object BlockerQueries {
     .map(t => s"(${q(t)})").mkString(", ")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_blk_entries" -> (entries _),
+    "q_blk_entries" -> (entriesCk _),
     "q_blk_symbols" -> (symbolsQ _),
     "q_blk_token_stats" -> (tokenStats _),
     "q_blk_stopwords" -> (stopwordsQ _),

@@ -14,8 +14,18 @@ import graft.functions.Hashing
   */
 object TextAnalysis {
 
+  /** Tokenization is byte-explicit: everything outside printable ASCII
+    * is folded to a space BEFORE lowering/splitting, so the hashed
+    * grams can never contain multi-byte content — Spark (UTF-16 Java
+    * regex) and DuckDB (UTF-8 RE2) are then trivially byte-identical.
+    * Semantically a no-op for the split itself (non-ASCII chars were
+    * already `[^a-z0-9]` separators); what it removes is the
+    * engine-dependent risk of Unicode lower() expansions (İ → i̇)
+    * leaking an engine-specific 'i' into a token.
+    */
   def words(text: Column): Column =
-    filter(split(lower(text), "[^a-z0-9]+"), w => length(w) > 0)
+    filter(split(lower(regexp_replace(text, "[^ -~]", " ")), "[^a-z0-9]+"),
+      w => length(w) > 0)
 
   /** documents with the word array materialized as its own projection —
     * every downstream lambda must reference `w` as an attribute, never
@@ -23,9 +33,11 @@ object TextAnalysis {
     * lambda is re-evaluated per array element; the inlined form of the
     * winnowing fingerprint measured 780 s at sf0.1 vs ~2 s like this).
     */
+  def withWords(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"), words(col("text")).as("w"))
+
   private def wordsDf(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("text"), words(col("text")).as("w"))
+    withWords(Tables.documents(s, d))
 
   /** Tiny per-language stopword lists for the n-gram language heuristic. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
@@ -95,7 +107,7 @@ object TextAnalysis {
     * sees only attributes — the md5 runs once per gram, not once per
     * (gram, window) pair.
     */
-  def fingerprintQ(s: SparkSession, d: String): DataFrame = {
+  def fingerprintOf(docs: DataFrame): DataFrame = {
     val n = 3
     val win = 4
     val grams = transform(sequence(lit(0), size(col("w")) - n),
@@ -109,7 +121,7 @@ object TextAnalysis {
     // condition and making it quadratic again (measured 780 s). With
     // size(w) >= n+win-1 every kept doc has n_fp >= 1, so the
     // oracle's `len(fp) > 0` is vacuously satisfied.
-    wordsDf(s, d)
+    withWords(docs)
       .filter(size(col("w")) >= n + win - 1)
       .select(col("doc_id"), grams.as("g"))
       .select(col("doc_id"),
@@ -118,6 +130,9 @@ object TextAnalysis {
       .select(col("doc_id"), size(col("fp")).as("n_fp"),
         array_min(col("fp")).as("min_fp"), array_max(col("fp")).as("max_fp"))
   }
+
+  def fingerprintQ(s: SparkSession, d: String): DataFrame =
+    fingerprintOf(Tables.documents(s, d))
 
   /** BPE-ish pre-tokenization regex (the GPT-2 pattern family, without
     * lookahead so Java regex and RE2 agree): contractions, space-glued
@@ -138,8 +153,12 @@ object TextAnalysis {
 
   // ---------------------------------------------------------------- oracle
 
+  // mirrors words(): non-printable-ASCII folded to space first ('g' =
+  // replace all), then lower + split
   private val wSql =
-    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> length(x) > 0)"
+    "list_filter(string_split_regex(lower(" +
+      "regexp_replace(text, '[^ -~]', ' ', 'g')), '[^a-z0-9]+'), " +
+      "x -> length(x) > 0)"
 
   private def markersSql(m: Seq[String]): String =
     m.map(x => s"'$x'").mkString("[", ",", "]")
