@@ -144,7 +144,14 @@ object Xref {
     */
   def run(s: SparkSession, stmts: DataFrame, decided: DataFrame,
       cfg: Config = Config()): (DataFrame, DataFrame) = {
-    val scored = scoredPairs(s, stmts, decided, cfg).localCheckpoint(true)
+    // DISK_ONLY, not localCheckpoint(true): the scored table is bounded
+    // by limit·limitFactor (50k at reference defaults) but operators
+    // raise the cap — spilling to local disk keeps a raised cap from
+    // pinning executor memory; the extra pass is one scan of a slim
+    // (lid, rid, score) table
+    val scored = scoredPairs(s, stmts, decided, cfg)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    scored.count() // materialize once, before both consumers fork
     val gate = cfg.autoThreshold
       .map(t => col("score") > t).getOrElse(lit(false))
     val merges = scored.filter(gate)
