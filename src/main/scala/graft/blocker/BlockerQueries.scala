@@ -247,7 +247,10 @@ object BlockerQueries {
       sym_loc(tok) AS (VALUES $symLocVals),
       name_parts AS (
         SELECT DISTINCT id, schema, t AS part
-        FROM stmts, unnest(string_split_regex(lower(value), '[^a-z0-9]+')) AS u(t)
+        FROM stmts, unnest(string_split_regex(
+          translate(replace(lower(value), 'ß', 'ss'),
+                    '${EntityTokenizer.FoldSrc}', '${EntityTokenizer.FoldDst}'),
+          '[^a-z0-9]+')) AS u(t)
         WHERE field = 'name' AND length(t) > 0
       ),
       sy AS (

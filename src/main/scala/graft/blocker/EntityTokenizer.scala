@@ -66,13 +66,18 @@ object EntityTokenizer {
     "och", "med", "pa", "av",
     "na", "po", "pri", "za", "iz", "ot", "pod", "nad")
 
+  /** Accent-fold source/target alphabets — shared with the DuckDB
+    * oracle SQL (BlockerQueries) so both sides tokenize identically on
+    * accented input.
+    */
+  val FoldSrc = "àáâãäåæçèéêëìíîïñòóôõöøùúûüýÿšžđ"
+  val FoldDst = "aaaaaaaceeeeiiiinoooooouuuuyyszd"
+
   /** Lower + latin-1 accent fold (ä→a … ß→ss) — the pragmatic subset of
     * rigour's transliteration the fixtures need.
     */
   def foldAscii(c: Column): Column =
-    translate(regexp_replace(lower(c), "ß", "ss"),
-      "àáâãäåæçèéêëìíîïñòóôõöøùúûüýÿšžđ",
-      "aaaaaaaceeeeiiiinoooooouuuuyyszd")
+    translate(regexp_replace(lower(c), "ß", "ss"), FoldSrc, FoldDst)
 
   /** Lowercased, folded, non-alphanumeric-split parts of a value. */
   def parts(c: Column): Column =

@@ -394,7 +394,7 @@ object Features {
         val qs = qRem.mkString(" ")
         val rs = rRem.mkString(" ")
         val lev = Levenshtein.similarity(qs, rs,
-          maxEdits = math.max(qs.length, rs.length), maxPercent = 0.5)
+          maxEdits = math.max(qs.length, rs.length))
         val remLen = math.max(qRem.size, rRem.size)
         best = math.max(best,
           (overlap.size + remLen * lev) / (remLen + overlap.size).toDouble)
@@ -403,21 +403,21 @@ object Features {
     best
   }
 
-  /** Address-entity similarity: shared canonical `addressEntity`
-    * reference short-circuits to 1.0, else the text composite over the
-    * entities' address values (`compare/addresses.py:60-66`).
+  /** Address-entity similarity, gated to Address-schema pairs — the
+    * fuzzy composite only applies when both sides ARE addresses
+    * (`compare/addresses.py:62-66` `has_schema(query, result, "Address")`).
     */
-  val addressEntityMatch: Feature = (q, r) => {
-    if (q.addressEntityIds.toSet.intersect(r.addressEntityIds.toSet).nonEmpty)
-      1.0
+  val addressEntityMatch: Feature = (q, r) =>
+    if (!hasSchema(q, r, "Address")) 0.0
     else addressComposite(q.addresses, r.addresses)
-  }
 
-  /** Stated-address similarity for non-Address pairs
-    * (`compare/addresses.py:68-73` `address_prop_match` shape).
+  /** Stated-address similarity, exclusively for non-Address pairs —
+    * mutual exclusion with addressEntityMatch
+    * (`compare/addresses.py:69-73` `address_prop_match`).
     */
   val addressPropMatch: Feature = (q, r) =>
-    addressComposite(q.addresses, r.addresses)
+    if (hasSchema(q, r, "Address")) 0.0
+    else addressComposite(q.addresses, r.addresses)
 
   // ------------------------------------------------- name_based family
 

@@ -313,7 +313,10 @@ object NameMatchV2 {
     for (qp <- qRem.distinct; rp <- rRem.distinct) {
       if (qRem.contains(qp) && rRem.contains(rp)) {
         if (Symbols.sameNameVariant(qp, rp) ||
-          (stripS(qp) != qp && Symbols.sameNameVariant(stripS(qp), rp))) {
+          (stripS(qp) != qp && Symbols.sameNameVariant(stripS(qp), rp)) ||
+          (stripS(rp) != rp && Symbols.sameNameVariant(qp, stripS(rp))) ||
+          (stripS(qp) != qp && stripS(rp) != rp &&
+            Symbols.sameNameVariant(stripS(qp), stripS(rp)))) {
           qRem = Features.remove1(qRem, qp)
           rRem = Features.remove1(rRem, rp)
           matches += Aligned(Some(qp), Some(rp), NameVariantScore, 1.0)

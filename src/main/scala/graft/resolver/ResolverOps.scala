@@ -102,12 +102,15 @@ object ResolverOps {
     * away because the map is already transitive.
     */
   def prune(edges: DataFrame, canonicalMap: DataFrame): DataFrame = {
-    val cm = broadcast(canonicalMap)
-    val stars = cm.filter(col("member") =!= col("canonical"))
+    // Hint only the two join sides — hinting the shared parent would
+    // carry a dangling broadcast hint into the non-join `stars` branch.
+    val stars = canonicalMap.filter(col("member") =!= col("canonical"))
       .select(col("canonical").as("target"), col("member").as("source"),
         lit(Positive).as("judgement"))
-    val lm = cm.select(col("member").as("target"), col("canonical").as("tcan"))
-    val rm = cm.select(col("member").as("source"), col("canonical").as("scan"))
+    val lm = broadcast(canonicalMap
+      .select(col("member").as("target"), col("canonical").as("tcan")))
+    val rm = broadcast(canonicalMap
+      .select(col("member").as("source"), col("canonical").as("scan")))
     val negs = live(edges).filter(col("judgement") === Negative)
       .join(lm, Seq("target"), "left_outer")
       .join(rm, Seq("source"), "left_outer")

@@ -27,8 +27,12 @@ object Territories {
     "cy-trnc" -> Set("cy", "tr"), "cy-north" -> Set("cy", "tr"),
     "so-som" -> Set("so"),
     "eh" -> Set("ma"),
-    // Greater-China administrative regions / claims
-    "hk" -> Set("cn"), "mo" -> Set("cn"), "tw" -> Set("cn"),
+    // Greater-China special administrative regions. Taiwan is
+    // deliberately NOT listed: the reference's territory KB (rigour)
+    // documents an explicit stance that tw is a de-facto independent
+    // territory, so tw/cn pairs keep the country-mismatch penalty —
+    // a claim is not administration (hk/mo are genuine SARs).
+    "hk" -> Set("cn"), "mo" -> Set("cn"),
     // UK crown dependencies + overseas territories
     "gg" -> Set("gb"), "je" -> Set("gb"), "im" -> Set("gb"),
     "gi" -> Set("gb"), "ky" -> Set("gb"), "bm" -> Set("gb"),
