@@ -16,7 +16,8 @@ object SparkEntry {
       resolver.ResolverQueries.queries ++ matching.MatchingQueries.queries ++
       dedup.DedupQueries.queries ++ similarity.SimilarityQueries.queries ++
       textanalysis.TextAnalysis.queries ++ streaming.EventOps.queries ++
-      multimodal.Multimodal.queries ++ enrich.EnricherQueries.queries
+      multimodal.Multimodal.queries ++ enrich.EnricherQueries.queries ++
+      enrich.WikidataQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -26,5 +27,6 @@ object SparkEntry {
       resolver.ResolverQueries.oracles ++ matching.MatchingQueries.oracles ++
       dedup.DedupQueries.oracles ++ similarity.SimilarityQueries.oracles ++
       textanalysis.TextAnalysis.oracles ++ streaming.EventOps.oracles ++
-      multimodal.Multimodal.oracles ++ enrich.EnricherQueries.oracles
+      multimodal.Multimodal.oracles ++ enrich.EnricherQueries.oracles ++
+      enrich.WikidataQueries.oracles
 }

@@ -56,6 +56,8 @@ object Ftm {
       Prop("addressEntity", T.Entity),
       Prop("sourceUrl", T.Url, matchable = false),
       Prop("notes", T.Text, matchable = false),
+      Prop("wikidataId", T.Identifier),
+      Prop("wikipediaUrl", T.Url, matchable = false),
       Prop("topics", T.Topic))),
     Schema("LegalEntity", Seq("Thing"), matchable = true, caption = Seq("name"),
       props = Seq(
@@ -83,7 +85,12 @@ object Ftm {
         Prop("birthPlace", T.StringT),
         Prop("deathDate", T.Date),
         Prop("nationality", T.Country),
+        Prop("citizenship", T.Country),
         Prop("gender", T.Gender),
+        Prop("religion", T.StringT, matchable = false),
+        Prop("education", T.StringT, matchable = false),
+        Prop("political", T.StringT, matchable = false),
+        Prop("ethnicity", T.StringT, matchable = false),
         Prop("position", T.StringT, matchable = false))),
     Schema("Organization", Seq("LegalEntity"), matchable = true,
       caption = Seq("name"), props = Nil),
