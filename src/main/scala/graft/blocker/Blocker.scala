@@ -211,13 +211,20 @@ object Blocker {
           col("rs") === greatest(col("l.schema"), col("r.schema")))
     val scored = scorePairs(joined, col("l.id"), col("r.id"), col("r.weight"))
       .withColumnRenamed("lid", "qid").withColumnRenamed("rid", "cid")
+    // Rank alone first: a pure row_number filter lets Catalyst insert
+    // WindowGroupLimit below the sort, so only the per-subject top-K
+    // ever leaves the shuffle. The relative floor needs the partition
+    // best — computed on the ≤K pruned rows (the max survives any rank
+    // cut), never on the full candidate set.
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("cid").asc)
-    scored
+    val topk = scored
       .withColumn("rn", row_number().over(w))
-      .withColumn("best", first(col("score")).over(w))
-      .filter(col("rn") <= cfg.maxCandidates &&
-        col("score") >= col("best") * cfg.minScoreRatio)
+      .filter(col("rn") <= cfg.maxCandidates)
+    val wBest = Window.partitionBy(col("qid"))
+    topk
+      .withColumn("best", max(col("score")).over(wBest))
+      .filter(col("score") >= col("best") * cfg.minScoreRatio)
       .select(col("qid"), col("cid"), col("score"), col("rn"))
   }
 }

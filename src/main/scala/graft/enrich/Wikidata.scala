@@ -274,7 +274,10 @@ object Wikidata {
       requireInstance: Option[String] = Some("Q5")): DataFrame = {
     // Items without a modified stamp are skipped (`enrich/wikidata.py:201`).
     val rows = rows0.filter(col("modified").isNotNull)
-    val labels = pickedLabels(rows)
+    // The picked-label table is joined twice (entity + unit
+    // resolution) — materialize it lazily so the pick window runs
+    // once, not per join site.
+    val labels = pickedLabels(rows).localCheckpoint(false)
     val schemaProps = Ftm.propsOf(schema)
     val propTypeLit = typedLit(schemaProps.map { case (n, p) => n -> p.tpe })
 
@@ -287,21 +290,21 @@ object Wikidata {
         when(col("role") === "label", 0).otherwise(1))
     val wName = Window.partitionBy(col("qid"), lower(col("vString")))
       .orderBy(col("roleOrd"), langIdx(col("lang3")), col("vString"))
+    // nmKept feeds three consumers (name/alias statements + the sanity
+    // aggregate) — materialize lazily so the dedup window runs once.
     val nmKept = nm.withColumn("rn", row_number().over(wName))
       .filter(col("rn") === 1)
       .withColumn("strong",
         col("vString").contains(" ") && length(col("vString")) >= 3)
       .withColumn("cleaned", cleanNameUdf(col("vString")))
       .filter(col("cleaned").isNotNull)
+      .localCheckpoint(false)
 
-    val nameStmts = nmKept.filter(col("role") === "label")
-      .select(col("qid"), lit("name").as("prop"),
-        col("cleaned").as("value"), emitLang(col("lang3")).as("lang"),
-        col("vString").as("original_value"),
-        lit(null).cast("string").as("origin"))
-    val aliasStmts = nmKept.filter(col("role") === "alias")
+    // labels → name, aliases → alias/weakAlias, in one branch.
+    val nameStmts = nmKept
       .select(col("qid"),
-        when(col("strong"), "alias").otherwise("weakAlias").as("prop"),
+        when(col("role") === "label", "name")
+          .when(col("strong"), "alias").otherwise("weakAlias").as("prop"),
         col("cleaned").as("value"), emitLang(col("lang3")).as("lang"),
         col("vString").as("original_value"),
         lit(null).cast("string").as("origin"))
@@ -316,12 +319,20 @@ object Wikidata {
       .agg(sort_array(collect_set(lower(col("vString")))).as("namesArr"))
       .withColumn("namesConcat", concat_ws(" ", col("namesArr")))
 
+    // Value-resolve main snaks and date qualifiers in ONE snakText pass
+    // (one pair of label joins instead of two), then split by role.
+    val resolved = snakText(
+      rows.filter(
+        (col("role") === "main" &&
+          coalesce(col("rank"), lit("normal")) =!= "deprecated") ||
+        (col("role") === "qual" &&
+          col("prop").isin("P580", "P582", "P585"))), labels)
+      .localCheckpoint(false)
+
     // ---- qualifier date sets per claim (`wikidata/qualified.py:8-30`)
-    val quals = snakText(
-      rows.filter(col("role") === "qual" &&
-        col("prop").isin("P580", "P582", "P585")), labels)
-      .filter(col("text").isNotNull)
-    val qualAgg = quals.groupBy(col("claimId")).agg(
+    val qualAgg = resolved
+      .filter(col("role") === "qual" && col("text").isNotNull)
+      .groupBy(col("claimId")).agg(
       sort_array(collect_set(when(col("prop") === "P580", col("text"))))
         .as("q_starts"),
       sort_array(collect_set(when(col("prop") === "P582", col("text"))))
@@ -330,9 +341,7 @@ object Wikidata {
         .as("q_dates"))
 
     // ---- claims → properties (`enrich/wikidata.py:233-273`)
-    val mains = snakText(
-      rows.filter(col("role") === "main" &&
-        coalesce(col("rank"), lit("normal")) =!= "deprecated"), labels)
+    val mains = resolved.filter(col("role") === "main")
       .withColumn("ftmProp",
         element_at(typedLit(PropsDirect), col("prop")))
       .filter(col("ftmProp").isNotNull)
@@ -431,7 +440,7 @@ object Wikidata {
         col("vString").as("value"), col("wikiLang").as("lang"),
         col("title").as("original_value"), col("site").as("origin"))
 
-    val all = nameStmts.unionByName(aliasStmts).unionByName(claimStmts)
+    val all = nameStmts.unionByName(claimStmts)
       .unionByName(idStmts).unionByName(noteStmts).unionByName(wikiStmts)
 
     // Person gate: the item must be an instance of Q5

@@ -173,8 +173,15 @@ object WikidataQueries {
     persons.unionByName(s.createDataset(auxDocs).toDF("doc"))
   }
 
+  /** The parsed snak table feeds ~8 downstream branches (labels, names,
+    * qualifiers, claims, descriptions, sitelinks, instance gate); without
+    * materializing it each branch would re-run doc generation + parse.
+    * At scale this is the "parse the dump once, keep the snak table"
+    * step — a real pipeline would write it to Parquet.
+    */
   def statementsQ(s: SparkSession, d: String): DataFrame =
-    Wikidata.statements(Wikidata.parse(docs(s, d)))
+    Wikidata.statements(
+      Wikidata.parse(docs(s, d)).localCheckpoint(true))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_wd_statements" -> (statementsQ _))
