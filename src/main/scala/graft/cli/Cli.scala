@@ -1,0 +1,209 @@
+package graft.cli
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.resolver.Resolver
+import graft.store.EntityStore
+import graft.xref.Xref
+
+/** spark-submit-able operational surface mirroring the reference CLI
+  * (`cli.py:64-358`): `xref`, `apply`, `dedupe`, `sorted-aggregate`,
+  * `match`. Each main is a thin wrapper over the library operators —
+  * no logic lives here beyond argument plumbing and IO.
+  *
+  * Conventions: entity inputs ending in `.ijson`/`.json` are read as
+  * line-delimited FtM entities; anything else is a statement-table
+  * Parquet path. Outputs are Parquet for tables and text for ijson.
+  *
+  * Examples:
+  * {{{
+  *   spark-submit --class graft.cli.DedupeMain graft.jar \
+  *     donations.ijson /out/deduped
+  *   spark-submit --class graft.cli.XrefMain graft.jar \
+  *     statements.parquet /out/xref --auto-threshold 0.7
+  * }}}
+  */
+object CliArgs {
+  /** (positionals, flags): flags are `--name value` pairs. */
+  def parse(args: Array[String]): (List[String], Map[String, String]) = {
+    val pos = List.newBuilder[String]
+    var flags = Map.empty[String, String]
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      if (a.startsWith("--")) {
+        require(i + 1 < args.length, s"missing value for $a")
+        flags += a.drop(2) -> args(i + 1)
+        i += 2
+      } else { pos += a; i += 1 }
+    }
+    (pos.result(), flags)
+  }
+
+  def session(app: String): SparkSession = {
+    val b = SparkSession.builder().appName(s"graft-$app")
+    // sensible single-node defaults; spark-submit confs win
+    if (!sys.props.contains("spark.master")) b.master("local[*]")
+    val s = b.config("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32")).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def isIjson(path: String): Boolean =
+    path.endsWith(".ijson") || path.endsWith(".json")
+
+  /** Entities/statements input → the 14-column statement table. */
+  def readStatements(s: SparkSession, path: String,
+      dataset: String): DataFrame =
+    if (isIjson(path))
+      EntityStore.statements(EntityStore.readIjson(s, path), dataset)
+    else s.read.parquet(path)
+
+  def writeLines(lines: DataFrame, out: String): Unit =
+    lines.coalesce(1).write.mode("overwrite").text(out)
+
+  /** Id precedence for canonical selection: QID > NK- > raw
+    * (`resolver/identifier.py:11-27`).
+    */
+  def idWeight(id: Column): Column =
+    when(id.rlike("^Q[0-9]+$"), 3)
+      .when(id.startsWith("NK-"), 2).otherwise(1)
+
+  /** Canonicalize a full statement table through a (member, canonical)
+    * map: rewrite `canonical_id` and entity-reference values
+    * (`resolver/linker.py:91-133` apply_statement). The map broadcasts;
+    * statements never shuffle.
+    */
+  def applyCanonical(stmts: DataFrame, cm: DataFrame): DataFrame = {
+    val byId = broadcast(cm.select(col("member"),
+      col("canonical").as("_new_cid")))
+    val byVal = broadcast(cm.select(col("member").as("_vmember"),
+      col("canonical").as("_new_val")))
+    stmts
+      .join(byId, stmts("canonical_id") === byId("member"), "left_outer")
+      .withColumn("canonical_id",
+        coalesce(col("_new_cid"), col("canonical_id")))
+      .drop("member", "_new_cid")
+      .join(byVal, col("prop_type") === "entity" &&
+        col("value") === col("_vmember"), "left_outer")
+      .withColumn("value", coalesce(col("_new_val"), col("value")))
+      .drop("_vmember", "_new_val")
+  }
+
+  /** Positive edges → transitive canonical map. */
+  def canonicalMapOf(edges: DataFrame): DataFrame = {
+    val cc = Resolver.connectedComponents(edges.select("src", "dst"))
+    Resolver.canonicalMap(cc, idWeight)
+  }
+
+  def xrefConfig(flags: Map[String, String]): Xref.Config =
+    Xref.Config(
+      limit = flags.get("limit").map(_.toInt).getOrElse(5000),
+      discountInternal =
+        flags.get("discount-internal").map(_.toDouble).getOrElse(0.7),
+      autoThreshold = flags.get("auto-threshold").map(_.toDouble),
+      algorithm = flags.getOrElse("algorithm",
+        graft.matching.Algorithms.default.name))
+}
+
+/** `nk xref` (`cli.py:64-123`): score candidate pairs, split into
+  * auto-merges and review suggestions. Writes `<out>/merges` and
+  * `<out>/suggestions` Parquet.
+  */
+object XrefMain {
+  def main(args: Array[String]): Unit = {
+    val (pos, flags) = CliArgs.parse(args)
+    val (in, out) = (pos.head, pos(1))
+    val s = CliArgs.session("xref")
+    import s.implicits._
+    val stmts = CliArgs.readStatements(s, in,
+      flags.getOrElse("dataset", "default"))
+    val decided = Seq.empty[(String, String)].toDF("src", "dst")
+    val (merges, suggestions) =
+      Xref.run(s, stmts, decided, CliArgs.xrefConfig(flags))
+    merges.write.mode("overwrite").parquet(s"$out/merges")
+    suggestions.write.mode("overwrite").parquet(s"$out/suggestions")
+    println(s"[xref] wrote $out/merges and $out/suggestions")
+  }
+}
+
+/** `nk apply-statements` (`cli.py:322-334`): canonicalize a statement
+  * table through merge edges (from XrefMain's `merges` output or a
+  * resolver edge dump). Writes the rewritten statement table.
+  */
+object ApplyMain {
+  def main(args: Array[String]): Unit = {
+    val (pos, flags) = CliArgs.parse(args)
+    val (in, out) = (pos.head, pos(1))
+    val s = CliArgs.session("apply")
+    val stmts = CliArgs.readStatements(s, in,
+      flags.getOrElse("dataset", "default"))
+    val edges = s.read.parquet(flags("edges"))
+    val cm = CliArgs.canonicalMapOf(edges)
+    CliArgs.applyCanonical(stmts, cm)
+      .write.mode("overwrite").parquet(out)
+    println(s"[apply] wrote $out")
+  }
+}
+
+/** `nk sorted-aggregate` (`cli.py:232-236`): group statements by
+  * canonical id and emit one merged ijson entity per cluster.
+  */
+object SortedAggregateMain {
+  def main(args: Array[String]): Unit = {
+    val (pos, flags) = CliArgs.parse(args)
+    val (in, out) = (pos.head, pos(1))
+    val s = CliArgs.session("sorted-aggregate")
+    val stmts = CliArgs.readStatements(s, in,
+      flags.getOrElse("dataset", "default"))
+    CliArgs.writeLines(
+      EntityStore.toIjson(EntityStore.assemble(stmts)), out)
+    println(s"[sorted-aggregate] wrote $out")
+  }
+}
+
+/** `nk dedupe` (`cli.py:249-264`, batch form): the SURVEY §7.2 slice as
+  * one shell command — xref auto-merge → connected components → apply →
+  * assemble → ijson out.
+  */
+object DedupeMain {
+  def main(args: Array[String]): Unit = {
+    val (pos, flags) = CliArgs.parse(args)
+    val (in, out) = (pos.head, pos(1))
+    val s = CliArgs.session("dedupe")
+    import s.implicits._
+    val stmts = CliArgs.readStatements(s, in,
+      flags.getOrElse("dataset", "default")).cache()
+    val cfg = CliArgs.xrefConfig(flags ++ Map(
+      "auto-threshold" -> flags.getOrElse("auto-threshold", "0.5"),
+      "algorithm" -> flags.getOrElse("algorithm", "regression-v1")))
+    val decided = Seq.empty[(String, String)].toDF("src", "dst")
+    val merges = Xref.autoMerges(s, stmts, decided, cfg)
+    val cm = CliArgs.canonicalMapOf(merges)
+    val canonical = CliArgs.applyCanonical(stmts, cm)
+    CliArgs.writeLines(
+      EntityStore.toIjson(EntityStore.assemble(canonical)), out)
+    println(s"[dedupe] wrote $out")
+  }
+}
+
+/** `nk match` (`cli.py:279-298`): query entities against an indexed
+  * entity file, emitting ranked candidates with scores.
+  */
+object MatchMain {
+  def main(args: Array[String]): Unit = {
+    val (pos, flags) = CliArgs.parse(args)
+    val (query, index, out) = (pos.head, pos(1), pos(2))
+    val s = CliArgs.session("match")
+    val q = CliArgs.readStatements(s, query, "query")
+    val m = CliArgs.readStatements(s, index, "index")
+    val enricher = new graft.enrich.DatasetEnricher("match-index", m)
+    enricher.matchCandidates(s, q,
+        algorithm = flags.getOrElse("algorithm",
+          graft.matching.Algorithms.default.name))
+      .write.mode("overwrite").parquet(out)
+    println(s"[match] wrote $out")
+  }
+}

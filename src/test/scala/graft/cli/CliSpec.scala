@@ -1,0 +1,80 @@
+package graft.cli
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** The operational CLI surface, driven through the real `main` entry
+  * points (the sessions resolve to the shared test session via
+  * getOrCreate): the donations dedupe must run as a command, 474 in →
+  * fewer out with the Johanna Quandt duplicate merged; xref + apply +
+  * sorted-aggregate must compose to the same result.
+  */
+class CliSpec extends AnyFunSuite {
+  import SparkSpec.spark
+
+  val fixture = "/root/reference/tests/fixtures/donations.ijson"
+  private def tmp(name: String) =
+    Files.createTempDirectory(s"cli-$name").toString + "/out"
+
+  test("dedupe main: donations ijson in, merged ijson out") {
+    val out = tmp("dedupe")
+    DedupeMain.main(Array(fixture, out, "--dataset", "donations"))
+    val lines = spark.read.text(out)
+    val n = lines.count()
+    assert(n > 0 && n < 474, s"expected <474 merged entities, got $n")
+    val parsed = spark.read.json(out)
+    val j = parsed.filter(array_contains(
+      col("properties.name"), "Johanna Quandt"))
+    assert(j.count() === 1)
+    assert(j.filter(array_contains(
+      col("properties.name"), "Frau Johanna Quandt")).count() === 1,
+      "Johanna duplicate did not merge into one ijson line")
+  }
+
+  test("xref + apply + sorted-aggregate compose to the dedupe result") {
+    val xrefOut = tmp("xref")
+    XrefMain.main(Array(fixture, xrefOut, "--dataset", "donations",
+      "--algorithm", "regression-v1", "--auto-threshold", "0.5"))
+    val merges = spark.read.parquet(s"$xrefOut/merges")
+    assert(merges.count() > 0)
+    assert(spark.read.parquet(s"$xrefOut/suggestions").count() > 0)
+
+    val applyOut = tmp("apply")
+    ApplyMain.main(Array(fixture, applyOut, "--dataset", "donations",
+      "--edges", s"$xrefOut/merges"))
+    val canonical = spark.read.parquet(applyOut)
+    // all 474 source entities survive, under fewer canonical ids
+    assert(canonical.select("entity_id").distinct().count() === 474)
+    assert(canonical.select("canonical_id").distinct().count() < 474)
+
+    val aggOut = tmp("agg")
+    SortedAggregateMain.main(Array(applyOut, aggOut))
+    val n = spark.read.text(aggOut).count()
+    assert(n === canonical.select("canonical_id").distinct().count())
+  }
+
+  test("match main ranks the Johanna Quandt duplicate first") {
+    import spark.implicits._
+    val stmts = CliArgs.readStatements(spark, fixture, "donations")
+    val captions = graft.store.EntityStore.assemble(stmts)
+      .select(col("id"), col("caption"))
+    val jqId = captions.filter(col("caption") === "Johanna Quandt")
+      .head.getString(0)
+    val qDir = tmp("q").stripSuffix("/out")
+    stmts.filter(col("canonical_id") === jqId)
+      .write.mode("overwrite").parquet(s"$qDir/query")
+    stmts.filter(col("canonical_id") =!= jqId)
+      .write.mode("overwrite").parquet(s"$qDir/index")
+    val out = tmp("match")
+    MatchMain.main(Array(s"$qDir/query", s"$qDir/index", out))
+    val top = spark.read.parquet(out)
+      .orderBy(col("match_score").desc).head
+    val fjqId = captions.filter(col("caption") === "Frau Johanna Quandt")
+      .head.getString(0)
+    assert(top.getString(1) === fjqId)
+  }
+}
