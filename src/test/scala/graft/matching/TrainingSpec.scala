@@ -67,6 +67,44 @@ class TrainingSpec extends AnyFunSuite {
     assert(w("org_name_levenshtein") > 0.0)
   }
 
+  test("coefficient JSON round-trips: train -> export -> load -> same scores") {
+    val (pairs, viewsDf) = data
+    val algo = Algorithms.ErUnstable
+    val featCols = algo.features.map(f => s"f_${f.name}")
+    val frame = Training.trainingFrame(pairs, viewsDf, algo)
+    val clean = Training.quarantine(frame, featCols).cache()
+
+    // scale, train on scaled features, export with the scaler attached
+    val (means, scales) = ModelIO.fitScaler(clean, featCols)
+    val scaled = featCols.zipWithIndex.foldLeft(clean) {
+      case (df, (c, i)) =>
+        df.withColumn(c, (col(c) - means(i)) / scales(i))
+    }
+    val model = Training.trainLogistic(scaled, featCols, epochs = 60,
+      lr = 0.8)
+    val json = ModelIO.toJson(ModelIO.ScaledModel(algo.name,
+      algo.features.map(_.name), means, scales, model.weights,
+      model.intercept))
+
+    val loaded = ModelIO.fromJson(json)
+    assert(loaded.algorithm === algo.name)
+    assert(loaded.features === algo.features.map(_.name))
+    // fold-in equivalence: scaled scoring == flat scoring on raw features
+    val flat = loaded.flat
+    val raw = clean.limit(50).collect()
+    raw.foreach { r =>
+      val fs = featCols.map(c => r.getAs[Double](c))
+      val scaledFs = fs.zip(means.zip(scales)).map {
+        case (x, (m, s)) => (x - m) / s
+      }
+      assert(math.abs(model.prob(scaledFs) - flat.prob(fs)) < 1e-9)
+    }
+    // the imported algo scores entity pairs with the external weights
+    val extAlgo = ModelIO.algoFor(algo, loaded)
+    assert(extAlgo.features.map(_.name) === algo.features.map(_.name))
+    assert(extAlgo.name === "er-unstable+json")
+  }
+
   test("quarantine drops contradictory digests") {
     val f = Seq((1.0, 1), (1.0, 0), (0.5, 1), (0.5, 1))
       .toDF("f_x", "label")
