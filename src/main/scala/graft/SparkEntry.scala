@@ -17,7 +17,7 @@ object SparkEntry {
       dedup.DedupQueries.queries ++ similarity.SimilarityQueries.queries ++
       textanalysis.TextAnalysis.queries ++ streaming.EventOps.queries ++
       multimodal.Multimodal.queries ++ enrich.EnricherQueries.queries ++
-      enrich.WikidataQueries.queries
+      enrich.WikidataQueries.queries ++ enrich.NominatimQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,5 +28,5 @@ object SparkEntry {
       dedup.DedupQueries.oracles ++ similarity.SimilarityQueries.oracles ++
       textanalysis.TextAnalysis.oracles ++ streaming.EventOps.oracles ++
       multimodal.Multimodal.oracles ++ enrich.EnricherQueries.oracles ++
-      enrich.WikidataQueries.oracles
+      enrich.WikidataQueries.oracles ++ enrich.NominatimQueries.oracles
 }

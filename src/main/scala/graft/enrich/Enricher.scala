@@ -83,11 +83,20 @@ final class ResponseCache(path: String) {
       current_timestamp().as("stored_at"))
       .write.mode("append").parquet(path)
 
-  /** Live entries: newest row per key within the jittered TTL. */
+  /** Live entries: newest row per key within the jittered TTL. A
+    * never-written cache reads as a typed empty table, not a
+    * zero-column frame.
+    */
   def get(s: SparkSession, maxAgeDays: Int): DataFrame = {
     val raw =
       try s.read.parquet(path)
-      catch { case _: Exception => return s.emptyDataFrame }
+      catch {
+        case _: Exception =>
+          return s.range(0).select(
+            col("id").cast("string").as("key"),
+            col("id").cast("string").as("text"),
+            col("id").cast("timestamp").as("stored_at"))
+      }
     val jitterDays = pmod(crc32(col("key")), lit(maxAgeDays / 5 + 1))
     raw.groupBy(col("key"))
       .agg(max_by(col("text"), col("stored_at")).as("text"),

