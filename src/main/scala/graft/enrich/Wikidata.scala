@@ -462,6 +462,98 @@ object Wikidata {
       .distinct()
   }
 
+  /** Family/associate relationship links — `item_graph` + `make_link`
+    * (`enrich/wikidata.py:98-196`) in batch form: every family or
+    * association claim between two Q5 persons present in the dump
+    * becomes a `Family`/`Associate` link entity
+    * `wd-<prop>-<minQid>-<maxQid>` with person/relative(associate)
+    * references, the relationship label, qualifier dates
+    * (P580/P582/P585), extra relationship qualifiers (P1039/P2868),
+    * and P854 reference URLs as sourceUrl.
+    *
+    * The reference labels the relationship by fetching the property's
+    * own label; dump slices don't carry property items, so the curated
+    * map value ([[PropsFamily]]/[[PropsAssociation]] — the same
+    * wording) stands in.
+    */
+  def relationships(rows0: DataFrame): DataFrame = {
+    val rows = rows0.filter(col("modified").isNotNull)
+    val labels = pickedLabels(rows).localCheckpoint(false)
+    val persons = rows.filter(col("role") === "main" &&
+        col("prop") === "P31" && col("vEntity") === "Q5")
+      .select(col("qid")).distinct()
+
+    val famLit = typedLit(PropsFamily)
+    val assocLit = typedLit(PropsAssociation)
+    val links = rows.filter(col("role") === "main" &&
+        coalesce(col("rank"), lit("normal")) =!= "deprecated" &&
+        col("vEntity").isNotNull &&
+        (element_at(famLit, col("prop")).isNotNull ||
+          element_at(assocLit, col("prop")).isNotNull))
+      .join(persons, Seq("qid"), "left_semi")
+      .join(persons.withColumnRenamed("qid", "vEntity"), Seq("vEntity"),
+        "left_semi")
+      .withColumn("kind",
+        when(element_at(famLit, col("prop")).isNotNull, "Family")
+          .otherwise("Associate"))
+      .withColumn("targetProp",
+        when(col("kind") === "Family", "relative").otherwise("associate"))
+      .withColumn("relLabel", coalesce(element_at(famLit, col("prop")),
+        element_at(assocLit, col("prop"))))
+      .withColumn("linkId", lower(concat(lit("wd-"), col("prop"),
+        lit("-"), least(col("qid"), col("vEntity")), lit("-"),
+        greatest(col("qid"), col("vEntity")))))
+      .select(col("claimId"), col("linkId"), col("kind"), col("qid"),
+        col("vEntity"), col("relLabel"), col("targetProp"))
+      .localCheckpoint(false)
+
+    def stmt(prop: Column, value: Column) = Seq(col("linkId"),
+      col("kind"), prop.as("prop"), value.as("value"),
+      lit(null).cast("string").as("lang"), value.as("original_value"))
+
+    val base = links.select(stmt(lit("person"), col("qid")): _*)
+      .unionByName(links.select(stmt(col("targetProp"), col("vEntity")): _*))
+      .unionByName(links.select(stmt(lit("relationship"),
+        col("relLabel")): _*))
+
+    // qualifier dates + extra relationship labels, value-resolved the
+    // same way main snaks are (`make_link`, `enrich/wikidata.py:139-153`)
+    val qualProp = typedLit(Map("P580" -> "startDate",
+      "P582" -> "endDate", "P585" -> "date",
+      "P1039" -> "relationship", "P2868" -> "relationship"))
+    val quals = snakText(rows.filter(col("role") === "qual" &&
+        col("prop").isin("P580", "P582", "P585", "P1039", "P2868")),
+        labels)
+      .filter(col("text").isNotNull)
+      .join(links.select(col("claimId"), col("linkId"), col("kind")),
+        Seq("claimId"))
+      .select(col("linkId"), col("kind"),
+        element_at(qualProp, col("prop")).as("prop"),
+        col("text").as("value"), emitLang(col("tlang")).as("lang"),
+        col("torig").as("original_value"))
+
+    val refs = rows.filter(col("role") === "ref" &&
+        col("prop") === "P854" && col("vString").isNotNull)
+      .join(links.select(col("claimId"), col("linkId"), col("kind")),
+        Seq("claimId"))
+      .select(col("linkId"), col("kind"), lit("sourceUrl").as("prop"),
+        col("vString").as("value"), lit(null).cast("string").as("lang"),
+        col("vString").as("original_value"))
+
+    val typeLit = typedLit(
+      (Ftm.propsOf("Family").map { case (n, p) => s"Family:$n" -> p.tpe } ++
+        Ftm.propsOf("Associate").map { case (n, p) =>
+          s"Associate:$n" -> p.tpe }).toMap)
+    base.unionByName(quals).unionByName(refs)
+      .select(col("linkId").as("entity_id"), col("kind").as("schema"),
+        col("prop"),
+        element_at(typeLit, concat(col("kind"), lit(":"), col("prop")))
+          .as("prop_type"),
+        col("value"), col("lang"), col("original_value"),
+        lit(null).cast("string").as("origin"))
+      .distinct()
+  }
+
   /** Widen [[statements]] output to the engine's full 14-column
     * statement table so wikidata-derived entities flow into the store /
     * blocker / xref machinery unchanged (the reference feeds enricher

@@ -48,13 +48,18 @@ object WikidataQueries {
     s"""{"snaktype":"value","property":"$prop","datatype":"wikibase-item","datavalue":{"type":"wikibase-entityid","value":{"id":"$qid"}}}"""
 
   private def claim(id: String, main: String, rank: String = "normal",
-      qualifiers: Seq[(String, String)] = Nil): String = {
+      qualifiers: Seq[(String, String)] = Nil,
+      refs: Seq[String] = Nil): String = {
     val quals =
       if (qualifiers.isEmpty) ""
       else qualifiers.groupBy(_._1).toSeq.sortBy(_._1)
         .map { case (p, ss) => s""""$p":[${ss.map(_._2).mkString(",")}]""" }
         .mkString(""","qualifiers":{""", ",", "}")
-    s"""{"id":"$id","rank":"$rank","mainsnak":$main$quals}"""
+    val references =
+      if (refs.isEmpty) ""
+      else refs.map(r => s"""{"snaks":{"P854":[$r]}}""")
+        .mkString(""","references":[""", ",", "]")
+    s"""{"id":"$id","rank":"$rank","mainsnak":$main$quals$references}"""
   }
 
   private def langVal(lang: String, v: String): String =
@@ -132,6 +137,17 @@ object WikidataQueries {
       strSnak("P2561", s"Customer $k"))
     if (k % 11 == 0) claims += "P1813" -> claim(s"$qid-p1813",
       strSnak("P1813", s"DEP$k"), rank = "deprecated")
+    // relationship claims (q_wd_links): spouse with a start date and a
+    // source reference, sibling, business associate
+    if (k % 8 == 2) claims += "P26" -> claim(s"$qid-p26",
+      entSnak("P26", s"Q${100000 + k + 1}"),
+      qualifiers = Seq("P580" ->
+        timeSnak("P580", f"+${1990 + k % 10}%04d-01-01T00:00:00Z", 9)),
+      refs = Seq(strSnak("P854", s"https://src.example/$k")))
+    if (k % 8 == 6) claims += "P3373" -> claim(s"$qid-p3373",
+      entSnak("P3373", s"Q${100000 + k + 2}"))
+    if (k % 16 == 3) claims += "P1327" -> claim(s"$qid-p1327",
+      entSnak("P1327", s"Q${100000 + k + 3}"))
 
     val claimsJson = claims.result().groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (pr, cs) => s""""$pr":[${cs.map(_._2).mkString(",")}]""" }
@@ -183,8 +199,13 @@ object WikidataQueries {
     Wikidata.statements(
       Wikidata.parse(docs(s, d)).localCheckpoint(true))
 
+  def linksQ(s: SparkSession, d: String): DataFrame =
+    Wikidata.relationships(
+      Wikidata.parse(docs(s, d)).localCheckpoint(true))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_wd_statements" -> (statementsQ _))
+    "q_wd_statements" -> (statementsQ _),
+    "q_wd_links" -> (linksQ _))
 
   private val countryVals = FixtureCountries.zipWithIndex
     .map { case ((q, c), i) => s"($i, '$q', '$c')" }.mkString(", ")
@@ -307,5 +328,57 @@ object WikidataQueries {
     )
     SELECT qid AS entity_id, 'Person' AS schema, prop, prop_type, value,
            lang, original_value, origin
+    FROM stmts""",
+
+    "q_wd_links" -> """
+    WITH persons AS (
+      SELECT c_custkey AS k FROM customer WHERE c_custkey % 10 <> 7
+    ),
+    -- (source k, target k, wd prop, schema, target prop, label, quals?)
+    pairs AS (
+      SELECT p.k, p.k + 1 AS t, 'p26' AS wdp, 'Family' AS schema,
+             'relative' AS tprop, 'spouse' AS label, TRUE AS dated
+      FROM persons p WHERE p.k % 8 = 2
+      UNION ALL
+      SELECT p.k, p.k + 2, 'p3373', 'Family', 'relative', 'sibling', FALSE
+      FROM persons p WHERE p.k % 8 = 6
+      UNION ALL
+      SELECT p.k, p.k + 3, 'p1327', 'Associate', 'associate',
+             'partner in business or sport', FALSE
+      FROM persons p WHERE p.k % 16 = 3
+    ),
+    live AS (
+      SELECT pr.*,
+             'wd-' || wdp || '-q' || CAST(100000 + pr.k AS VARCHAR)
+               || '-q' || CAST(100000 + pr.t AS VARCHAR) AS link_id,
+             'Q' || CAST(100000 + pr.k AS VARCHAR) AS src_qid,
+             'Q' || CAST(100000 + pr.t AS VARCHAR) AS tgt_qid
+      FROM pairs pr
+      WHERE EXISTS (SELECT 1 FROM persons p2 WHERE p2.k = pr.t)
+    ),
+    stmts AS (
+      SELECT link_id, schema, 'person' AS prop, 'entity' AS prop_type,
+             src_qid AS value, CAST(NULL AS VARCHAR) AS lang,
+             src_qid AS original_value
+      FROM live
+      UNION ALL
+      SELECT link_id, schema, tprop, 'entity', tgt_qid, NULL, tgt_qid
+      FROM live
+      UNION ALL
+      SELECT link_id, schema, 'relationship', 'string', label, NULL, label
+      FROM live
+      UNION ALL
+      SELECT link_id, schema, 'startDate', 'date',
+             CAST(1990 + k % 10 AS VARCHAR), NULL,
+             '+' || CAST(1990 + k % 10 AS VARCHAR) || '-01-01T00:00:00Z'
+      FROM live WHERE dated
+      UNION ALL
+      SELECT link_id, schema, 'sourceUrl', 'url',
+             'https://src.example/' || CAST(k AS VARCHAR), NULL,
+             'https://src.example/' || CAST(k AS VARCHAR)
+      FROM live WHERE dated
+    )
+    SELECT link_id AS entity_id, schema, prop, prop_type, value, lang,
+           original_value, CAST(NULL AS VARCHAR) AS origin
     FROM stmts""")
 }

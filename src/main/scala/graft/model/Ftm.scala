@@ -129,7 +129,18 @@ object Ftm {
       Prop("date", T.Date),
       Prop("startDate", T.Date),
       Prop("endDate", T.Date),
+      Prop("sourceUrl", T.Url, matchable = false),
       Prop("summary", T.Text, matchable = false))),
+    Schema("Family", Seq("Interval"), matchable = false,
+      caption = Seq("relationship"), props = Seq(
+        Prop("person", T.Entity),
+        Prop("relative", T.Entity),
+        Prop("relationship", T.StringT, matchable = false))),
+    Schema("Associate", Seq("Interval"), matchable = false,
+      caption = Seq("relationship"), props = Seq(
+        Prop("person", T.Entity),
+        Prop("associate", T.Entity),
+        Prop("relationship", T.StringT, matchable = false))),
     Schema("Payment", Seq("Interval"), matchable = false,
       caption = Seq("amountEur"), props = Seq(
         Prop("payer", T.Entity),

@@ -84,6 +84,33 @@ class WikidataSpec extends AnyFunSuite {
     assert(out.filter(col("entity_id") === "Q21").count() === 0)
   }
 
+  test("relationships: family links between persons, non-persons drop") {
+    import spark.implicits._
+    def person(qid: String, spouse: Option[String]) = {
+      val sp = spouse.map(t =>
+        s""","P26":[{"id":"$qid-s","rank":"normal","mainsnak":{"snaktype":"value","property":"P26","datatype":"wikibase-item","datavalue":{"type":"wikibase-entityid","value":{"id":"$t"}}},"qualifiers":{"P580":[{"snaktype":"value","property":"P580","datatype":"time","datavalue":{"type":"time","value":{"time":"+1999-01-01T00:00:00Z","precision":9}}}]},"references":[{"snaks":{"P854":[{"snaktype":"value","property":"P854","datatype":"url","datavalue":{"type":"string","value":"https://ref.example/$qid"}}]}}]}]""").getOrElse("")
+      s"""{"id":"$qid","modified":"2024-01-01T00:00:00Z","labels":{"en":{"language":"en","value":"P $qid"}},$q5$sp}}"""
+    }
+    val org =
+      """{"id":"Q77","modified":"2024-01-01T00:00:00Z","labels":{"en":{"language":"en","value":"Acme"}},"claims":{"P31":[{"id":"c","rank":"normal","mainsnak":{"snaktype":"value","property":"P31","datatype":"wikibase-item","datavalue":{"type":"wikibase-entityid","value":{"id":"Q43229"}}}}],"P26":[{"id":"c-s","rank":"normal","mainsnak":{"snaktype":"value","property":"P26","datatype":"wikibase-item","datavalue":{"type":"wikibase-entityid","value":{"id":"Q71"}}}}]}}"""
+    val docs = spark.createDataset(Seq(
+      person("Q70", Some("Q71")),   // person → person: link
+      person("Q71", None),
+      person("Q72", Some("Q77")),   // person → org: dropped
+      org)).toDF("doc")              // org → person: dropped
+    val out = Wikidata.relationships(Wikidata.parse(docs)).cache()
+    val ids = out.select("entity_id").distinct().as[String].collect()
+    assert(ids.toSeq === Seq("wd-p26-q70-q71"))
+    val byProp = out.collect()
+      .groupBy(_.getAs[String]("prop"))
+      .view.mapValues(_.map(_.getAs[String]("value")).toSet).toMap
+    assert(byProp("person") === Set("Q70"))
+    assert(byProp("relative") === Set("Q71"))
+    assert(byProp("relationship") === Set("spouse"))
+    assert(byProp("startDate") === Set("1999"))
+    assert(byProp("sourceUrl") === Set("https://ref.example/Q70"))
+  }
+
   test("wikidata item xrefs against the donations store") {
     val item =
       """{"id":"Q99","modified":"2024-01-01T00:00:00Z","labels":{"en":{"language":"en","value":"Johanna Quandt"}},""" +
