@@ -17,7 +17,8 @@ object SparkEntry {
       dedup.DedupQueries.queries ++ similarity.SimilarityQueries.queries ++
       textanalysis.TextAnalysis.queries ++ streaming.EventOps.queries ++
       multimodal.Multimodal.queries ++ enrich.EnricherQueries.queries ++
-      enrich.WikidataQueries.queries ++ enrich.NominatimQueries.queries
+      enrich.WikidataQueries.queries ++ enrich.NominatimQueries.queries ++
+      enrich.OpenCorporatesQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,5 +29,6 @@ object SparkEntry {
       dedup.DedupQueries.oracles ++ similarity.SimilarityQueries.oracles ++
       textanalysis.TextAnalysis.oracles ++ streaming.EventOps.oracles ++
       multimodal.Multimodal.oracles ++ enrich.EnricherQueries.oracles ++
-      enrich.WikidataQueries.oracles ++ enrich.NominatimQueries.oracles
+      enrich.WikidataQueries.oracles ++ enrich.NominatimQueries.oracles ++
+      enrich.OpenCorporatesQueries.oracles
 }

@@ -87,4 +87,43 @@ object Territories {
     */
   def intersect(as0: Seq[String], bs0: Seq[String]): Boolean =
     as0.exists(a => bs0.exists(b => intersectCodes(a, b)))
+
+  /** Administering parent for dependent territories — a single code,
+    * unlike [[Parents]] which lists every claimant for matching
+    * purposes. Disputed regions resolve to the de-jure state; xk is
+    * deliberately absent (Kosovo is a country of its own in the
+    * reference's territory KB — its enricher skip-lists "xk", which
+    * only works if the code survives country resolution).
+    */
+  private val AdministeringParent: Map[String, String] =
+    (Parents - "xk").map { case (k, vs) => k -> vs.head } ++ Map(
+      "ua-cri" -> "ua", "ua-dpr" -> "ua", "ua-lpr" -> "ua",
+      "ge-ab" -> "ge", "x-so" -> "ge", "ge-so" -> "ge",
+      "az-nk" -> "az", "cy-trnc" -> "cy", "cy-north" -> "cy",
+      "hk" -> "cn", "mo" -> "cn", "eh" -> "ma")
+
+  private val IsoCountries: Set[String] =
+    java.util.Locale.getISOCountries.map(_.toLowerCase).toSet + "xk"
+
+  /** Resolve one code the way the reference's enrichers narrow search
+    * countries (`enrich/opencorporates.py:131-146`
+    * filter_ftm_countries): sub-territories map to their administering
+    * country, historical states and codes unknown to ISO-3166 drop out.
+    */
+  def ftmCountry(code0: String): Option[String] = {
+    val code = code0.toLowerCase.trim
+    if (Successors.contains(code) || code == "su") None
+    else {
+      val resolved = AdministeringParent.getOrElse(code, code)
+      if (IsoCountries.contains(resolved)) Some(resolved) else None
+    }
+  }
+
+  /** Spark-facing variants of the two maps for pure-column pipelines
+    * (no UDF: `transform` + `element_at` over these literals stays in
+    * codegen).
+    */
+  def administeringParentMap: Map[String, String] = AdministeringParent
+  def historicalCodes: Set[String] = Successors.keySet + "su"
+  def isoCountryCodes: Set[String] = IsoCountries
 }
