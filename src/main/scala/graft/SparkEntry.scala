@@ -18,7 +18,8 @@ object SparkEntry {
       textanalysis.TextAnalysis.queries ++ streaming.EventOps.queries ++
       multimodal.Multimodal.queries ++ enrich.EnricherQueries.queries ++
       enrich.WikidataQueries.queries ++ enrich.NominatimQueries.queries ++
-      enrich.OpenCorporatesQueries.queries ++ enrich.OpenFigiQueries.queries
+      enrich.OpenCorporatesQueries.queries ++
+      enrich.OpenFigiQueries.queries ++ enrich.YenteQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +31,6 @@ object SparkEntry {
       textanalysis.TextAnalysis.oracles ++ streaming.EventOps.oracles ++
       multimodal.Multimodal.oracles ++ enrich.EnricherQueries.oracles ++
       enrich.WikidataQueries.oracles ++ enrich.NominatimQueries.oracles ++
-      enrich.OpenCorporatesQueries.oracles ++ enrich.OpenFigiQueries.oracles
+      enrich.OpenCorporatesQueries.oracles ++
+      enrich.OpenFigiQueries.oracles ++ enrich.YenteQueries.oracles
 }
