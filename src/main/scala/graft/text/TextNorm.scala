@@ -127,11 +127,13 @@ object TextNorm {
     else greekMap.get(c).orElse(armenianMap.get(c))
       .orElse(georgianMap.get(c)).orElse(kanaMap.get(c))
       .orElse(arabicMap.get(c))
+      .orElse(Transliterate.han.get(c))
+      .orElse(Transliterate.khmer.get(c))
 
   /** Lowercase + latin accent fold + script romanization (cyrillic,
-    * greek, armenian, georgian, hangul, kana) — the pragmatic subset of
-    * rigour's script handling the fixtures and name-bench need. Han
-    * stays unromanized (pinyin needs a dictionary, not a table).
+    * greek, armenian, georgian, hangul, kana, khmer, common-character
+    * pinyin via [[Transliterate]]) — the pragmatic subset of rigour's
+    * script handling the fixtures and name-bench need.
     */
   /** Generic diacritic strip for any Latin letter the explicit map
     * misses (ă, ș, ț, ą, ř, ő …): NFD-decompose and drop combining
@@ -144,13 +146,19 @@ object TextNorm {
     if (d == c.toString) None else Some(d)
   }
 
-  def foldAscii(s: String): String =
-    s.toLowerCase.flatMap(c =>
+  def foldAscii(s: String): String = {
+    val lower = s.toLowerCase
+    // Khmer needs register/cluster state, not a character map
+    val pre =
+      if (Transliterate.hasKhmer(lower)) Transliterate.khmerWord(lower)
+      else lower
+    pre.flatMap(c =>
       if (c < 128) c.toString
       else accentMap.getOrElse(c, cyrillicMap.getOrElse(c,
         romanizeChar(c)
           .orElse(stripDiacritics(c))
           .getOrElse(c.toString))))
+  }
 
   /** Apostrophe-family characters are deleted, not spaced: "Qa'ida" is
     * one token ("qaida"), "People's" is "peoples" (rigour's cleanup does
