@@ -195,13 +195,23 @@ object WikidataQueries {
     * At scale this is the "parse the dump once, keep the snak table"
     * step — a real pipeline would write it to Parquet.
     */
-  def statementsQ(s: SparkSession, d: String): DataFrame =
-    Wikidata.statements(
+  private val snakCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), DataFrame]
+
+  /** Parsed snak table, materialized once per (session, dir) and shared
+    * by the statement and relationship transforms — the "keep the
+    * parsed dump" table both read.
+    */
+  def snakCk(s: SparkSession, d: String): DataFrame =
+    snakCache.getOrElseUpdate((s, d),
       Wikidata.parse(docs(s, d)).localCheckpoint(true))
 
+  def statementsQ(s: SparkSession, d: String): DataFrame =
+    Wikidata.statements(snakCk(s, d))
+
   def linksQ(s: SparkSession, d: String): DataFrame =
-    Wikidata.relationships(
-      Wikidata.parse(docs(s, d)).localCheckpoint(true))
+    Wikidata.relationships(snakCk(s, d))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_wd_statements" -> (statementsQ _),
