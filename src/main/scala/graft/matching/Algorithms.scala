@@ -199,22 +199,30 @@ object Algorithms {
     */
   object ErUnstable extends Algo {
     val name = "er-unstable"
+    // the reference's full 21-feature roster (`erun/model.py:50-72`),
+    // in its order
     val features: Seq[Feat] = Seq(
       Feat("name_token_overlap", nameTokenOverlap, 2.0),
       Feat("name_numbers", nameNumbers, 1.5),
       Feat("legal_name_levenshtein", legalNameLevenshtein, 1.2),
       Feat("person_name_levenshtein", personNameLevenshtein, 2.2),
       Feat("org_name_levenshtein", orgNameLevenshtein, 2.0),
-      Feat("obj_name_levenshtein", objNameLevenshtein, 1.8),
       Feat("strong_identifier_match", strongIdentifierMatch, 2.5),
       Feat("weak_identifier_match", weakIdentifierMatch, 1.2),
       Feat("dob_match", dobMatch, 1.5),
       Feat("dob_year_match", dobYearMatch, 0.8),
+      Feat("contact_match", contactMatch, 1.0),
       Feat("family_name_match", familyNameMatch, 0.9),
+      Feat("birth_place", birthPlaceErun, 0.6),
       Feat("gender_mismatch", genderMismatch, -1.0),
-      Feat("country_mismatch", countryMismatch, -0.7),
-      Feat("address_entity_match", addressEntityMatch, 0.8),
-      Feat("numbers_mismatch", numbersMismatch, -0.6))
+      Feat("per_country_mismatch", perCountryMismatch, -0.7),
+      Feat("position_country_match", positionCountryMatch, 0.3),
+      Feat("org_country_mismatch", orgCountryMismatch, -0.7),
+      Feat("security_isin_mismatch", securityIsinMismatch, -1.5),
+      Feat("obj_name_levenshtein", objNameLevenshtein, 1.8),
+      Feat("address_match", addressOverlapMatch, 0.7),
+      Feat("address_number_overlap", addressNumberOverlap, 0.5),
+      Feat("address_number_disagreement", addressNumberDisagreement, -0.6))
     val intercept: Double = -3.0
     def compute(scores: Map[String, Double]): Double = {
       val z = intercept + features

@@ -42,7 +42,9 @@ object EntityMatch {
       firstNames = props.getOrElse("firstName", Nil),
       phones = byType(Ftm.T.Phone),
       emails = byType(Ftm.T.Email),
-      birthPlaces = props.getOrElse("birthPlace", Nil))
+      birthPlaces = props.getOrElse("birthPlace", Nil),
+      isins = props.getOrElse("isin", Nil),
+      urls = byType(Ftm.T.Url))
   }
 
   private val viewUdf = udf(

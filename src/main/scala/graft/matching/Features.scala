@@ -22,7 +22,9 @@ final case class EntityView(
     firstNames: Seq[String] = Nil,
     phones: Seq[String] = Nil,
     emails: Seq[String] = Nil,
-    birthPlaces: Seq[String] = Nil) {
+    birthPlaces: Seq[String] = Nil,
+    isins: Seq[String] = Nil,
+    urls: Seq[String] = Nil) {
   def isA(ancestor: String): Boolean = Ftm.ancestors(schema).contains(ancestor)
 }
 
@@ -660,6 +662,109 @@ object Features {
     lt.intersect(rt).size.toDouble /
       math.max(2.0, math.min(lt.size, rt.size).toDouble)
   }
+
+  // ----------------------------------------- erun comparator family
+
+  /** Normalized address token set (`erun/misc.py:13-27` _norm_place):
+    * ascii-normalize, shorten postal keywords, split to tokens.
+    */
+  private def normPlace(vals: Seq[String]): Set[String] =
+    vals.flatMap(TextNorm.normalizeAddress)
+      .map(TextNorm.shortenAddressKeywords)
+      .flatMap(_.split(' ')).filter(_.nonEmpty).toSet
+
+  /** Same place of birth, overlap over the smaller token set
+    * (`erun/misc.py:30-38`).
+    */
+  val birthPlaceErun: Feature = (q, r) => {
+    if (!hasSchema(q, r, "Person")) 0.0
+    else {
+      val lt = normPlace(q.birthPlaces)
+      val rt = normPlace(r.birthPlaces)
+      lt.intersect(rt).size.toDouble /
+        math.max(1.0, math.min(lt.size, rt.size).toDouble)
+    }
+  }
+
+  /** Address token overlap over the smaller set (`erun/misc.py:41-52`
+    * address_match — token overlap, unlike the levenshtein-based
+    * regression_v1 [[addressMatch]]).
+    */
+  val addressOverlapMatch: Feature = (q, r) => {
+    val lt = normPlace(q.addresses)
+    val rt = normPlace(r.addresses)
+    if (lt.isEmpty || rt.isEmpty) 0.0
+    else lt.intersect(rt).size.toDouble /
+      math.max(1.0, math.min(lt.size, rt.size).toDouble)
+  }
+
+  /** Shared address numbers without rewarding repeats
+    * (`erun/misc.py:60-67`).
+    */
+  val addressNumberOverlap: Feature = (q, r) => {
+    val ln = TextNorm.extractNumbers(q.addresses)
+    val rn = TextNorm.extractNumbers(r.addresses)
+    if (ln.isEmpty || rn.isEmpty) 0.0
+    else ln.intersect(rn).size.toDouble / math.min(ln.size, rn.size)
+  }
+
+  /** Conflicting address numbers, bounded so address history cannot
+    * dominate (`erun/misc.py:70-77`): symmetric difference over union.
+    */
+  val addressNumberDisagreement: Feature = (q, r) => {
+    val ln = TextNorm.extractNumbers(q.addresses)
+    val rn = TextNorm.extractNumbers(r.addresses)
+    if (ln.isEmpty || rn.isEmpty) 0.0
+    else {
+      val union = ln.union(rn)
+      (union.size - ln.intersect(rn).size).toDouble / union.size
+    }
+  }
+
+  /** First matching contact channel: phones, then emails, then urls
+    * (`erun/misc.py:88-103`).
+    */
+  val contactMatch: Feature = (q, r) => {
+    if (q.phones.toSet.intersect(r.phones.toSet).nonEmpty) 1.0
+    else if (q.emails.map(_.toLowerCase).toSet
+      .intersect(r.emails.map(_.toLowerCase).toSet).nonEmpty) 1.0
+    else if (q.urls.map(_.toLowerCase).toSet
+      .intersect(r.urls.map(_.toLowerCase).toSet).nonEmpty) 1.0
+    else 0.0
+  }
+
+  /** ISIN codes disjoint for Security pairs (`erun/misc.py:106-116`). */
+  val securityIsinMismatch: Feature = (q, r) =>
+    if (!hasSchema(q, r, "Security")) 0.0
+    else if (disjoint(q.isins, r.isins)) 1.0
+    else 0.0
+
+  /** Position pairs: countries intersect +1, disjoint −1
+    * (`erun/countries.py:7-14`).
+    */
+  val positionCountryMatch: Feature = (q, r) =>
+    if (!hasSchema(q, r, "Position")) 0.0
+    else if (q.countries.isEmpty || r.countries.isEmpty) 0.0
+    else if (graft.text.Territories.intersect(q.countries, r.countries)) 1.0
+    else -1.0
+
+  /** Organization pairs without a shared territory
+    * (`erun/countries.py:17-27`: LegalEntity-but-not-Person gate).
+    */
+  val orgCountryMismatch: Feature = (q, r) =>
+    if (!hasSchema(q, r, "LegalEntity") || hasSchema(q, r, "Person")) 0.0
+    else if (q.countries.isEmpty || r.countries.isEmpty) 0.0
+    else if (graft.text.Territories.intersect(q.countries, r.countries)) 0.0
+    else 1.0
+
+  /** Person pairs without a shared territory
+    * (`erun/countries.py:30-38`).
+    */
+  val perCountryMismatch: Feature = (q, r) =>
+    if (!hasSchema(q, r, "Person")) 0.0
+    else if (q.countries.isEmpty || r.countries.isEmpty) 0.0
+    else if (graft.text.Territories.intersect(q.countries, r.countries)) 0.0
+    else 1.0
 
   /** Identifier overlap split by org-ness
     * (`regression_v1/misc.py:50-66`).

@@ -116,6 +116,16 @@ object Ftm {
       caption = Seq("publicKey"), props = Seq(
         Prop("publicKey", T.Identifier),
         Prop("currency", T.StringT, matchable = false))),
+    Schema("Security", Seq("Thing"), matchable = true,
+      caption = Seq("name"), props = Seq(
+        Prop("isin", T.Identifier),
+        Prop("figiCode", T.Identifier),
+        Prop("ticker", T.Identifier),
+        Prop("issuer", T.Entity))),
+    Schema("Position", Seq("Thing"), matchable = true,
+      caption = Seq("name"), props = Seq(
+        Prop("country", T.Country),
+        Prop("organization", T.Entity))),
     Schema("Address", Seq("Thing"), matchable = true, caption = Seq("full"),
       props = Seq(
         Prop("full", T.Address),
