@@ -207,3 +207,128 @@ object MatchMain {
     println(s"[match] wrote $out")
   }
 }
+
+/** `nk enrich` (`cli.py:300-321`): match entities against a mirrored
+  * enrichment source and emit the matched candidates' expanded
+  * statement table (candidates + one referenced hop). The mirror path
+  * takes the place of the reference's enricher config; `--algorithm`
+  * and `--cutoff` mirror the yente enricher knobs.
+  */
+object EnrichMain {
+  def main(args: Array[String]): Unit = {
+    val (pos, flags) = CliArgs.parse(args)
+    val (entities, mirror, out) = (pos.head, pos(1), pos(2))
+    val s = CliArgs.session("enrich")
+    val q = CliArgs.readStatements(s, entities, "query")
+    val m = CliArgs.readStatements(s, mirror, "mirror")
+    val enricher = new graft.enrich.YenteEnricher(m,
+      algorithm = flags.getOrElse("algorithm",
+        graft.matching.Algorithms.default.name),
+      cutoff = flags.get("cutoff").map(_.toDouble))
+    val cands = enricher.matchEntities(s, q)
+    cands.write.mode("overwrite").parquet(s"$out/candidates")
+    enricher.expandNested(cands)
+      .write.mode("overwrite").parquet(s"$out/statements")
+    println(s"[enrich] wrote $out/candidates and $out/statements")
+  }
+}
+
+/** `nk prune` (`cli.py:213-219`): drop resolver suggestions that a
+  * canonical map has made redundant, keeping judgements.
+  */
+object PruneMain {
+  def main(args: Array[String]): Unit = {
+    val (pos, _) = CliArgs.parse(args)
+    val (in, out) = (pos.head, pos(1))
+    val s = CliArgs.session("prune")
+    val edges = s.read.parquet(in)
+    val positive = edges
+      .filter(col("judgement") === graft.resolver.ResolverOps.Positive)
+      .select(col("source").as("src"), col("target").as("dst"))
+    graft.resolver.ResolverOps.prune(edges,
+      CliArgs.canonicalMapOf(positive))
+      .write.mode("overwrite").parquet(out)
+    println(s"[prune] wrote $out")
+  }
+}
+
+/** `nk dump-resolver` / `nk load-resolver` (`cli.py:337-351`): resolver
+  * edge table ↔ line-oriented dump, round-trippable with the
+  * reference's file format.
+  */
+object ResolverDumpMain {
+  def main(args: Array[String]): Unit = {
+    val (pos, _) = CliArgs.parse(args)
+    val (in, out) = (pos.head, pos(1))
+    val s = CliArgs.session("dump-resolver")
+    CliArgs.writeLines(
+      graft.resolver.ResolverOps.dump(s.read.parquet(in)), out)
+    println(s"[dump-resolver] wrote $out")
+  }
+}
+
+object ResolverLoadMain {
+  def main(args: Array[String]): Unit = {
+    val (pos, _) = CliArgs.parse(args)
+    val (in, out) = (pos.head, pos(1))
+    val s = CliArgs.session("load-resolver")
+    graft.resolver.ResolverOps.load(s,
+        s.read.text(in).withColumnRenamed("value", "line"))
+      .write.mode("overwrite").parquet(out)
+    println(s"[load-resolver] wrote $out")
+  }
+}
+
+/** `nk make-sortable` (`cli.py:239-246`): entities re-emitted as
+  * line-delimited ijson ordered by id, the form `sorted-aggregate`
+  * consumes.
+  */
+object MakeSortableMain {
+  def main(args: Array[String]): Unit = {
+    val (pos, flags) = CliArgs.parse(args)
+    val (in, out) = (pos.head, pos(1))
+    val s = CliArgs.session("make-sortable")
+    val stmts = CliArgs.readStatements(s, in,
+      flags.getOrElse("dataset", "default"))
+    CliArgs.writeLines(
+      graft.store.EntityStore.toIjson(
+        graft.store.EntityStore.assemble(stmts)).orderBy("line"), out)
+    println(s"[make-sortable] wrote $out")
+  }
+}
+
+/** `nk train-v1-matcher` / `train-erun-matcher` (`cli.py:266-276`):
+  * judged pairs + entity file → scaler-folded logistic coefficients as
+  * a JSON model (the cross-engine interchange format of
+  * [[graft.matching.ModelIO]]).
+  */
+object TrainMain {
+  def main(args: Array[String]): Unit = {
+    val (pos, flags) = CliArgs.parse(args)
+    val (pairsIn, entitiesIn, out) = (pos.head, pos(1), pos(2))
+    val s = CliArgs.session("train")
+    import graft.matching.{Algorithms, EntityMatch, ModelIO, Training}
+    val algo = Algorithms.registry(
+      flags.getOrElse("algorithm", Algorithms.dedupe.name))
+    val stmts = CliArgs.readStatements(s, entitiesIn, "train")
+    val views = EntityMatch.views(
+      graft.store.EntityStore.assemble(stmts), stmts)
+    val pairs = s.read.parquet(pairsIn)
+    val frame = Training.trainingFrame(pairs, views, algo)
+    val featCols = algo.features.map(f => s"f_${f.name}")
+    val clean = Training.quarantine(frame, featCols)
+    val (means, scales) = ModelIO.fitScaler(clean, featCols)
+    val scaled = featCols.zipWithIndex.foldLeft(clean) {
+      case (df, (c, i)) =>
+        df.withColumn(c, (col(c) - means(i)) / scales(i))
+    }
+    val model = Training.trainLogistic(scaled, featCols,
+      epochs = flags.get("epochs").map(_.toInt).getOrElse(200))
+    val json = ModelIO.toJson(ModelIO.ScaledModel(algo.name,
+      algo.features.map(_.name), means, scales, model.weights,
+      model.intercept))
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      json.getBytes("UTF-8"))
+    println(s"[train] wrote $out")
+  }
+}

@@ -77,4 +77,81 @@ class CliSpec extends AnyFunSuite {
       .head.getString(0)
     assert(top.getString(1) === fjqId)
   }
+
+  test("enrich main writes candidates and expanded statements") {
+    import spark.implicits._
+    val stmts = CliArgs.readStatements(spark, fixture, "donations")
+    val captions = graft.store.EntityStore.assemble(stmts)
+      .select(col("id"), col("caption"))
+    val jqId = captions.filter(col("caption") === "Johanna Quandt")
+      .head.getString(0)
+    val dir = tmp("enr").stripSuffix("/out")
+    stmts.filter(col("canonical_id") === jqId)
+      .write.mode("overwrite").parquet(s"$dir/query")
+    stmts.filter(col("canonical_id") =!= jqId)
+      .write.mode("overwrite").parquet(s"$dir/mirror")
+    val out = tmp("enrich")
+    EnrichMain.main(Array(s"$dir/query", s"$dir/mirror", out,
+      "--cutoff", "0.5"))
+    assert(spark.read.parquet(s"$out/candidates").count() > 0)
+    val pulled = spark.read.parquet(s"$out/statements")
+    assert(pulled.filter(col("schema") === "Address").count() > 0)
+  }
+
+  test("resolver dump/load round-trip and prune via mains") {
+    import spark.implicits._
+    val edges = Seq(
+      ("NK-c1", "a", "positive", 0.9, "test", "2024-01-01"),
+      ("NK-c1", "b", "positive", 0.8, "test", "2024-01-02"),
+      ("a", "b", "suggested", 0.7, "test", "2024-01-03"))
+      .toDF("target", "source", "judgement", "score", "user",
+        "created_at")
+      .withColumn("deleted_at", lit(null).cast("string"))
+    val dir = tmp("res").stripSuffix("/out")
+    edges.write.mode("overwrite").parquet(s"$dir/edges")
+
+    ResolverDumpMain.main(Array(s"$dir/edges", s"$dir/dump"))
+    ResolverLoadMain.main(Array(s"$dir/dump", s"$dir/loaded"))
+    val rt = spark.read.parquet(s"$dir/loaded")
+    assert(rt.count() === 3)
+    assert(rt.filter(col("judgement") === "positive").count() === 2)
+
+    PruneMain.main(Array(s"$dir/edges", s"$dir/pruned"))
+    val pruned = spark.read.parquet(s"$dir/pruned")
+    // the suggestion between two co-clustered members is redundant
+    assert(pruned.filter(col("judgement") === "suggested").count() === 0)
+    assert(pruned.filter(col("judgement") === "positive").count() > 0)
+  }
+
+  test("make-sortable emits id-ordered ijson that aggregates cleanly") {
+    val out = tmp("sortable")
+    MakeSortableMain.main(Array(fixture, out, "--dataset", "donations"))
+    val lines = spark.read.text(out).collect().map(_.getString(0))
+    assert(lines.length === 474)
+    assert(lines.toSeq === lines.toSeq.sorted)
+  }
+
+  test("train main exports a loadable JSON model") {
+    import spark.implicits._
+    val stmts = CliArgs.readStatements(spark, fixture, "donations")
+    val captions = graft.store.EntityStore.assemble(stmts)
+      .select(col("id"), col("caption"))
+    val jqId = captions.filter(col("caption") === "Johanna Quandt")
+      .head.getString(0)
+    val fjqId = captions.filter(col("caption") === "Frau Johanna Quandt")
+      .head.getString(0)
+    val sklId = captions.filter(col("caption") === "Frau Lina Dachner")
+      .head.getString(0)
+    val dir = tmp("train").stripSuffix("/out")
+    Seq((jqId, fjqId, 1.0), (jqId, sklId, 0.0), (fjqId, sklId, 0.0))
+      .toDF("lid", "rid", "label")
+      .write.mode("overwrite").parquet(s"$dir/pairs")
+    TrainMain.main(Array(s"$dir/pairs", fixture, s"$dir/model.json",
+      "--epochs", "30"))
+    val json = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/model.json")), "UTF-8")
+    val loaded = graft.matching.ModelIO.fromJson(json)
+    assert(loaded.algorithm === graft.matching.Algorithms.dedupe.name)
+    assert(loaded.features.nonEmpty)
+  }
 }
