@@ -19,7 +19,8 @@ object SparkEntry {
       multimodal.Multimodal.queries ++ enrich.EnricherQueries.queries ++
       enrich.WikidataQueries.queries ++ enrich.NominatimQueries.queries ++
       enrich.OpenCorporatesQueries.queries ++
-      enrich.OpenFigiQueries.queries ++ enrich.YenteQueries.queries
+      enrich.OpenFigiQueries.queries ++ enrich.YenteQueries.queries ++
+      enrich.PermIdQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +33,6 @@ object SparkEntry {
       multimodal.Multimodal.oracles ++ enrich.EnricherQueries.oracles ++
       enrich.WikidataQueries.oracles ++ enrich.NominatimQueries.oracles ++
       enrich.OpenCorporatesQueries.oracles ++
-      enrich.OpenFigiQueries.oracles ++ enrich.YenteQueries.oracles
+      enrich.OpenFigiQueries.oracles ++ enrich.YenteQueries.oracles ++
+      enrich.PermIdQueries.oracles
 }
