@@ -20,7 +20,7 @@ object SparkEntry {
       enrich.WikidataQueries.queries ++ enrich.NominatimQueries.queries ++
       enrich.OpenCorporatesQueries.queries ++
       enrich.OpenFigiQueries.queries ++ enrich.YenteQueries.queries ++
-      enrich.PermIdQueries.queries
+      enrich.PermIdQueries.queries ++ enrich.BrightQueryQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -34,5 +34,5 @@ object SparkEntry {
       enrich.WikidataQueries.oracles ++ enrich.NominatimQueries.oracles ++
       enrich.OpenCorporatesQueries.oracles ++
       enrich.OpenFigiQueries.oracles ++ enrich.YenteQueries.oracles ++
-      enrich.PermIdQueries.oracles
+      enrich.PermIdQueries.oracles ++ enrich.BrightQueryQueries.oracles
 }

@@ -1,0 +1,97 @@
+package graft.enrich
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** BrightQuery-style legal-entity enricher in mirror form (reference
+  * `enrich/brightquery.py:22-191`). The opendata.org legal-entity
+  * corpus is mirrored into a table; the per-payload POST + retry
+  * machinery collapses into a join while the shaping survives:
+  *
+  *  - `match` (`:166-189`): Organization gate; a query whose entire
+  *    country set is skip-listed is not searched; each name searches
+  *    separately, carrying the entity's *longest* address as a search
+  *    refinement;
+  *  - the service returns at most 10 records per payload, sorted by
+  *    revenue and employee headcount (`search`, `:163-164`) — the
+  *    mirror reproduces that as a per-(query, name) top-10 window;
+  *  - `create_proxy` (`:62-120`): legal-entity name falls back to the
+  *    organization name (both missing → record dropped); ids slugify
+  *    from `bq_legal_entity_id`, falling back to `bqo-<org slug>`;
+  *    records with no id, an overlong id, or an id outside the
+  *    `bq-`/`bqo-` prefixes are dropped; fields keep org/entity ids,
+  *    website, address summary, state jurisdiction and founding date.
+  */
+final class BrightQueryEnricher(records: DataFrame,
+    skipJurisdictions: Set[String] = Set("xk", "su"),
+    perQuery: Int = 10, maxIdLength: Int = 200) {
+
+  import BrightQueryEnricher._
+
+  /** Queries `(id, schema, names: array, countries: array,
+    * addresses: array)` → matched records, top-[[perQuery]] per
+    * (query, name) by revenue then headcount.
+    */
+  def matchOrganizations(s: SparkSession, queries: DataFrame): DataFrame = {
+    val skipLit = typedlit(skipJurisdictions.toSeq.sorted)
+    val q = queries
+      .filter(col("schema").isin("Organization", "Company", "PublicBody"))
+      .filter(size(coalesce(col("countries"), array())) === 0 ||
+        size(array_except(transform(col("countries"), lower _),
+          skipLit)) > 0)
+      // the longest address refines the search payload (`:181-183`)
+      .withColumn("q_address",
+        array_max(transform(coalesce(col("addresses"), array()),
+          a => struct(length(a).as("l"), a.as("v")))).getField("v"))
+      .select(col("id").as("query_id"),
+        explode(col("names")).as("q_name"), col("q_address"))
+
+    val m = records
+      .withColumn("r_name",
+        coalesce(col("bq_legal_entity_name"), col("bq_organization_name")))
+      .filter(col("r_name").isNotNull)
+      .withColumn("match_id", recordId(col("bq_legal_entity_id"),
+        col("bq_organization_id")))
+      .filter(col("match_id").isNotNull &&
+        length(col("match_id")) <= maxIdLength &&
+        (col("match_id").startsWith("bq-") ||
+          col("match_id").startsWith("bqo-")))
+
+    val joined = q.join(m, q("q_name") === m("r_name"))
+    val w = Window.partitionBy(col("query_id"), col("q_name"))
+      .orderBy(col("bq_revenue").desc, col("bq_employees").desc,
+        col("match_id").asc)
+    joined.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= perQuery).drop("rn")
+  }
+
+  /** `create_proxy` field shaping over matched rows. */
+  def companyEntities(matches: DataFrame): DataFrame =
+    matches.select(
+      col("query_id"), col("match_id"),
+      col("r_name").as("name"),
+      col("bq_organization_id").as("org_id"),
+      col("bq_legal_entity_id").as("entity_id"),
+      col("bq_website").as("website"),
+      col("bq_legal_entity_address_summary").as("address"),
+      col("bq_legal_entity_jurisdiction_code").as("jurisdiction"),
+      col("bq_legal_entity_date_founded").as("incorporation_date"))
+
+  def enrich(s: SparkSession, queries: DataFrame): DataFrame =
+    companyEntities(matchOrganizations(s, queries))
+}
+
+object BrightQueryEnricher {
+
+  private def slug(c: Column): Column =
+    regexp_replace(regexp_replace(lower(c), "[^a-z0-9]+", "-"),
+      "^-+|-+$", "")
+
+  /** Id selection (`brightquery.py:75-87`): the slugified legal-entity
+    * id, else `bqo-` + the slugified organization id, else null.
+    */
+  def recordId(legalId: Column, orgId: Column): Column =
+    when(legalId.isNotNull, slug(legalId))
+      .when(orgId.isNotNull, concat(lit("bqo-"), slug(orgId)))
+}
