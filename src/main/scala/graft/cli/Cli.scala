@@ -46,7 +46,9 @@ object CliArgs {
     // sensible single-node defaults; spark-submit confs win
     if (!sys.props.contains("spark.master")) b.master("local[*]")
     val s = b.config("spark.sql.shuffle.partitions",
-      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32")).getOrCreate()
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
+      .config("spark.sql.maxPlanStringLength", "65536")
+      .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
@@ -330,5 +332,77 @@ object TrainMain {
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       json.getBytes("UTF-8"))
     println(s"[train] wrote $out")
+  }
+}
+
+/** The interactive dedupe review served from files — the batch form of
+  * `nk dedupe`'s TUI (`tui/dedupe.py:24-112`, SURVEY §7.4 risk 5):
+  * exports the candidate queue and the side-by-side property
+  * comparisons ([[graft.resolver.Review]]); a reviewer (or UI) edits a
+  * decisions file; [[DecideMain]] applies it back onto the edge log.
+  *
+  * {{{
+  *   spark-submit --class graft.cli.ReviewMain graft.jar \
+  *     edges.parquet entities.ijson /out/review --limit 500
+  * }}}
+  * Writes `<out>/queue` (left_id, right_id, score, schemas) and
+  * `<out>/comparisons` (per-prop values + similarity, display-ordered).
+  */
+object ReviewMain {
+  def main(args: Array[String]): Unit = {
+    val (pos, flags) = CliArgs.parse(args)
+    val (edgesIn, entitiesIn, out) = (pos.head, pos(1), pos(2))
+    val s = CliArgs.session("review")
+    import graft.model.Ftm
+    import graft.resolver.{Review, ResolverOps}
+    val edges = s.read.parquet(edgesIn)
+    val stmts = CliArgs.readStatements(s, entitiesIn,
+      flags.getOrElse("dataset", "default"))
+    val positive = ResolverOps.live(edges)
+      .filter(col("judgement") === ResolverOps.Positive)
+      .select(col("source").as("src"), col("target").as("dst"))
+    val cm = CliArgs.canonicalMapOf(positive)
+    val schemas = CliArgs.applyCanonical(stmts, cm)
+      .groupBy(col("canonical_id").as("id"))
+      .agg(min(col("schema")).as("schema"))
+    val queue = Review.queue(edges, cm, schemas, Ftm.compatPairs)
+    queue.write.mode("overwrite").parquet(s"$out/queue")
+    val limit = flags.get("limit").map(_.toInt).getOrElse(1000)
+    val top = queue.orderBy(col("score").desc, col("left_id"),
+      col("right_id")).limit(limit)
+    Review.comparison(top.select("left_id", "right_id"),
+      CliArgs.applyCanonical(stmts, cm))
+      .write.mode("overwrite").parquet(s"$out/comparisons")
+    println(s"[review] wrote $out/queue and $out/comparisons")
+  }
+}
+
+/** Batch judgement application — the TUI's decide/apply step
+  * (`tui/util.py:25-37`): a decisions file (CSV with header
+  * `src,dst,judgement[,score]`) is upserted into the resolver edge log
+  * via [[graft.resolver.ResolverOps.decide]]; re-keying the store is
+  * [[ApplyMain]]'s job, exactly like the reference's
+  * `store.update(canonical)` follow-up.
+  */
+object DecideMain {
+  def main(args: Array[String]): Unit = {
+    val (pos, flags) = CliArgs.parse(args)
+    val (edgesIn, decisionsIn, out) = (pos.head, pos(1), pos(2))
+    val s = CliArgs.session("decide")
+    import graft.resolver.ResolverOps
+    val edges = s.read.parquet(edgesIn)
+    val decisions = s.read.option("header", "true").csv(decisionsIn)
+    val withScore =
+      if (decisions.columns.contains("score"))
+        decisions.withColumn("score", col("score").cast("double"))
+      else decisions.withColumn("score",
+        lit(null).cast("double"))
+    ResolverOps.decide(edges,
+      withScore.select(col("src"), col("dst"), col("judgement"),
+        col("score")),
+      user = flags.getOrElse("user", sys.props("user.name")),
+      ts = flags.getOrElse("ts", java.time.Instant.now.toString))
+      .write.mode("overwrite").parquet(out)
+    println(s"[decide] wrote $out")
   }
 }

@@ -44,8 +44,13 @@ final class DatasetEnricher(val name: String, mirror: DataFrame) {
       tfS.filter(col("side") === "m").drop("side"), compat, cfg,
       broadcastQuery = false) // bulk path: the query side is a corpus
     val views = EntityMatch.views(EntityStore.assemble(all), all)
+    // The topk subtree embeds the full blocker chain; score/expand plans
+    // downstream reference it repeatedly, multiplying the logical plan
+    // (multi-MiB task binaries, explainString OOM). The candidate list
+    // is bounded (top-K per query), so truncate lineage here.
+    val topkCk = topk.localCheckpoint(true)
     EntityMatch.scorePairs(
-      topk.select(col("qid").as("lid"), col("cid").as("rid"),
+      topkCk.select(col("qid").as("lid"), col("cid").as("rid"),
         col("score").as("blocker_score")),
       views, Seq(algorithm))
       .select(col("lid").as("query_id"), col("rid").as("candidate_id"),

@@ -181,6 +181,48 @@ object Ftm {
     else UNK
   }
 
+  /** Featured properties per schema — the public FtM `featured:` lists
+    * (own declaration, not inherited, like `followthemoney`'s
+    * `Schema.featured`). Consumed by the review-comparison ordering
+    * (`tui/util.py:40-49`: featured props sort first).
+    */
+  val featured: Map[String, Seq[String]] = Map(
+    "LegalEntity" -> Seq("name", "country", "legalForm"),
+    "Person" -> Seq("name", "nationality", "birthDate"),
+    "Organization" -> Seq("name", "country"),
+    "Company" -> Seq("name", "jurisdiction", "registrationNumber"),
+    "PublicBody" -> Seq("name", "country"),
+    "Vehicle" -> Seq("name", "registrationNumber"),
+    "Vessel" -> Seq("name", "imoNumber", "flag"),
+    "Airplane" -> Seq("name", "serialNumber"),
+    "CryptoWallet" -> Seq("publicKey", "currency"),
+    "Security" -> Seq("name", "isin", "issuer"),
+    "Position" -> Seq("name", "country"),
+    "Address" -> Seq("full"),
+    "Family" -> Seq("person", "relative", "relationship"),
+    "Associate" -> Seq("person", "associate", "relationship"),
+    "Payment" -> Seq("payer", "beneficiary", "amount"))
+
+  def featuredOf(schema: String): Seq[String] =
+    featured.getOrElse(schema, Nil)
+
+  /** Display ordering weight per property type — `tui/util.py:9-17`
+    * TYPE_ORDER: names first, then identifiers, dates, countries;
+    * free text and URLs last.
+    */
+  val typeOrder: Map[String, Int] = Map(
+    T.Name -> -6, T.Identifier -> -5, T.Date -> -4, T.Country -> -3,
+    T.StringT -> -1, T.Text -> 3, T.Url -> 5)
+
+  /** Property types whose values are match candidates (the FtM registry
+    * `matchable` flag on types — distinct from per-prop matchability).
+    * Drives the review filter `prop.type.matchable and not
+    * prop.matchable` (`tui/util.py:56-58`).
+    */
+  val matchableTypes: Set[String] = Set(
+    T.Name, T.Identifier, T.Date, T.Country, T.Address, T.Email,
+    T.Phone, T.Url, T.Entity)
+
   /** Transitive ancestors of a schema, including itself. */
   def ancestors(name: String): Set[String] = {
     def go(n: String): Set[String] =

@@ -176,6 +176,30 @@ object ResolverQueries {
       .select(col("lid"), col("rid"))
   }
 
+  /** Review queue (`tui/dedupe.py:45-67` + `resolver.py:306-327` in
+    * batch form, [[Review.queue]]): the full banded edge log
+    * (positives / mid-band suggestions / low-band negatives, exactly
+    * the prune fixture) filtered to reviewable canonical pairs with
+    * schema compatibility.
+    */
+  def reviewQueueQ(s: SparkSession, d: String): DataFrame = {
+    val scores = scoresCk(s, d)
+    val e = edgesOf(scores)
+    val cm = Resolver.canonicalMap(
+      Resolver.connectedComponents(e), weightOf)
+    val log = scores.select(col("lid").as("target"),
+      col("rid").as("source"),
+      when(col("score") >= PositiveThreshold, ResolverOps.Positive)
+        .when(col("score") >= SuggestLo, ResolverOps.NoJudgement)
+        .when(col("score") >= NegLo, ResolverOps.Negative)
+        .otherwise(ResolverOps.NoJudgement).as("judgement"),
+      col("score"), lit("t").as("user"), lit("t0").as("created_at"),
+      lit(null).cast("string").as("deleted_at"))
+    val schemas = StarStatements(s, d)
+      .select(col("id"), col("schema")).distinct()
+    Review.queue(log, cm, schemas, StarStatements.compat)
+  }
+
   /** Conflicting-match report (`conflicting_match.py:14-47`) over the
     * mid-band suggestions and low-band negative decisions.
     */
@@ -266,7 +290,8 @@ object ResolverQueries {
     "q_res_rename" -> (renameQ _),
     "q_res_prune" -> (pruneQ _),
     "q_res_conflicts" -> (conflictsQ _),
-    "q_res_check_candidate" -> (checkCandidateQ _))
+    "q_res_check_candidate" -> (checkCandidateQ _),
+    "q_review_queue" -> (reviewQueueQ _))
 
   val oracles: Map[String, String] = Map(
     "q_res_components" -> (prefix + "SELECT id, cluster FROM cc"),
@@ -324,6 +349,40 @@ object ResolverQueries {
                       AND s1.candidate < s2.candidate
       JOIN neg_band n ON least(s1.candidate, s2.candidate) = n.na
                      AND greatest(s1.candidate, s2.candidate) = n.nb"""),
+    "q_review_queue" -> (prefix + s"""
+      SELECT r.left_id, r.right_id, r.score,
+             ls.schema AS left_schema, rs.schema AS right_schema
+      FROM (
+        SELECT least(a, b) AS left_id, greatest(a, b) AS right_id,
+               max(score) AS score
+        FROM (
+          SELECT coalesce(lc.canonical, p.lid) AS a,
+                 coalesce(rc.canonical, p.rid) AS b, p.score
+          FROM pair_scores p
+          LEFT JOIN canonical_map lc ON p.lid = lc.member
+          LEFT JOIN canonical_map rc ON p.rid = rc.member
+          WHERE (p.score >= $SuggestLo AND p.score < $PositiveThreshold)
+             OR p.score < $NegLo
+        ) WHERE a <> b GROUP BY 1, 2
+      ) r
+      JOIN (SELECT DISTINCT id, schema FROM stmts) ls
+        ON r.left_id = ls.id
+      JOIN (SELECT DISTINCT id, schema FROM stmts) rs
+        ON r.right_id = rs.id
+      JOIN compat c ON least(ls.schema, rs.schema) = c.ls
+                   AND greatest(ls.schema, rs.schema) = c.rs
+      WHERE NOT EXISTS (
+        SELECT 1 FROM (
+          SELECT DISTINCT least(a, b) AS na, greatest(a, b) AS nb
+          FROM (
+            SELECT coalesce(lc.canonical, p.lid) AS a,
+                   coalesce(rc.canonical, p.rid) AS b
+            FROM pair_scores p
+            LEFT JOIN canonical_map lc ON p.lid = lc.member
+            LEFT JOIN canonical_map rc ON p.rid = rc.member
+            WHERE p.score >= $NegLo AND p.score < $SuggestLo
+          ) WHERE a <> b
+        ) n WHERE n.na = r.left_id AND n.nb = r.right_id)"""),
     "q_res_check_candidate" -> (prefix + s"""
       SELECT c.lid, c.rid FROM cand_pairs c
       WHERE NOT EXISTS (

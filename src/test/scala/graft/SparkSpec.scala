@@ -10,6 +10,9 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // bound plan-explain allocations (a pathological plan otherwise
+      // OOMs the driver building a multi-hundred-MB debug string)
+      .config("spark.sql.maxPlanStringLength", "65536")
       .appName("graft-test")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
