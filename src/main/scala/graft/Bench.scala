@@ -27,15 +27,26 @@ object Bench {
     // rounds, and shared materializations (tf index, score table) are
     // attributed to the first query of their family
     var failed = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the timed set (local
+    // iteration); SPARK_GRAFT_BENCH_REPEAT times each query N times
+    // and keeps the minimum (steady-state, noise-robust)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSet)
+    val repeat = sys.env.get("SPARK_GRAFT_BENCH_REPEAT")
+      .map(_.toInt).getOrElse(1)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }.map {
       case (name, fn) =>
-        val t0 = System.nanoTime()
-        try exhaust(fn(spark, sfDir)) catch {
-          case e: Throwable =>
-            failed ::= name
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        val times = (1 to repeat).map { _ =>
+          val t0 = System.nanoTime()
+          try exhaust(fn(spark, sfDir)) catch {
+            case e: Throwable =>
+              failed ::= name
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          }
+          (System.nanoTime() - t0) / 1e9
         }
-        name -> (System.nanoTime() - t0) / 1e9
+        name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

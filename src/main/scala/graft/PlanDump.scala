@@ -17,11 +17,13 @@ object PlanDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.001"
-    val names = Seq("q_agg_pricing", "q_blk_pairs", "q_blk_match_topk",
-      "q_dedup_lsh_pairs", "q_sim_ann_lsh", "q_topk_window",
-      "q_store_assemble", "q_sim_ivf", "q_dedup_ngram_jaccard",
-      "q_store_delta", "q_train_quarantine", "q_enrich_candidates",
-      "q_store_pack")
+    val names = sys.env.get("SPARK_GRAFT_PLANS")
+      .map(_.split(",").toSeq).getOrElse(Seq(
+        "q_agg_pricing", "q_blk_pairs", "q_blk_match_topk",
+        "q_dedup_lsh_pairs", "q_sim_ann_lsh", "q_topk_window",
+        "q_store_assemble", "q_sim_ivf", "q_dedup_ngram_jaccard",
+        "q_store_delta", "q_train_quarantine", "q_enrich_candidates",
+        "q_store_pack"))
     val sb = new StringBuilder
     for (n <- names) {
       val df = SparkEntry.queries(n)(spark, d)

@@ -58,7 +58,13 @@ final class BrightQueryEnricher(records: DataFrame,
         (col("match_id").startsWith("bq-") ||
           col("match_id").startsWith("bqo-")))
 
-    val joined = q.join(m, q("q_name") === m("r_name"))
+    // The name join fans out (few distinct names × many records); a
+    // broadcast join preserves the probe side's input partitioning, so
+    // a single-split mirror file would serialize the window's map-side
+    // top-K sort on one thread. Spread the mirror first — at scale the
+    // mirror arrives in thousands of splits and this is a no-op cost.
+    val mSpread = m.repartition(s.sparkContext.defaultParallelism)
+    val joined = q.join(mSpread, q("q_name") === mSpread("r_name"))
     val w = Window.partitionBy(col("query_id"), col("q_name"))
       .orderBy(col("bq_revenue").desc, col("bq_employees").desc,
         col("match_id").asc)
