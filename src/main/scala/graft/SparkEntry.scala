@@ -20,7 +20,8 @@ object SparkEntry {
       enrich.WikidataQueries.queries ++ enrich.NominatimQueries.queries ++
       enrich.OpenCorporatesQueries.queries ++
       enrich.OpenFigiQueries.queries ++ enrich.YenteQueries.queries ++
-      enrich.PermIdQueries.queries ++ enrich.BrightQueryQueries.queries
+      enrich.PermIdQueries.queries ++ enrich.BrightQueryQueries.queries ++
+      enrich.ProposeQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -34,5 +35,6 @@ object SparkEntry {
       enrich.WikidataQueries.oracles ++ enrich.NominatimQueries.oracles ++
       enrich.OpenCorporatesQueries.oracles ++
       enrich.OpenFigiQueries.oracles ++ enrich.YenteQueries.oracles ++
-      enrich.PermIdQueries.oracles ++ enrich.BrightQueryQueries.oracles
+      enrich.PermIdQueries.oracles ++ enrich.BrightQueryQueries.oracles ++
+      enrich.ProposeQueries.oracles
 }

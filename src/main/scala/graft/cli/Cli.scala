@@ -127,7 +127,23 @@ object XrefMain {
       Xref.run(s, stmts, decided, CliArgs.xrefConfig(flags))
     merges.write.mode("overwrite").parquet(s"$out/merges")
     suggestions.write.mode("overwrite").parquet(s"$out/suggestions")
-    println(s"[xref] wrote $out/merges and $out/suggestions")
+    // the resolver edge log the reference's xref writes (`xref.py:
+    // 138-153`): auto-merges decided positive, the rest suggested —
+    // the input ReviewMain/DecideMain continue from
+    import graft.resolver.ResolverOps
+    val ts = flags.getOrElse("ts", java.time.Instant.now.toString)
+    val empty = Seq.empty[(String, String, String, Double, String,
+      String, String)].toDF("target", "source", "judgement", "score",
+      "user", "created_at", "deleted_at")
+    val withPos = ResolverOps.decide(empty,
+      merges.withColumn("judgement", lit(ResolverOps.Positive))
+        .select(col("src"), col("dst"), col("judgement"), col("score")),
+      user = "xref", ts = ts)
+    ResolverOps.suggest(withPos,
+      suggestions.select(col("lid").as("src"), col("rid").as("dst"),
+        col("score")), user = "xref", ts = ts)
+      .write.mode("overwrite").parquet(s"$out/edges")
+    println(s"[xref] wrote $out/merges, $out/suggestions and $out/edges")
   }
 }
 
@@ -404,5 +420,53 @@ object DecideMain {
       ts = flags.getOrElse("ts", java.time.Instant.now.toString))
       .write.mode("overwrite").parquet(out)
     println(s"[decide] wrote $out")
+  }
+}
+
+/** Wikidata write-back proposals from files — the terminal step of the
+  * reconcile loop (`tui/reconcile.py` confirm → `wikidata/propose.py` →
+  * QuickStatements): resolved (entity_id, qid) pairs diff against the
+  * parsed dump and unmatched entities become CREATE blocks; the output
+  * is a `.qs` batch for the QuickStatements UI.
+  *
+  * {{{
+  *   spark-submit --class graft.cli.ProposeMain graft.jar \
+  *     entities.ijson snaks.parquet pairs.parquet /out/batch.qs \
+  *     --retrieved 2024-06-01 --create-unmatched true
+  * }}}
+  */
+object ProposeMain {
+  def main(args: Array[String]): Unit = {
+    val (pos, flags) = CliArgs.parse(args)
+    val (entitiesIn, snaksIn, pairsIn, out) =
+      (pos.head, pos(1), pos(2), pos(3))
+    val s = CliArgs.session("propose")
+    import graft.enrich.Propose
+    val stmts = CliArgs.readStatements(s, entitiesIn,
+      flags.getOrElse("dataset", "default"))
+    val snaks = s.read.parquet(snaksIn)
+    val pairsDf = s.read.parquet(pairsIn)
+    val retrieved = flags.get("retrieved")
+    val positions = flags.get("positions")
+      .map(p => s.read.parquet(p))
+      .getOrElse(s.emptyDataFrame
+        .withColumn("entity_id", lit(null).cast("string"))
+        .withColumn("pos_qid", lit(null).cast("string"))
+        .withColumn("start", lit(null).cast("string"))
+        .withColumn("end", lit(null).cast("string")))
+    val enriched = Propose.enrich(pairsDf, stmts, snaks, positions,
+      retrieved, flags.get("source-url"))
+    val all =
+      if (flags.get("create-unmatched").contains("true")) {
+        val matched = pairsDf.select(col("entity_id")).distinct()
+        val unmatchedStmts = stmts.join(broadcast(matched),
+          stmts("entity_id") === matched("entity_id"), "left_anti")
+        enriched.unionByName(
+          Propose.create(unmatchedStmts, retrieved,
+            flags.get("source-url")))
+      } else enriched
+    CliArgs.writeLines(
+      all.orderBy(col("entity_id"), col("ord")).select(col("line")), out)
+    println(s"[propose] wrote $out")
   }
 }

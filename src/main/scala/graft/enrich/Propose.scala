@@ -1,0 +1,348 @@
+package graft.enrich
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Ftm
+import graft.text.Territories
+
+/** Wikidata write-back proposals in QuickStatements V1 form — the batch
+  * re-expression of the reference's reconcile write path
+  * (`wikidata/propose.py:1-279`, `wikidata/write/values.py`,
+  * `wikidata/write/commands.py`, `wikidata/write/serialize.py`): diff
+  * FtM person entities against parsed wikidata items and emit exactly
+  * the statements wikidata is missing — never a label overwrite, never
+  * a competing single value.
+  *
+  * Everything is joins, windows and string expressions (whole-stage
+  * codegen end to end): the item side aggregates once per QID into a
+  * "known" row; the entity side aggregates per entity; each command
+  * family is one narrow branch unioned into `(entity_id, qid, ord,
+  * line)` where `ord` reproduces the reference's emission order and
+  * `line` is the finished tab-separated QuickStatements command.
+  */
+object Propose {
+
+  /** FtM gender → wikidata sex-or-gender item; only ever male/female
+    * (`propose.py:28`).
+    */
+  val GenderQids: Map[String, String] =
+    Map("male" -> "Q6581097", "female" -> "Q6581072")
+
+  /** ISO2 → wikidata QID for present-day sovereign states (the
+    * `rigour.territories` qid lookup of `propose.py:166-177`, public
+    * ISO/wikidata correspondence). Historical territories are excluded
+    * here AND via [[Territories.historicalCodes]] — auto-adding a
+    * defunct state's citizenship is noise.
+    */
+  val CountryQids: Map[String, String] = Map(
+    "af" -> "Q889", "ar" -> "Q414", "at" -> "Q40", "au" -> "Q408",
+    "bd" -> "Q902", "be" -> "Q31", "br" -> "Q155", "ca" -> "Q16",
+    "ch" -> "Q39", "cn" -> "Q148", "co" -> "Q739", "cz" -> "Q213",
+    "de" -> "Q183", "dz" -> "Q262", "eg" -> "Q79", "es" -> "Q29",
+    "et" -> "Q115", "fr" -> "Q142", "gb" -> "Q145", "gr" -> "Q41",
+    "hu" -> "Q28", "id" -> "Q252", "ie" -> "Q27", "il" -> "Q801",
+    "in" -> "Q668", "iq" -> "Q796", "ir" -> "Q794", "it" -> "Q38",
+    "jo" -> "Q810", "jp" -> "Q17", "ke" -> "Q114", "kr" -> "Q884",
+    "ma" -> "Q1028", "mx" -> "Q96", "my" -> "Q833", "mz" -> "Q1029",
+    "ng" -> "Q1033", "nl" -> "Q55", "no" -> "Q20", "pe" -> "Q419",
+    "ph" -> "Q928", "pk" -> "Q843", "pl" -> "Q36", "pt" -> "Q45",
+    "ro" -> "Q218", "ru" -> "Q159", "sa" -> "Q851", "se" -> "Q34",
+    "sg" -> "Q334", "th" -> "Q869", "tr" -> "Q43", "tw" -> "Q865",
+    "ua" -> "Q212", "us" -> "Q30", "vn" -> "Q881", "za" -> "Q258")
+
+  /** ISO 639-3 → wikidata label/alias language code; unmappable or
+    * untagged falls back to `mul` (`propose.py:81-90` `_wd_lang`).
+    */
+  val Iso3To2: Map[String, String] =
+    Wikidata.LangIso.map { case (two, three) => three -> two } - "mul"
+
+  // ----------------------------------------------- QS value rendering
+
+  /** Escape for a double-quoted QS value (`values.py:67-75`): squash
+    * whitespace runs (tabs/newlines would break the line format), then
+    * backslash-escape.
+    */
+  def qsEscape(c: Column): Column =
+    regexp_replace(
+      regexp_replace(trim(regexp_replace(c, "\\s+", " ")),
+        "\\\\", "\\\\\\\\"),
+      "\"", "\\\\\"")
+
+  def qsQuote(c: Column): Column =
+    concat(lit("\""), qsEscape(c), lit("\""))
+
+  /** Date prefix → `+YYYY-MM-DDT00:00:00Z/precision` with the QS
+    * precision integer derived from prefix length (`values.py:44-64`,
+    * 9=year, 10=month, 11=day); null for unusable input.
+    */
+  def qsDate(c: Column): Column = {
+    val y = substring(c, 1, 4)
+    when(c.rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}"),
+      concat(lit("+"), substring(c, 1, 10), lit("T00:00:00Z/11")))
+      .when(c.rlike("^[0-9]{4}-[0-9]{2}$"),
+        concat(lit("+"), c, lit("-01T00:00:00Z/10")))
+      .when(c.rlike("^[0-9]{4}$"),
+        concat(lit("+"), y, lit("-01-01T00:00:00Z/9")))
+  }
+
+  // --------------------------------------------------- item-side diff
+
+  /** What wikidata already holds, one row per QID
+    * (`propose.py:47-78` `_known_from_item`) over the parsed snak
+    * table ([[WikidataModel]] rows).
+    */
+  def knownOf(snaks: DataFrame): DataFrame = {
+    val main = snaks.filter(col("role") === "main")
+    val names = snaks.filter(col("role").isin("label", "alias") &&
+      col("vString").isNotNull)
+      .groupBy(col("qid"))
+      .agg(collect_set(lower(col("vString"))).as("name_texts"))
+    main.groupBy(col("qid")).agg(
+      max(col("prop") === "P31" && col("vEntity") === "Q5")
+        .as("is_human"),
+      max(col("prop") === "P569").as("has_birth_date"),
+      max(col("prop") === "P21").as("has_gender"),
+      sort_array(collect_set(when(col("prop") === "P27",
+        col("vEntity")))).as("citizenship_qids"),
+      sort_array(collect_set(when(col("prop") === "P39",
+        col("vEntity")))).as("position_qids"))
+      .join(names, Seq("qid"), "left_outer")
+      .withColumn("name_texts",
+        coalesce(col("name_texts"), typedLit(Seq.empty[String])))
+  }
+
+  // ------------------------------------------------- entity-side prep
+
+  private val nameMatchableLit = typedLit((for {
+    sch <- Ftm.schemata.keys
+    (pn, pr) <- Ftm.propsOf(sch)
+    if pr.tpe == Ftm.T.Name
+  } yield s"$sch:$pn" -> pr.matchable).toMap)
+
+  /** Matchable name-type statements as `(entity_id, value, wd_lang,
+    * rn)` with casefold dedupe (`propose.py:114-136`
+    * `_name_statements`). The reference keeps the first statement in
+    * iteration order; the batch total order is (primary-name-first,
+    * prop, value) — deterministic under any row order.
+    */
+  def nameStatements(stmts: DataFrame): DataFrame = {
+    val cand = stmts
+      .filter(col("prop_type") === Ftm.T.Name &&
+        coalesce(element_at(nameMatchableLit,
+          concat(col("schema"), lit(":"), col("prop"))), lit(false)) &&
+        trim(col("value")) =!= "")
+      .withColumn("roleOrd", when(col("prop") === "name", 0).otherwise(1))
+    val dedupe = Window.partitionBy(col("entity_id"), lower(col("value")))
+      .orderBy(col("roleOrd"), col("prop"), col("value"))
+    val order = Window.partitionBy(col("entity_id"))
+      .orderBy(col("roleOrd"), col("prop"), col("value"))
+    cand.withColumn("dr", row_number().over(dedupe)).filter(col("dr") === 1)
+      .withColumn("rn", row_number().over(order))
+      .select(col("entity_id"), col("value"),
+        coalesce(element_at(typedLit(Iso3To2), col("lang")), lit("mul"))
+          .as("wd_lang"),
+        col("rn"))
+  }
+
+  /** Per-entity citation tail (`propose.py:93-112` `_references`):
+    * `\tS854\t"url"` from the entity's first sourceUrl (else the
+    * fallback), plus `\tS813\t<date>` when a retrieved stamp is given;
+    * empty when unsourced (warn-don't-drop semantics).
+    */
+  def referenceTails(stmts: DataFrame, retrieved: Option[String],
+      fallbackUrl: Option[String]): DataFrame = {
+    val urls = stmts.filter(col("prop") === "sourceUrl")
+      .groupBy(col("entity_id")).agg(min(col("value")).as("src_url"))
+    val base = stmts.select(col("entity_id")).distinct()
+      .join(urls, Seq("entity_id"), "left_outer")
+      .withColumn("url",
+        coalesce(col("src_url"),
+          fallbackUrl.map(lit).getOrElse(lit(null).cast("string"))))
+    val retrievedTail = retrieved
+      .map(d => coalesce(
+        concat(lit("\tS813\t"), qsDate(lit(d))), lit("")))
+      .getOrElse(lit(""))
+    base.select(col("entity_id"),
+      when(col("url").isNotNull,
+        concat(lit("\tS854\t"), qsQuote(col("url")), retrievedTail))
+        .otherwise(lit("")).as("refs"))
+  }
+
+  // --------------------------------------------------command branches
+
+  private def emptyStr = typedLit(Seq.empty[String])
+
+  /** Property statements shared by enrich and create
+    * (`propose.py:141-183` `_property_statements`): P31 human gate,
+    * single-valued P569/P21, pushy-but-present-day P27.
+    * `known` must expose is_human/has_birth_date/has_gender/
+    * citizenship_qids joined onto (entity_id, target, refs).
+    */
+  private def propertyCmds(withKnown: DataFrame): DataFrame = {
+    val p31 = withKnown.filter(!col("is_human"))
+      .select(col("entity_id"), col("qid"), lit(1000).as("ord"),
+        concat(col("target"), lit("\tP31\tQ5"), col("refs")).as("line"))
+    val p569 = withKnown.filter(!col("has_birth_date") &&
+      size(col("birth_dates")) === 1)
+      .withColumn("d", qsDate(element_at(col("birth_dates"), 1)))
+      .filter(col("d").isNotNull)
+      .select(col("entity_id"), col("qid"), lit(1001).as("ord"),
+        concat(col("target"), lit("\tP569\t"), col("d"), col("refs"))
+          .as("line"))
+    val genderLit = typedLit(GenderQids)
+    val p21 = withKnown.filter(!col("has_gender") &&
+      size(col("genders")) === 1)
+      .withColumn("g", element_at(genderLit,
+        element_at(col("genders"), 1)))
+      .filter(col("g").isNotNull)
+      .select(col("entity_id"), col("qid"), lit(1002).as("ord"),
+        concat(col("target"), lit("\tP21\t"), col("g"), col("refs"))
+          .as("line"))
+    val countryLit = typedLit(CountryQids)
+    val histLit = typedLit(Territories.historicalCodes.toSeq)
+    val p27 = withKnown
+      .select(col("entity_id"), col("qid"), col("target"), col("refs"),
+        col("citizenship_qids"),
+        explode(col("citizenships")).as("code"))
+      .withColumn("code", lower(col("code")))
+      .filter(!array_contains(histLit, col("code")))
+      .withColumn("cqid", element_at(countryLit, col("code")))
+      .filter(col("cqid").isNotNull &&
+        !array_contains(col("citizenship_qids"), col("cqid")))
+      // in-batch dedupe by target QID value, first code wins
+      .withColumn("dr", row_number().over(Window
+        .partitionBy(col("entity_id"), col("cqid"))
+        .orderBy(col("code")))).filter(col("dr") === 1)
+      .withColumn("rn", row_number().over(Window
+        .partitionBy(col("entity_id")).orderBy(col("code"))))
+      .select(col("entity_id"), col("qid"),
+        (lit(1010) + col("rn")).as("ord"),
+        concat(col("target"), lit("\tP27\t"), col("cqid"), col("refs"))
+          .as("line"))
+    p31.unionByName(p569).unionByName(p21).unionByName(p27)
+  }
+
+  /** Per-entity value bundle joined against the per-QID known row. */
+  private def entityBundle(stmts: DataFrame): DataFrame =
+    stmts.groupBy(col("entity_id")).agg(
+      sort_array(collect_set(when(col("prop") === "birthDate",
+        col("value")))).as("birth_dates"),
+      sort_array(collect_set(when(col("prop") === "gender",
+        col("value")))).as("genders"),
+      sort_array(collect_set(when(col("prop") === "citizenship",
+        col("value")))).as("citizenships"))
+
+  /** `propose_enrich` (`propose.py:186-214`) in batch form: for each
+    * resolved (entity_id, qid) pair, missing names become append-only
+    * aliases, P31/P569/P21/P27 are added only when absent, and
+    * qid-resolved positions (`positions`: entity_id, pos_qid, start,
+    * end — nullable dates) become P39 with date qualifiers only for
+    * single-occupancy posts (`propose.py:185-216` conservatism).
+    * Returns `(entity_id, qid, ord, line)`.
+    */
+  def enrich(pairs: DataFrame, stmts: DataFrame, snaks: DataFrame,
+      positions: DataFrame, retrieved: Option[String] = None,
+      fallbackUrl: Option[String] = None): DataFrame = {
+    val known = knownOf(snaks)
+    val p = pairs.select(col("entity_id"), col("qid"))
+      .join(known, Seq("qid"), "left_outer")
+      .withColumn("is_human", coalesce(col("is_human"), lit(false)))
+      .withColumn("has_birth_date",
+        coalesce(col("has_birth_date"), lit(false)))
+      .withColumn("has_gender", coalesce(col("has_gender"), lit(false)))
+      .withColumn("citizenship_qids",
+        coalesce(col("citizenship_qids"), emptyStr))
+      .withColumn("position_qids",
+        coalesce(col("position_qids"), emptyStr))
+      .withColumn("name_texts", coalesce(col("name_texts"), emptyStr))
+      .withColumn("target", col("qid"))
+
+    val refs = referenceTails(stmts, retrieved, fallbackUrl)
+    val withRefs = p.join(refs, Seq("entity_id"), "left_outer")
+      .withColumn("refs", coalesce(col("refs"), lit("")))
+
+    // missing names → append-only aliases (`propose.py:207-210`)
+    val aliases = nameStatements(stmts)
+      .join(withRefs.select(col("entity_id"), col("qid"),
+        col("target"), col("name_texts")), Seq("entity_id"))
+      .filter(!array_contains(col("name_texts"), lower(col("value"))))
+      .select(col("entity_id"), col("qid"),
+        (lit(10) + col("rn")).as("ord"),
+        concat(col("target"), lit("\tA"), col("wd_lang"), lit("\t"),
+          qsQuote(col("value"))).as("line"))
+
+    val withVals = withRefs
+      .join(entityBundle(stmts), Seq("entity_id"), "left_outer")
+      .withColumn("birth_dates", coalesce(col("birth_dates"), emptyStr))
+      .withColumn("genders", coalesce(col("genders"), emptyStr))
+      .withColumn("citizenships",
+        coalesce(col("citizenships"), emptyStr))
+    val props = propertyCmds(withVals)
+
+    // P39 for posts the item lacks (`propose.py:185-216`): one
+    // occupancy → P580/P582 qualifiers; several → bare statement
+    val pos = positions
+      .join(withRefs.select(col("entity_id"), col("qid"), col("target"),
+        col("refs"), col("position_qids")), Seq("entity_id"))
+      .filter(!array_contains(col("position_qids"), col("pos_qid")))
+      .groupBy(col("entity_id"), col("qid"), col("target"),
+        col("refs"), col("pos_qid"))
+      .agg(count(lit(1)).as("n"),
+        min(col("start")).as("start"), min(col("end")).as("end"))
+      .withColumn("quals",
+        when(col("n") === 1, concat(
+          coalesce(concat(lit("\tP580\t"), qsDate(col("start"))),
+            lit("")),
+          coalesce(concat(lit("\tP582\t"), qsDate(col("end"))),
+            lit("")))).otherwise(lit("")))
+      .withColumn("rn", row_number().over(Window
+        .partitionBy(col("entity_id")).orderBy(col("pos_qid"))))
+      .select(col("entity_id"), col("qid"),
+        (lit(2000) + col("rn")).as("ord"),
+        concat(col("target"), lit("\tP39\t"), col("pos_qid"),
+          col("quals"), col("refs")).as("line"))
+
+    aliases.unionByName(props).unionByName(pos)
+  }
+
+  /** `propose_create` (`propose.py:217-246`) in batch form: a CREATE
+    * block per entity — label from the first name in batch order (the
+    * caption in the reference; identical whenever the caption is the
+    * primary name), remaining names as aliases, then the full property
+    * set against an empty known row, all targeting `LAST`.
+    */
+  def create(stmts: DataFrame, retrieved: Option[String] = None,
+      fallbackUrl: Option[String] = None): DataFrame = {
+    val names = nameStatements(stmts)
+    val refs = referenceTails(stmts, retrieved, fallbackUrl)
+    val entities = stmts.select(col("entity_id")).distinct()
+
+    val createLine = entities.select(col("entity_id"),
+      lit(null).cast("string").as("qid"), lit(0).as("ord"),
+      lit("CREATE").as("line"))
+    val nameLines = names.select(col("entity_id"),
+      lit(null).cast("string").as("qid"), (lit(10) + col("rn")).as("ord"),
+      concat(lit("LAST\t"),
+        when(col("rn") === 1, concat(lit("L"), col("wd_lang")))
+          .otherwise(concat(lit("A"), col("wd_lang"))),
+        lit("\t"), qsQuote(col("value"))).as("line"))
+
+    val withVals = entities
+      .join(refs, Seq("entity_id"), "left_outer")
+      .withColumn("refs", coalesce(col("refs"), lit("")))
+      .join(entityBundle(stmts), Seq("entity_id"), "left_outer")
+      .withColumn("birth_dates", coalesce(col("birth_dates"), emptyStr))
+      .withColumn("genders", coalesce(col("genders"), emptyStr))
+      .withColumn("citizenships", coalesce(col("citizenships"), emptyStr))
+      .withColumn("qid", lit(null).cast("string"))
+      .withColumn("target", lit("LAST"))
+      .withColumn("is_human", lit(false))
+      .withColumn("has_birth_date", lit(false))
+      .withColumn("has_gender", lit(false))
+      .withColumn("citizenship_qids", emptyStr)
+    createLine.unionByName(nameLines)
+      .unionByName(propertyCmds(withVals))
+  }
+}
