@@ -470,3 +470,73 @@ object ProposeMain {
     println(s"[propose] wrote $out")
   }
 }
+
+/** Batch wikidata reconciliation from files — the headless form of the
+  * reference's reconcile command (`wikidata/reconcile.py:282-342` via
+  * `cli.py`): persons search the mirrored dump by name, the best
+  * candidate above the threshold auto-merges into the resolver edge
+  * log, linked persons emit enrich proposals (with store-walked P39
+  * position claims) and the rest become CREATE blocks.
+  *
+  * {{{
+  *   spark-submit --class graft.cli.ReconcileMain graft.jar \
+  *     entities.ijson snaks.parquet /out \
+  *     --threshold 0.9 --edges edges.parquet --retrieved 2024-06-01
+  * }}}
+  *
+  * Writes `/out/decisions` + `/out/edges` (Parquet) and `/out/batch.qs`.
+  */
+object ReconcileMain {
+  def main(args: Array[String]): Unit = {
+    val (pos, flags) = CliArgs.parse(args)
+    val (entitiesIn, snaksIn, out) = (pos.head, pos(1), pos(2))
+    val s = CliArgs.session("reconcile")
+    import graft.enrich.Reconcile
+    val stmts = CliArgs.readStatements(s, entitiesIn,
+      flags.getOrElse("dataset", "default"))
+    val snaks = s.read.parquet(snaksIn)
+    val priorEdges = flags.get("edges").map(p => s.read.parquet(p))
+    val canonicals = priorEdges
+      .map(e => CliArgs.canonicalMapOf(
+        e.filter(col("judgement") === graft.resolver.ResolverOps.Positive)
+          .select(col("target").as("src"), col("source").as("dst")))
+        .select(col("member"), col("canonical")))
+      .getOrElse(s.emptyDataFrame
+        .withColumn("member", lit(null).cast("string"))
+        .withColumn("canonical", lit(null).cast("string")))
+    val decided = priorEdges
+      .map(_.filter(col("deleted_at").isNull &&
+        col("judgement") =!= graft.resolver.ResolverOps.NoJudgement)
+        .select(col("target").as("entity_id"), col("source").as("qid")))
+      .getOrElse(s.emptyDataFrame
+        .withColumn("entity_id", lit(null).cast("string"))
+        .withColumn("qid", lit(null).cast("string")))
+    val persons = stmts.filter(col("schema") === "Person")
+    val candidates = flags.get("algorithm") match {
+      case Some(alg) =>
+        // matcher-scored path: blocker join + algorithm re-score
+        Reconcile.rankCandidates(s, persons,
+          graft.enrich.Wikidata.toStatementTable(
+            graft.enrich.Wikidata.statements(snaks), "wikidata"), alg)
+      case None => Reconcile.searchCandidates(persons, snaks)
+    }
+    val threshold = flags.get("threshold").map(_.toDouble)
+      .getOrElse(Reconcile.Threshold)
+    val (decisions, merges, commands) = Reconcile.reconcile(
+      s, stmts, snaks, canonicals, decided, candidates, threshold,
+      create = !flags.get("create").contains("false"),
+      retrieved = flags.get("retrieved"),
+      sourceUrl = flags.get("source-url"))
+    decisions.write.mode("overwrite").parquet(s"$out/decisions")
+    val ts = flags.getOrElse("ts", java.time.Instant.now.toString)
+    merges.select(col("src").as("target"), col("dst").as("source"),
+      lit(graft.resolver.ResolverOps.Positive).as("judgement"),
+      col("score"), lit("reconcile").as("user"),
+      lit(ts).as("created_at"),
+      lit(null).cast("string").as("deleted_at"))
+      .write.mode("overwrite").parquet(s"$out/edges")
+    CliArgs.writeLines(commands.orderBy(col("entity_id"), col("ord"))
+      .select(col("line")), s"$out/batch.qs")
+    println(s"[reconcile] wrote $out/decisions, $out/edges, $out/batch.qs")
+  }
+}

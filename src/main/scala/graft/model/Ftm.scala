@@ -141,6 +141,13 @@ object Ftm {
       Prop("endDate", T.Date),
       Prop("sourceUrl", T.Url, matchable = false),
       Prop("summary", T.Text, matchable = false))),
+    Schema("Occupancy", Seq("Interval"), matchable = false,
+      caption = Nil, props = Seq(
+        Prop("holder", T.Entity),
+        Prop("post", T.Entity),
+        // curation-period fallbacks for the tenure dates
+        Prop("periodStart", T.Date),
+        Prop("periodEnd", T.Date))),
     Schema("Family", Seq("Interval"), matchable = false,
       caption = Seq("relationship"), props = Seq(
         Prop("person", T.Entity),
