@@ -21,7 +21,8 @@ object SparkEntry {
       enrich.OpenCorporatesQueries.queries ++
       enrich.OpenFigiQueries.queries ++ enrich.YenteQueries.queries ++
       enrich.PermIdQueries.queries ++ enrich.BrightQueryQueries.queries ++
-      enrich.ProposeQueries.queries ++ enrich.ReconcileQueries.queries
+      enrich.ProposeQueries.queries ++ enrich.ReconcileQueries.queries ++
+      enrich.WikipediaQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -36,5 +37,6 @@ object SparkEntry {
       enrich.OpenCorporatesQueries.oracles ++
       enrich.OpenFigiQueries.oracles ++ enrich.YenteQueries.oracles ++
       enrich.PermIdQueries.oracles ++ enrich.BrightQueryQueries.oracles ++
-      enrich.ProposeQueries.oracles ++ enrich.ReconcileQueries.oracles
+      enrich.ProposeQueries.oracles ++ enrich.ReconcileQueries.oracles ++
+      enrich.WikipediaQueries.oracles
 }
