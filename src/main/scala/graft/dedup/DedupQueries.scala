@@ -133,6 +133,64 @@ object DedupQueries {
       .filter(col("jaccard") >= CharJaccardThreshold)
   }
 
+  /** Near-dup cluster closure — the step a training-data dedup actually
+    * ends with: verified LSH pairs → connected components → one
+    * surviving representative per cluster (longest text wins, smallest
+    * id breaks ties — "keep the richest copy"). Emits one row per
+    * clustered doc: `(doc_id, canonical, keep)`; unclustered docs are
+    * implicitly kept and not listed.
+    *
+    * Scale shape: the pair list is tiny relative to the corpus (it IS
+    * the near-dup set), so the component step runs on edges only —
+    * driver union-find under 2M edges, pointer-doubled propagation
+    * above — and the length/election joins are per-cluster aggregates
+    * over the members, never touching unclustered documents.
+    */
+  def clustersQ(s: SparkSession, d: String): DataFrame = {
+    val pairs = lshPairsQ(s, d).select(
+      col("a").cast("string").as("src"), col("b").cast("string").as("dst"))
+    val cc = graft.resolver.Resolver.connectedComponents(pairs)
+    val len = Tables.documents(s, d).select(
+      col("doc_id").cast("string").as("id"),
+      length(col("text")).as("len"))
+    val wl = cc.join(len, Seq("id"))
+    // scalar max + fetch-back join (struct-valued min_by/max_by falls
+    // back to SortAggregate; the geocode query measured the difference)
+    val ml = wl.groupBy(col("cluster")).agg(max(col("len")).as("mlen"))
+    val canon = wl.join(ml, Seq("cluster"))
+      .filter(col("len") === col("mlen"))
+      .groupBy(col("cluster")).agg(min(col("id")).as("canonical"))
+    wl.join(canon, Seq("cluster"))
+      .select(col("id").as("doc_id"), col("canonical"),
+        (col("id") === col("canonical")).as("keep"))
+  }
+
+  /** Per-language sampling rates for the stratified corpus mix —
+    * downsample the dominant language, keep the tail whole.
+    */
+  val SampleRates: Map[String, Double] = Map(
+    "en" -> 0.5, "zh" -> 0.8, "es" -> 0.8, "de" -> 1.0, "fr" -> 1.0)
+
+  /** Deterministic stratified sampling — the reproducible corpus-mix
+    * step of a training-data pipeline. `sampleBy` draws from a seeded
+    * RNG (non-reproducible across engines and partitionings); this
+    * keys the keep decision on a content hash instead: a doc survives
+    * iff the first 15 bits of `md5(doc_id)` fall under its stratum's
+    * rate. Same doc → same decision, on any engine, any partitioning,
+    * any subset of the corpus — the property that matters when a 100 TB
+    * mix must be re-derivable. Map-only, no shuffle, no state.
+    */
+  def sampleQ(s: SparkSession, d: String): DataFrame = {
+    val rates = typedLit(SampleRates)
+    val bucket = conv(substring(
+      md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("long")
+    Tables.documents(s, d)
+      .withColumn("rate", element_at(rates, col("lang")))
+      .filter(col("rate").isNotNull &&
+        bucket < col("rate") * 65536)
+      .select(col("doc_id"), col("lang"))
+  }
+
   def simhashQ(s: SparkSession, d: String): DataFrame =
     Dedup.simhash(Tables.documents(s, d), "doc_id", "text", SimhashBits)
 
@@ -255,6 +313,8 @@ object DedupQueries {
     "q_dedup_exact" -> (exactDedup _),
     "q_dedup_minhash" -> (minhashQ _),
     "q_dedup_lsh_pairs" -> (lshPairsQ _),
+    "q_dedup_clusters" -> (clustersQ _),
+    "q_doc_sample" -> (sampleQ _),
     "q_dedup_simhash" -> (simhashQ _),
     "q_dedup_simhash_pairs" -> (simhashPairsQ _),
     "q_dedup_ngram_jaccard" -> (ngramJaccardQ _))
@@ -276,6 +336,52 @@ object DedupQueries {
         JOIN sh sa ON c.a = sa.doc_id
         JOIN sh sb ON c.b = sb.doc_id)
       WHERE jaccard >= $JaccardThreshold"""),
+    "q_doc_sample" -> {
+      val rateCase = SampleRates.toSeq.sortBy(_._1)
+        .map { case (l, r) => s"WHEN '$l' THEN $r" }
+        .mkString("CASE lang ", " ", " END")
+      s"""
+      SELECT doc_id, lang FROM (
+        SELECT doc_id, lang, $rateCase AS rate,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                 AS BIGINT) AS bucket
+        FROM documents)
+      WHERE rate IS NOT NULL AND bucket < rate * 65536"""
+    },
+    "q_dedup_clusters" -> ("WITH RECURSIVE " +
+      ctePrefix.trim.stripPrefix("WITH") + s""",
+      vpairs AS (
+        SELECT CAST(a AS VARCHAR) AS a, CAST(b AS VARCHAR) AS b FROM (
+          SELECT c.a, c.b,
+                 round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                   / (len(sa.s) + len(sb.s)
+                      - len(list_intersect(sa.s, sb.s))), 4) AS jaccard
+          FROM cand c
+          JOIN sh sa ON c.a = sa.doc_id
+          JOIN sh sb ON c.b = sb.doc_id)
+        WHERE jaccard >= $JaccardThreshold
+      ),
+      dverts AS (SELECT a AS id FROM vpairs UNION SELECT b FROM vpairs),
+      dsym AS (SELECT a AS src, b AS dst FROM vpairs
+               UNION SELECT b, a FROM vpairs),
+      dreach AS (
+        SELECT id, id AS lbl FROM dverts
+        UNION
+        SELECT s.dst AS id, r.lbl FROM dreach r JOIN dsym s ON s.src = r.id
+      ),
+      dcc AS (SELECT id, min(lbl) AS cluster FROM dreach GROUP BY id),
+      dwl AS (
+        SELECT dcc.id, dcc.cluster, length(d.text) AS len
+        FROM dcc JOIN documents d ON CAST(d.doc_id AS VARCHAR) = dcc.id
+      ),
+      dml AS (SELECT cluster, max(len) AS mlen FROM dwl GROUP BY cluster),
+      dcanon AS (
+        SELECT w.cluster, min(w.id) AS canonical
+        FROM dwl w JOIN dml m ON w.cluster = m.cluster AND w.len = m.mlen
+        GROUP BY w.cluster
+      )
+      SELECT w.id AS doc_id, c.canonical, w.id = c.canonical AS keep
+      FROM dwl w JOIN dcanon c ON w.cluster = c.cluster"""),
     "q_dedup_simhash" -> (ctePrefix + "SELECT doc_id, simhash FROM sims"),
     "q_dedup_simhash_pairs" -> (ctePrefix + s"""
       SELECT a, b, hamming FROM (

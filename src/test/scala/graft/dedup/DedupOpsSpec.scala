@@ -1,0 +1,56 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.resolver.Resolver
+
+/** Cluster-closure election and deterministic sampling semantics —
+  * the two dedup-pipeline tails ([[DedupQueries.clustersQ]] /
+  * [[DedupQueries.sampleQ]] gate the full paths against oracles; these
+  * pin the branchy rules on hand-built fixtures.
+  */
+class DedupOpsSpec extends AnyFunSuite {
+  import SparkSpec.spark
+  import spark.implicits._
+
+  test("cluster election keeps the longest text, min id on ties") {
+    // components {1,2,3} and {8,9}; 2 and 3 tie on length
+    val pairs = Seq(("1", "2"), ("2", "3"), ("8", "9"))
+      .toDF("src", "dst")
+    val cc = Resolver.connectedComponents(pairs)
+    val len = Seq(("1", 5L), ("2", 9L), ("3", 9L), ("8", 4L), ("9", 2L))
+      .toDF("id", "len")
+    val wl = cc.join(len, Seq("id"))
+    val ml = wl.groupBy(col("cluster")).agg(max(col("len")).as("mlen"))
+    val canon = wl.join(ml, Seq("cluster"))
+      .filter(col("len") === col("mlen"))
+      .groupBy(col("cluster")).agg(min(col("id")).as("canonical"))
+    val out = wl.join(canon, Seq("cluster"))
+      .select(col("id"), col("canonical"),
+        (col("id") === col("canonical")).as("keep"))
+      .orderBy("id").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+    assert(out.toSeq === Seq(
+      ("1", "2", false), ("2", "2", true), ("3", "2", false),
+      ("8", "8", true), ("9", "8", false)))
+  }
+
+  test("hash sampling is deterministic and stratum-scoped") {
+    val sf = "/root/testdata/sf0.001"
+    val once = DedupQueries.sampleQ(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val again = DedupQueries.sampleQ(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // same docs every run — the decision is content-keyed, not RNG
+    assert(once === again)
+    assert(once.nonEmpty)
+    // every sampled lang has a configured rate
+    assert(once.map(_._2).subsetOf(DedupQueries.SampleRates.keySet))
+    // the de stratum (rate 1.0) survives whole
+    val total = graft.Tables.documents(spark, sf)
+      .filter(col("lang") === "de").count()
+    assert(once.count(_._2 == "de").toLong === total)
+  }
+}
