@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
+import graft.Tables
+
 /** Similarity / embedding-dedup queries with DuckDB oracles. The oracle
   * computes the dot product with the same left-to-right fold
   * (`list_sum(list_transform(list_zip(...)))`) and results are rounded to
@@ -139,6 +141,28 @@ object SimilarityQueries {
 
   // ---------------------------------------------------------------- oracle
 
+  /** Int8 scalar quantization — the memory path for ANN at 100 TB:
+    * a float32 corpus shrinks 4× (plus the norm precomputation) with
+    * ~1% cosine error, so a 1000-executor cluster holds the whole
+    * index in RAM instead of spilling. Per-vector absmax scaling:
+    * `scale = max|v| / 127`, `q_i = floor(v_i/scale + 0.5)` —
+    * floor-form rounding because Spark and DuckDB `round()` disagree
+    * on .5 ties. Map-only, no shuffle; emits the quantized vector as
+    * a comma string so the oracle checks every element.
+    */
+  def quantizeQ(s: SparkSession, d: String): DataFrame = {
+    val v = transform(col("embedding"), x => x.cast("double"))
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), v.as("v"))
+      .withColumn("scale",
+        aggregate(col("v"), lit(0.0d),
+          (acc, x) => greatest(acc, abs(x))) / 127.0d)
+      .filter(col("scale") > 0)
+      .select(col("vec_id"), round(col("scale"), 9).as("scale"),
+        concat_ws(",", transform(col("v"),
+          x => floor(x / col("scale") + 0.5d).cast("long"))).as("q"))
+  }
+
   private def planesLiteral(n: Int): String =
     Similarity.hyperplanes(n, 64)
       .map(_.mkString("[", ",", "]")).mkString("[", ",\n      ", "]")
@@ -188,9 +212,21 @@ object SimilarityQueries {
     "q_sim_cosine_topk" -> (cosineTopK _),
     "q_sim_embed_near" -> (embedNearPairs _),
     "q_sim_ann_lsh" -> (annLsh _),
-    "q_sim_ivf" -> (ivfTopK _))
+    "q_sim_ivf" -> (ivfTopK _),
+    "q_sim_quantize" -> (quantizeQ _))
 
   val oracles: Map[String, String] = Map(
+    "q_sim_quantize" -> """
+      SELECT vec_id, round(scale, 9) AS scale,
+             array_to_string(list_transform(v,
+               x -> CAST(floor(x / scale + 0.5) AS BIGINT)), ',') AS q
+      FROM (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               list_max(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+        FROM embeddings)
+      WHERE scale > 0""",
     "q_sim_cosine_topk" -> (ctePrefix + s"""
       SELECT qid, vec_id, cosine, rn FROM (
         SELECT q.vec_id AS qid, c.vec_id,

@@ -173,7 +173,36 @@ object TextAnalysis {
     }
   }
 
+  /** Quantile grid for the length-distribution profile. */
+  val Quantiles: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+
+  /** Exact per-language length quantiles — the corpus profile a
+    * quality-filter threshold is read off of. Discrete (type-1)
+    * quantiles computed positionally: the value at sorted rank
+    * `ceil(q*n)` — exact, engine-portable (no reliance on a library
+    * percentile's interpolation), and one shuffle: a window rank per
+    * language plus a broadcast of the tiny per-language counts. At
+    * 100 TB the sort is per-language-partition and the quantile grid
+    * is a literal, so the plan stays a single ranked pass.
+    */
+  def lengthQuantilesQ(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.Tables.documents(s, d)
+      .select(col("lang"), col("n_chars"))
+    val ranked = docs.withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("n_chars"))))
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val grid = typedLit(Quantiles)
+    val wanted = counts
+      .select(col("lang"), col("n"), explode(grid).as("q"))
+      .withColumn("pos", ceil(col("q") * col("n")).cast("long"))
+    ranked.join(broadcast(wanted),
+        Seq("lang")).filter(col("rn") === col("pos"))
+      .select(col("lang"), col("q"), col("n_chars").as("value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_quantiles" -> (lengthQuantilesQ _),
     "q_text_stats" -> (statsQ _),
     "q_text_quality" -> (qualityQ _),
     "q_text_langid" -> (langIdQ _),
@@ -181,6 +210,21 @@ object TextAnalysis {
     "q_text_tokens" -> (tokensQ _))
 
   val oracles: Map[String, String] = Map(
+    // the quantile grid multiplies as DOUBLE on both sides: decimal
+    // arithmetic would give ceil(0.9*10)=9 where IEEE doubles give 10
+    "q_text_quantiles" -> s"""
+      WITH ranked AS (
+        SELECT lang, n_chars,
+               row_number() OVER (PARTITION BY lang ORDER BY n_chars)
+                 AS rn
+        FROM documents),
+      counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+      wanted AS (
+        SELECT c.lang, CAST(q AS DOUBLE) AS q,
+               CAST(ceil(CAST(q AS DOUBLE) * c.n) AS BIGINT) AS pos
+        FROM counts c, unnest([${Quantiles.mkString(", ")}]) t(q))
+      SELECT r.lang, w.q, r.n_chars AS value
+      FROM ranked r JOIN wanted w ON r.lang = w.lang AND r.rn = w.pos""",
     "q_text_stats" -> s"""
       SELECT doc_id, length(text) AS n_chars, len(w) AS n_tokens,
              len(list_distinct(w)) AS n_distinct,

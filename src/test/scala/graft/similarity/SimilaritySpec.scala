@@ -58,6 +58,46 @@ class SimilaritySpec extends AnyFunSuite {
     info(s"ANN∩brute overlap: $overlap")
   }
 
+  test("int8 quantization: reconstruction bound and cosine fidelity") {
+    val qz = SimilarityQueries.quantizeQ(s, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getString(2).split(",").map(_.toDouble)))
+      .toMap
+    val orig = graft.Tables.embeddings(s, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    assert(qz.size === orig.size)
+    // absmax scaling: every element reconstructs within scale/2 and
+    // the worst quantized magnitude is exactly 127
+    for ((id, (scale, q)) <- qz) {
+      val v = orig(id)
+      assert(q.map(math.abs).max <= 127.0)
+      v.indices.foreach { i =>
+        assert(math.abs(v(i) - q(i) * scale) <= scale / 2 + 1e-9)
+      }
+    }
+    // cosine on dequantized vectors tracks the exact cosine — the
+    // error budget the 4x memory saving costs
+    def cos(x: Array[Double], y: Array[Double]): Double = {
+      val d = x.indices.map(i => x(i) * y(i)).sum
+      d / (math.sqrt(x.map(a => a * a).sum) *
+        math.sqrt(y.map(a => a * a).sum))
+    }
+    val ids = orig.keys.toSeq.sorted.take(20)
+    val errs = for {
+      i <- ids.indices; j <- (i + 1) until ids.size
+    } yield {
+      val (a, b) = (ids(i), ids(j))
+      val dq = (id: Long) => {
+        val (sc, q) = qz(id); q.map(_ * sc)
+      }
+      math.abs(cos(orig(a), orig(b)) - cos(dq(a), dq(b)))
+    }
+    info(f"max cosine error over ${errs.size} pairs: ${errs.max}%.5f")
+    assert(errs.max < 0.01)
+  }
+
   test("IVF top-k recall against brute-force") {
     val ivf = SimilarityQueries.ivfTopK(s, sf)
       .select(col("qid"), col("vec_id")).collect()
