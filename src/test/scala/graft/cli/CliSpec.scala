@@ -154,4 +154,62 @@ class CliSpec extends AnyFunSuite {
     assert(loaded.algorithm === graft.matching.Algorithms.dedupe.name)
     assert(loaded.features.nonEmpty)
   }
+
+  private def writeWriteBackFixture(dir: String): (String, String) = {
+    import spark.implicits._
+    val entities = s"$dir/entities.ijson"
+    Files.write(java.nio.file.Paths.get(entities), java.util.Arrays.asList(
+      """{"id":"p1","schema":"Person","properties":{"name":["Johanna Quandt"]}}""",
+      """{"id":"p2","schema":"Person","properties":{"name":["Stefan Quandt"],"wikidataId":["Q77951"],"birthDate":["1966"]}}""",
+      """{"id":"p3","schema":"Person","properties":{"name":["Nobody Such"]}}"""))
+    val snaks = s"$dir/snaks"
+    Seq(
+      ("Q1", "main", "P31", "Q5", null),
+      ("Q1", "label", null, null, "Johanna Quandt"),
+      ("Q77951", "main", "P31", "Q5", null),
+      ("Q77951", "label", null, null, "Stefan Quandt"))
+      .toDF("qid", "role", "prop", "vEntity", "vString")
+      .write.mode("overwrite").parquet(snaks)
+    (entities, snaks)
+  }
+
+  test("reconcile main runs the write-back loop from files") {
+    val dir = tmp("reconcile").stripSuffix("/out")
+    val (entities, snaks) = writeWriteBackFixture(dir)
+    ReconcileMain.main(Array(entities, snaks, s"$dir/out",
+      "--retrieved", "2024-06-01"))
+    val decisions = spark.read.parquet(s"$dir/out/decisions").collect()
+      .map(r => r.getAs[String]("entity_id") ->
+        r.getAs[String]("decision")).toMap
+    assert(decisions === Map(
+      "p1" -> "merge", "p2" -> "enrich", "p3" -> "create"))
+    val edges = spark.read.parquet(s"$dir/out/edges").collect()
+    assert(edges.length === 1)
+    assert(edges.head.getAs[String]("target") === "p1")
+    assert(edges.head.getAs[String]("source") === "Q1")
+    val qs = spark.read.text(s"$dir/out/batch.qs")
+      .collect().map(_.getString(0))
+    // p2 enriches its linked item (missing birth date), p3 creates
+    assert(qs.exists(_.startsWith(
+      "Q77951\tP569\t+1966-01-01T00:00:00Z/9")))
+    assert(qs.count(_ === "CREATE") === 1)
+    assert(qs.exists(_.contains("\tLmul\t\"Nobody Such\"")))
+  }
+
+  test("propose main emits a QuickStatements batch from files") {
+    import spark.implicits._
+    val dir = tmp("propose").stripSuffix("/out")
+    val (entities, snaks) = writeWriteBackFixture(dir)
+    Seq(("p1", "Q1")).toDF("entity_id", "qid")
+      .write.mode("overwrite").parquet(s"$dir/pairs")
+    ProposeMain.main(Array(entities, snaks, s"$dir/pairs",
+      s"$dir/batch.qs", "--retrieved", "2024-06-01",
+      "--create-unmatched", "true"))
+    val qs = spark.read.text(s"$dir/batch.qs")
+      .collect().map(_.getString(0))
+    // p1 diffs against Q1 (no birth date there to add, but P31 is
+    // present so no re-assert); p2/p3 are unmatched -> CREATE blocks
+    assert(qs.count(_ === "CREATE") === 2)
+    assert(qs.exists(_.startsWith("LAST\tLmul\t\"Stefan Quandt\"")))
+  }
 }
