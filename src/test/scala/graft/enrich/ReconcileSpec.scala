@@ -139,6 +139,28 @@ class ReconcileSpec extends AnyFunSuite {
     assert(!lines.contains("CREATE"))
   }
 
+  test("rankCandidates scores persons against the dump mirror") {
+    // a two-item dump in FtM statement form: the reference's
+    // matcher-scored rank_candidates path (blocker join + algorithm),
+    // as ReconcileMain --algorithm drives it
+    val docs = Seq(
+      """{"id":"Q99","modified":"2024-01-01T00:00:00Z","labels":{"en":{"language":"en","value":"Johanna Quandt"}},"claims":{"P31":[{"id":"c1","rank":"normal","mainsnak":{"snaktype":"value","property":"P31","datatype":"wikibase-item","datavalue":{"type":"wikibase-entityid","value":{"id":"Q5"}}}}]}}""",
+      """{"id":"Q98","modified":"2024-01-01T00:00:00Z","labels":{"en":{"language":"en","value":"Ganz Anders"}},"claims":{"P31":[{"id":"c2","rank":"normal","mainsnak":{"snaktype":"value","property":"P31","datatype":"wikibase-item","datavalue":{"type":"wikibase-entityid","value":{"id":"Q5"}}}}]}}""")
+    import spark.implicits._
+    val mirror = Wikidata.toStatementTable(Wikidata.statements(
+      Wikidata.parse(spark.createDataset(docs).toDF("doc"))))
+    val ranked = Reconcile.rankCandidates(spark,
+      stmts.filter(col("schema") === "Person"), mirror,
+      algorithm = "regression-v1")
+      .filter(col("entity_id") === "p1")
+      .orderBy(col("score").desc).collect()
+    assert(ranked.nonEmpty)
+    // the name twin outranks the unrelated item (which the blocker
+    // never even pairs)
+    assert(ranked.head.getAs[String]("qid") === "Q99")
+    assert(!ranked.map(_.getAs[String]("qid")).contains("Q98"))
+  }
+
   test("reconcile creates the unmatched person") {
     val snaks = Seq(
       ("Q9", "main", "P31", "Q5", null),
