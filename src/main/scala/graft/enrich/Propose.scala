@@ -64,6 +64,14 @@ object Propose {
     * whitespace runs (tabs/newlines would break the line format), then
     * backslash-escape.
     */
+  /** Name-comparison fold (`propose.py:74-77` uses Python `casefold`,
+    * which maps ß→ss where `lower` does not — without it a known
+    * "Strauß" label would not suppress a "STRAUSS" alias). The other
+    * casefold-only mappings (ligatures) don't occur in name data.
+    */
+  private def nameFold(c: Column): Column =
+    regexp_replace(lower(c), "ß", "ss")
+
   def qsEscape(c: Column): Column =
     regexp_replace(
       regexp_replace(trim(regexp_replace(c, "\\s+", " ")),
@@ -98,7 +106,7 @@ object Propose {
     val names = snaks.filter(col("role").isin("label", "alias") &&
       col("vString").isNotNull)
       .groupBy(col("qid"))
-      .agg(collect_set(lower(col("vString"))).as("name_texts"))
+      .agg(collect_set(nameFold(col("vString"))).as("name_texts"))
     main.groupBy(col("qid")).agg(
       max(col("prop") === "P31" && col("vEntity") === "Q5")
         .as("is_human"),
@@ -134,7 +142,8 @@ object Propose {
           concat(col("schema"), lit(":"), col("prop"))), lit(false)) &&
         trim(col("value")) =!= "")
       .withColumn("roleOrd", when(col("prop") === "name", 0).otherwise(1))
-    val dedupe = Window.partitionBy(col("entity_id"), lower(col("value")))
+    val dedupe = Window
+      .partitionBy(col("entity_id"), nameFold(col("value")))
       .orderBy(col("roleOrd"), col("prop"), col("value"))
     val order = Window.partitionBy(col("entity_id"))
       .orderBy(col("roleOrd"), col("prop"), col("value"))
@@ -267,7 +276,7 @@ object Propose {
     val aliases = nameStatements(stmts)
       .join(withRefs.select(col("entity_id"), col("qid"),
         col("target"), col("name_texts")), Seq("entity_id"))
-      .filter(!array_contains(col("name_texts"), lower(col("value"))))
+      .filter(!array_contains(col("name_texts"), nameFold(col("value"))))
       .select(col("entity_id"), col("qid"),
         (lit(10) + col("rn")).as("ord"),
         concat(col("target"), lit("\tA"), col("wd_lang"), lit("\t"),

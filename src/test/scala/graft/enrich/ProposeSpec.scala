@@ -117,6 +117,28 @@ class ProposeSpec extends AnyFunSuite {
       "LAST\tP21\tQ6581097"))
   }
 
+  test("casefold parity: a known Strauß label suppresses STRAUSS") {
+    val sz = Seq(
+      ("Q7", "main", "P31", "Q5", null),
+      ("Q7", "main", "P569", null, null),
+      ("Q7", "main", "P21", null, null),
+      ("Q7", "label", null, null, "Franz Strauß"))
+      .toDF("qid", "role", "prop", "vEntity", "vString")
+    val ent = Seq(("e4", "Person", Map(
+      "name" -> Seq("FRANZ STRAUSS"),
+      "alias" -> Seq("F. Strauß", "f. strauss"))))
+      .toDF("id", "schema", "properties")
+    val lines = Propose.enrich(
+      Seq(("e4", "Q7")).toDF("entity_id", "qid"),
+      EntityStore.statements(ent, "t"), sz,
+      Seq.empty[(String, String, String, String)]
+        .toDF("entity_id", "pos_qid", "start", "end"))
+      .orderBy("ord").collect().map(_.getAs[String]("line"))
+    // the name casefold-matches the label (ß→ss, as Python casefold);
+    // the two alias spellings fold together and emit once
+    assert(lines === Array("Q7\tAmul\t\"F. Strauß\""))
+  }
+
   test("conflicting single-valued props are withheld") {
     val conflicted = Seq(("e3", "Person", Map(
       "name" -> Seq("Z"),
