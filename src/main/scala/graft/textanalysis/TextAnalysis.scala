@@ -70,8 +70,10 @@ object TextAnalysis {
     * English-stopword band — the shape of heuristic quality filters in
     * large text-corpus pipelines.
     */
-  def qualityQ(s: SparkSession, d: String): DataFrame = {
-    val w = col("w")
+  /** The composite score over a words column — shared by the batch
+    * query and the streaming quality gate. NULL for token-less docs.
+    */
+  def qualityExpr(w: Column): Column = {
     val nTok = size(w).cast("double")
     val lenScore = least(nTok / 50.0, lit(1.0))
     val ttr = size(array_distinct(w)).cast("double") / nTok
@@ -82,9 +84,12 @@ object TextAnalysis {
     val q4 = floor((lit(0.4) * lenScore + lit(0.3) * ttr +
       lit(0.3) * (lit(1.0) - abs(stopRatio - 0.4))) * 10000 + 0.5) / 10000
     // NULL (not a crash) for token-less docs — see statsQ
-    wordsDf(s, d).select(col("doc_id"),
-      when(size(w) > 0, q4).as("quality"))
+    when(size(w) > 0, q4)
   }
+
+  def qualityQ(s: SparkSession, d: String): DataFrame =
+    wordsDf(s, d).select(col("doc_id"),
+      qualityExpr(col("w")).as("quality"))
 
   /** Language ID by marker-word counts, argmax with fixed precedence. */
   def langIdQ(s: SparkSession, d: String): DataFrame = {

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Streaming document ingest driven through MemoryStream: the quality
+  * gate matches its batch twin and the watermarked dedupe keeps one
+  * copy per content hash across micro-batches.
+  */
+class DocumentStreamSpec extends AnyFunSuite {
+  import SparkSpec.spark
+  import spark.implicits._
+
+  private val good =
+    "the quick brown fox jumps over a lazy dog and then the " +
+      "fox runs off to find a meal of fresh berries by the river"
+  private val bad = "x x x x x"
+
+  test("quality gate passes rich text, drops degenerate text") {
+    implicit val sc = spark.sqlContext
+    val src = MemoryStream[(Long, String)]
+    val docs = src.toDF().toDF("doc_id", "text")
+    val q = DocumentStream.qualityGate(docs, minScore = 0.5)
+      .writeStream.format("memory").queryName("qgate")
+      .outputMode("append").start()
+    try {
+      src.addData((1L, good), (2L, bad))
+      q.processAllAvailable()
+      val ids = spark.table("qgate").select("doc_id")
+        .as[Long].collect().toSet
+      assert(ids === Set(1L))
+      // the streaming score equals the batch expression's score
+      val batch = Seq((1L, good)).toDF("doc_id", "text")
+        .select(graft.textanalysis.TextAnalysis.qualityExpr(
+          graft.textanalysis.TextAnalysis.words(col("text")))
+          .as("quality")).head.getDouble(0)
+      val streamed = spark.table("qgate")
+        .select("quality").head.getDouble(0)
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("watermarked dedupe keeps the first copy per content hash") {
+    implicit val sc = spark.sqlContext
+    val src = MemoryStream[(Long, Timestamp, String)]
+    val docs = src.toDF().toDF("doc_id", "ts", "text")
+    val q = DocumentStream.dedupeStream(docs, horizon = "1 hour")
+      .writeStream.format("memory").queryName("dedupe")
+      .outputMode("append").start()
+    try {
+      def t(min: Int) = new Timestamp(min * 60000L)
+      src.addData((1L, t(0), good), (2L, t(1), good), (3L, t(2), bad))
+      q.processAllAvailable()
+      // a later micro-batch with the same content still drops
+      src.addData((4L, t(10), good))
+      q.processAllAvailable()
+      val ids = spark.table("dedupe").select("doc_id")
+        .as[Long].collect().toSet
+      // exactly one copy of the duplicated content survives (which of
+      // the in-batch twins is unspecified), the distinct doc passes,
+      // and the cross-batch duplicate is dropped by state
+      assert(ids.size === 2)
+      assert(ids.contains(3L))
+      assert((ids & Set(1L, 2L)).size === 1)
+      assert(!ids.contains(4L))
+    } finally q.stop()
+  }
+}
