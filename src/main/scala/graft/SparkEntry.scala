@@ -15,7 +15,8 @@ object SparkEntry {
       blocker.BlockerQueries.queries ++
       resolver.ResolverQueries.queries ++ matching.MatchingQueries.queries ++
       dedup.DedupQueries.queries ++ similarity.SimilarityQueries.queries ++
-      textanalysis.TextAnalysis.queries ++ streaming.EventOps.queries ++
+      textanalysis.TextAnalysis.queries ++
+      textanalysis.Curation.queries ++ streaming.EventOps.queries ++
       multimodal.Multimodal.queries ++ enrich.EnricherQueries.queries ++
       enrich.WikidataQueries.queries ++ enrich.NominatimQueries.queries ++
       enrich.OpenCorporatesQueries.queries ++
@@ -31,7 +32,8 @@ object SparkEntry {
       blocker.BlockerQueries.oracles ++
       resolver.ResolverQueries.oracles ++ matching.MatchingQueries.oracles ++
       dedup.DedupQueries.oracles ++ similarity.SimilarityQueries.oracles ++
-      textanalysis.TextAnalysis.oracles ++ streaming.EventOps.oracles ++
+      textanalysis.TextAnalysis.oracles ++
+      textanalysis.Curation.oracles ++ streaming.EventOps.oracles ++
       multimodal.Multimodal.oracles ++ enrich.EnricherQueries.oracles ++
       enrich.WikidataQueries.oracles ++ enrich.NominatimQueries.oracles ++
       enrich.OpenCorporatesQueries.oracles ++

@@ -1,0 +1,295 @@
+package graft.textanalysis
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * after per-document profiling: repetition-based quality filtering
+  * (the Gopher rules), benchmark decontamination, cross-document
+  * duplicated-n-gram coverage (the bounded form of exact-substring
+  * dedup, Lee et al. 2022), fixed-length chunking, and balanced shard
+  * packing. All word handling shares [[TextAnalysis.words]] so every
+  * operator sees the same byte-stable tokenization as the rest of the
+  * text stack.
+  *
+  * Scale shapes (100 TB): repetition/contamination/crossdoc are
+  * explode → hash-aggregate pipelines — the gram streams shuffle on
+  * (doc, gram) or gram with full map-side combine and no all-pairs
+  * join anywhere; chunking is map-only; shard packing windows only
+  * within a source partition (never a global sort).
+  */
+object Curation {
+
+  /** Decontamination / crossdoc gram sizes. Real pipelines use 8-13
+    * word grams; the synthetic corpus draws from a ~40-word vocabulary
+    * so those would never collide — 3/4 exercise the same plan with a
+    * non-degenerate hit rate. A production run only changes these
+    * constants: the plan shape is n-independent.
+    */
+  val ContaminationN = 3
+  val CrossdocN = 4
+
+  /** Chunk length (tokens) for fixed-length packing. */
+  val ChunkLen = 64L
+
+  /** Target tokens per training shard. */
+  val ShardTokens = 1000L
+
+  private def wordsDf(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.withWords(Tables.documents(s, d))
+
+  /** Word n-grams over the materialized `w` attribute (HOF rule: the
+    * lambda references only attributes, so the split runs once per doc).
+    */
+  private def grams(n: Int): Column =
+    transform(sequence(lit(1), size(col("w")) - (n - 1)),
+      i => concat_ws(" ",
+        (0 until n).map(k => element_at(col("w"), i + lit(k))): _*))
+
+  // floor(x*1e4+0.5)/1e4 everywhere a double fraction is emitted — see
+  // TextAnalysis.qualityExpr for why round() diverges across engines
+  private def frac4(num: Column, den: Column): Column =
+    floor(num.cast("double") / den.cast("double") * 10000 + 0.5) / 10000
+
+  /** Gopher-style repetition profile: the fraction of the document
+    * occupied by its single most frequent bigram, and the fraction of
+    * trigram occurrences whose gram occurs more than once. High values
+    * flag boilerplate/template text that TTR alone misses (a page of
+    * "click here to continue" has healthy TTR per sentence but a
+    * dominant bigram). Two explode → two-level hash aggregations on
+    * (doc_id, gram): full map-side combine, no join wider than the
+    * final doc_id merge.
+    */
+  def repetitionOf(docs: DataFrame): DataFrame = {
+    val base = TextAnalysis.withWords(docs).filter(size(col("w")) >= 3)
+    def stats(n: Int, prefix: String): DataFrame =
+      base.select(col("doc_id"), explode(grams(n)).as("g"))
+        .groupBy(col("doc_id"), col("g"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as(s"${prefix}_total"),
+          max(col("c")).as(s"${prefix}_top"),
+          sum(when(col("c") > 1, col("c")).otherwise(0L))
+            .as(s"${prefix}_dup"))
+    stats(2, "bi").join(stats(3, "tri"), Seq("doc_id"))
+      .select(col("doc_id"),
+        frac4(col("bi_top"), col("bi_total")).as("top_bigram_frac"),
+        frac4(col("tri_dup"), col("tri_total")).as("dup_trigram_frac"))
+  }
+
+  def repetitionQ(s: SparkSession, d: String): DataFrame =
+    repetitionOf(Tables.documents(s, d))
+
+  /** Benchmark decontamination: for every training document, the
+    * fraction of its distinct [[ContaminationN]]-grams that appear in
+    * a held-out eval slice (`doc_id % 97 == 0` stands in for the
+    * benchmark set). The eval gram set is bounded by the benchmark
+    * corpus — a few MB even for a large suite — so it broadcasts and
+    * the 100 TB training side never shuffles for the probe; the only
+    * exchange is the per-doc count aggregation.
+    */
+  def contaminationOf(docs: DataFrame): DataFrame = {
+    val g = TextAnalysis.withWords(docs)
+      .filter(size(col("w")) >= ContaminationN)
+      .select(col("doc_id"),
+        explode(array_distinct(grams(ContaminationN))).as("g"))
+    val eval_ = g.filter(col("doc_id") % 97 === 0)
+      .select(col("g")).distinct()
+      .withColumn("eg", lit(1))
+    g.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(eval_), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("eg")).as("n_hit"))
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        frac4(col("n_hit"), col("n_grams")).as("contamination"))
+  }
+
+  def contaminationQ(s: SparkSession, d: String): DataFrame =
+    contaminationOf(Tables.documents(s, d))
+
+  /** Cross-document duplicated-n-gram coverage — the bounded form of
+    * exact-substring dedup (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", ACL 2022): a [[CrossdocN]]-gram is
+    * "duplicated" when it occurs in ≥2 documents; each doc reports the
+    * fraction of its distinct grams that are duplicated. Unlike the
+    * suffix-array formulation this is pure relational algebra: distinct
+    * (doc, gram) pairs, a gram-keyed document-frequency aggregate, and
+    * one equi-join back — both sides hash-partition on the gram, so at
+    * 100 TB it is two shuffles of the gram stream and nothing else.
+    */
+  def crossdocOf(docs: DataFrame): DataFrame = {
+    val g = TextAnalysis.withWords(docs)
+      .filter(size(col("w")) >= CrossdocN)
+      .select(col("doc_id"),
+        explode(array_distinct(grams(CrossdocN))).as("g"))
+    val df = g.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    g.join(df, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup"),
+        frac4(col("n_dup"), col("n_grams")).as("dup_frac"))
+  }
+
+  def crossdocQ(s: SparkSession, d: String): DataFrame =
+    crossdocOf(Tables.documents(s, d))
+
+  /** Fixed-length chunking: split each document's token stream into
+    * [[ChunkLen]]-token training chunks — (doc, chunk index, chunk
+    * size). Map-only (sequence + explode), no shuffle at any scale.
+    */
+  def chunksOf(docs: DataFrame): DataFrame = {
+    val nTok = size(col("w")).cast("long")
+    TextAnalysis.withWords(docs)
+      .filter(size(col("w")) > 0)
+      .select(col("doc_id"), nTok.as("n"))
+      .select(col("doc_id"), col("n"),
+        explode(sequence(lit(0L),
+          floor((col("n") + (ChunkLen - 1L)) / ChunkLen).cast("long") - 1L))
+          .as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        least(lit(ChunkLen), col("n") - col("chunk_id") * ChunkLen)
+          .as("chunk_tokens"))
+  }
+
+  def chunksQ(s: SparkSession, d: String): DataFrame =
+    chunksOf(Tables.documents(s, d))
+
+  /** Balanced training-shard packing, per source: rank a source's docs
+    * by token count (desc) and deal them round-robin into
+    * ceil(source_tokens / [[ShardTokens]]) shards — the sorted
+    * round-robin heuristic that keeps shard sizes within one doc of
+    * each other. The window partitions BY SOURCE (never a global sort):
+    * each source ranks independently, so at 100 TB the plan is one
+    * shuffle on source plus a broadcast of the tiny per-source totals.
+    */
+  def shardsOf(docs: DataFrame): DataFrame = {
+    // no HOF downstream of `w` here (only size), so the split needs no
+    // staged projection — see TextAnalysis.withWords for the rule
+    val toks = docs
+      .select(col("doc_id"), col("source"),
+        size(TextAnalysis.words(col("text"))).cast("long").as("n"))
+      .filter(col("n") > 0)
+    val nShards = toks.groupBy(col("source"))
+      .agg(ceil(sum(col("n")).cast("double") / ShardTokens)
+        .cast("long").as("n_shards"))
+    val rn = row_number().over(
+      Window.partitionBy(col("source"))
+        .orderBy(col("n").desc, col("doc_id")))
+    toks.withColumn("rn", rn.cast("long"))
+      .join(broadcast(nShards), Seq("source"))
+      .select(col("source"),
+        pmod(col("rn") - 1L, col("n_shards")).as("shard_id"), col("n"))
+      .groupBy(col("source"), col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("shard_tokens"))
+  }
+
+  def shardsQ(s: SparkSession, d: String): DataFrame =
+    shardsOf(Tables.documents(s, d))
+
+  // ---------------------------------------------------------------- oracle
+
+  private val wSql = TextAnalysis.wSql
+
+  private def gramSql(n: Int): String = {
+    val parts = (0 until n).map(k => s"w[i+$k]").mkString(" || ' ' || ")
+    s"list_transform(range(1, len(w) - ${n - 2}), i -> $parts)"
+  }
+
+  private def frac4Sql(num: String, den: String): String =
+    s"floor(CAST($num AS DOUBLE) / CAST($den AS DOUBLE) * 10000 + 0.5) / 10000"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_repetition" -> (repetitionQ _),
+    "q_text_contamination" -> (contaminationQ _),
+    "q_dedup_crossdoc" -> (crossdocQ _),
+    "q_doc_chunks" -> (chunksQ _),
+    "q_doc_shards" -> (shardsQ _))
+
+  val oracles: Map[String, String] = Map(
+    "q_text_repetition" -> s"""
+      WITH wd AS (
+        SELECT doc_id, $wSql AS w FROM documents),
+      base AS (SELECT * FROM wd WHERE len(w) >= 3),
+      bc AS (
+        SELECT doc_id, g, count(*) AS c
+        FROM (SELECT doc_id, unnest(${gramSql(2)}) AS g FROM base)
+        GROUP BY doc_id, g),
+      bs AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS bi_total,
+               max(c) AS bi_top
+        FROM bc GROUP BY doc_id),
+      tc AS (
+        SELECT doc_id, g, count(*) AS c
+        FROM (SELECT doc_id, unnest(${gramSql(3)}) AS g FROM base)
+        GROUP BY doc_id, g),
+      ts AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS tri_total,
+               CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+                 AS tri_dup
+        FROM tc GROUP BY doc_id)
+      SELECT doc_id,
+             ${frac4Sql("bi_top", "bi_total")} AS top_bigram_frac,
+             ${frac4Sql("tri_dup", "tri_total")} AS dup_trigram_frac
+      FROM bs JOIN ts USING (doc_id)""",
+    "q_text_contamination" -> s"""
+      WITH wd AS (
+        SELECT doc_id, $wSql AS w FROM documents),
+      g AS (
+        SELECT doc_id, unnest(list_distinct(${gramSql(ContaminationN)}))
+                 AS g
+        FROM wd WHERE len(w) >= $ContaminationN),
+      ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0)
+      SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(count(e.g) AS BIGINT) AS n_hit,
+             ${frac4Sql("count(e.g)", "count(*)")} AS contamination
+      FROM (SELECT * FROM g WHERE doc_id % 97 <> 0) c
+      LEFT JOIN ev e USING (g)
+      GROUP BY c.doc_id""",
+    "q_dedup_crossdoc" -> s"""
+      WITH wd AS (
+        SELECT doc_id, $wSql AS w FROM documents),
+      g AS (
+        SELECT doc_id, unnest(list_distinct(${gramSql(CrossdocN)})) AS g
+        FROM wd WHERE len(w) >= $CrossdocN),
+      df AS (SELECT g, count(*) AS df FROM g GROUP BY g)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup,
+             ${frac4Sql(
+               "sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)", "count(*)")}
+               AS dup_frac
+      FROM g JOIN df USING (g)
+      GROUP BY doc_id""",
+    "q_doc_chunks" -> s"""
+      SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+             least($ChunkLen, n - $ChunkLen * i) AS chunk_tokens
+      FROM (SELECT doc_id, CAST(len($wSql) AS BIGINT) AS n
+            FROM documents),
+           unnest(range((n + ${ChunkLen - 1}) // $ChunkLen)) t(i)
+      WHERE n > 0""",
+    "q_doc_shards" -> s"""
+      WITH toks AS (
+        SELECT doc_id, source, CAST(len($wSql) AS BIGINT) AS n
+        FROM documents),
+      kept AS (SELECT * FROM toks WHERE n > 0),
+      shards AS (
+        SELECT source,
+               CAST(ceil(CAST(sum(n) AS DOUBLE) / $ShardTokens)
+                 AS BIGINT) AS n_shards
+        FROM kept GROUP BY source),
+      ranked AS (
+        SELECT doc_id, source, n,
+               CAST(row_number() OVER (
+                 PARTITION BY source ORDER BY n DESC, doc_id)
+                 AS BIGINT) AS rn
+        FROM kept)
+      SELECT r.source, (r.rn - 1) % s.n_shards AS shard_id,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(r.n) AS BIGINT) AS shard_tokens
+      FROM ranked r JOIN shards s USING (source)
+      GROUP BY r.source, (r.rn - 1) % s.n_shards""")
+}

@@ -160,7 +160,7 @@ object TextAnalysis {
 
   // mirrors words(): non-printable-ASCII folded to space first ('g' =
   // replace all), then lower + split
-  private val wSql =
+  private[textanalysis] val wSql =
     "list_filter(string_split_regex(lower(" +
       "regexp_replace(text, '[^ -~]', ' ', 'g')), '[^a-z0-9]+'), " +
       "x -> length(x) > 0)"

@@ -1,0 +1,83 @@
+package graft.textanalysis
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Semantics of the corpus-curation operators on hand-built fixtures:
+  * the oracle gate (q_text_repetition / q_text_contamination /
+  * q_dedup_crossdoc / q_doc_chunks / q_doc_shards) checks engine
+  * parity at SF; these pin the arithmetic the parity check can't see
+  * failing (a wrong formula that both engines agree on).
+  */
+class CurationSpec extends AnyFunSuite {
+  import SparkSpec.spark
+  import spark.implicits._
+
+  test("repetition: top-bigram and dup-trigram fractions") {
+    // "a b a b a b": bigrams {ab×3, ba×2} → top 3/5; trigrams
+    // {aba×2, bab×2} → all 4 occurrences duplicated → 1.0
+    val docs = Seq((1L, "a b a b a b"), (2L, "x y z w v u"))
+      .toDF("doc_id", "text")
+    val out = Curation.repetitionOf(docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+    assert(out(0) === ((1L, 0.6, 1.0)))
+    // all-distinct doc: top bigram 1/5, no duplicate trigram
+    assert(out(1) === ((2L, 0.2, 0.0)))
+  }
+
+  test("contamination: eval-gram overlap fraction, eval docs excluded") {
+    // doc 0 is the eval slice (0 % 97 == 0); doc 1 shares its first
+    // trigram, doc 2 shares nothing
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "alpha beta gamma zeta eta theta"),
+      (2L, "one two three four")).toDF("doc_id", "text")
+    val out = Curation.contaminationOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // doc 1: distinct trigrams {abg, bgz, gze, zet, eth(θ)} → 4 grams
+    // of 6 words = 4 trigrams; hits = 1 ("alpha beta gamma")
+    assert(out(0) === ((1L, 4L, 1L)))
+    assert(out(1) === ((2L, 2L, 0L)))
+    // the eval doc itself is not scored
+    assert(!out.exists(_._1 == 0L))
+  }
+
+  test("crossdoc: duplicated 4-gram coverage") {
+    val shared = "red green blue white"
+    val docs = Seq(
+      (1L, s"$shared extra words here"),
+      (2L, s"prefix tokens then $shared"),
+      (3L, "nothing in common at all")).toDF("doc_id", "text")
+    val out = Curation.crossdocOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // docs 1 and 2 each carry the shared gram once (df=2)
+    assert(out(0)._3 === 1L && out(1)._3 === 1L)
+    assert(out(2)._3 === 0L)
+  }
+
+  test("chunks: 64-token chunking covers the stream exactly") {
+    val text130 = (1 to 130).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, text130), (2L, "short doc")).toDF("doc_id", "text")
+    val out = Curation.chunksOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(out.toSeq === Seq((1L, 0L, 64L), (1L, 1L, 64L), (1L, 2L, 2L),
+      (2L, 0L, 2L)))
+  }
+
+  test("shards: per-source round-robin balances token totals") {
+    // one source, 6 docs totalling 2500 tokens → 3 shards of ~833
+    val sizes = Seq(800, 700, 400, 300, 200, 100)
+    val docs = sizes.zipWithIndex.map { case (n, i) =>
+      (i.toLong, (1 to n).map(k => s"t$k").mkString(" "), "src0")
+    }.toDF("doc_id", "text", "source")
+    val out = Curation.shardsOf(docs).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    // rank desc → shards get (800+300), (700+200), (400+100)
+    assert(out.toSeq === Seq((0L, 2L, 1100L), (1L, 2L, 900L),
+      (2L, 2L, 500L)))
+    // partition: every token lands in exactly one shard
+    assert(out.map(_._3).sum === sizes.sum.toLong)
+  }
+}
