@@ -25,18 +25,30 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = read(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = read(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = read(s, d, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-    * default; read it as nanos-since-epoch LONG (column `ts_ns`) and let
-    * operators derive event-time from it. Truncated to microsecond
-    * precision (the sub-microsecond digits zeroed) because DuckDB — the
-    * correctness oracle — reads parquet nanos as TIMESTAMP(US); ordering
-    * and session semantics are unaffected.
+  /** `events.ts` arrives as parquet TIMESTAMP in either physical form the
+    * driver has generated across rounds — NANOS (which Spark 4 rejects by
+    * default; the legacy flag reads it as nanos-since-epoch LONG) or
+    * MICROS with isAdjustedToUTC=false (read as TIMESTAMP_NTZ). Both are
+    * normalized to one engine-internal column: `ts_ns`, int64
+    * nanos-since-epoch at microsecond precision — matching DuckDB's
+    * `epoch_ns(ts)` on the same file, which is what the oracle SQL uses.
+    * The NTZ branch converts via timestampdiff from the epoch, so the
+    * result is independent of the session time zone.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(s, d, "events").withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts_ns", col("ts_ns") - col("ts_ns") % 1000)
+    val raw = read(s, d, "events").withColumnRenamed("ts", "ts_ns")
+    raw.schema("ts_ns").dataType match {
+      case LongType => // TIMESTAMP(NANOS): truncate sub-microsecond digits
+        raw.withColumn("ts_ns", col("ts_ns") - col("ts_ns") % 1000)
+      case TimestampType => // instant semantics: epoch micros directly
+        raw.withColumn("ts_ns", expr("unix_micros(ts_ns) * 1000"))
+      case _ => // TIMESTAMP_NTZ: wall-clock-as-UTC, tz-independent
+        raw.withColumn("ts_ns", expr(
+          "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts_ns) * 1000"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
