@@ -58,18 +58,26 @@ object Dedup {
     */
   def lshCandidates(sig: DataFrame, idCol: String, bands: Int,
       rowsPerBand: Int): DataFrame = {
+    val buckets = lshBuckets(sig, idCol, bands, rowsPerBand)
+    val l = buckets.select(col("band"), col("key"), col(idCol).as("a"))
+    val r = buckets.select(col("band"), col("key"), col(idCol).as("b"))
+    l.join(r, Seq("band", "key")).filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+  }
+
+  /** The (id, band, key) bucket rows behind [[lshCandidates]] — exposed
+    * so cross-set joins (delta vs. corpus) can reuse the banding without
+    * the self-join.
+    */
+  def lshBuckets(sig: DataFrame, idCol: String, bands: Int,
+      rowsPerBand: Int): DataFrame = {
     val bandKeys = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         concat_ws("-", (0 until rowsPerBand).map(r =>
           element_at(col("sig"), b * rowsPerBand + r + 1)): _*).as("key"))
     }
-    val buckets = sig
-      .select(col(idCol), explode(array(bandKeys: _*)).as("bk"))
+    sig.select(col(idCol), explode(array(bandKeys: _*)).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
-    val l = buckets.select(col("band"), col("key"), col(idCol).as("a"))
-    val r = buckets.select(col("band"), col("key"), col(idCol).as("b"))
-    l.join(r, Seq("band", "key")).filter(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
   }
 
   /** SimHash signature over word tokens: per (doc, bit) weighted vote,

@@ -42,20 +42,26 @@ object DedupQueries {
     * projection and re-inline the gram pipeline into its condition
     * (size(w) >= n ⇔ shingles non-empty, so the semantics are equal).
     */
-  private def shingleDf(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+  private def shingleDfOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), Dedup.words(col("text")).as("w"))
       .filter(size(col("w")) >= ShingleN)
       .select(col("doc_id"),
         Dedup.shinglesFromWords(col("w"), ShingleN).as("s"))
 
+  private def shingleDf(s: SparkSession, d: String): DataFrame =
+    shingleDfOf(Tables.documents(s, d))
+
   /** Shingles + their md5-derived hashes as a separate projection: `hs`
     * is non-cheap and multiply-referenced downstream, so CollapseProject
     * keeps it materialized — the md5 runs exactly once per shingle.
     */
-  private def hashedShingles(s: SparkSession, d: String): DataFrame =
-    shingleDf(s, d)
+  private[dedup] def hashedShinglesOf(docs: DataFrame): DataFrame =
+    shingleDfOf(docs)
       .withColumn("hs", transform(col("s"), x => Hashing.hash60(x)))
+
+  private def hashedShingles(s: SparkSession, d: String): DataFrame =
+    hashedShinglesOf(Tables.documents(s, d))
 
   def minhashSigs(s: SparkSession, d: String): DataFrame =
     hashedShingles(s, d)
@@ -131,6 +137,47 @@ object DedupQueries {
           (size(col("sa")) + size(col("sb")) - inter) * 10000 + 0.5) / 10000)
           .as("jaccard"))
       .filter(col("jaccard") >= CharJaccardThreshold)
+  }
+
+  /** Incremental (delta-vs-corpus) near-dup check — the production mode
+    * of dedup at 100 TB: a new ingest batch (`doc_id % 10 == 7` stands
+    * in for the delta) is screened against the existing corpus without
+    * ever re-pairing the corpus with itself. Candidates come only from
+    * delta×corpus band collisions, so the corpus side contributes
+    * exactly its bucket rows — at scale those are precomputed
+    * signatures read from the lake, bucketed on the band key, while the
+    * small delta drives the join. Each delta doc reports its best
+    * existing match (highest verified Jaccard, smallest id on ties);
+    * docs with no row are genuinely new.
+    */
+  def incrementalQ(s: SparkSession, d: String): DataFrame =
+    incrementalOf(Tables.documents(s, d))
+
+  def incrementalOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = hashedShinglesOf(docs).repartition(col("doc_id"))
+    val sigs = sh.select(col("doc_id"),
+      Dedup.minhashSigFromHashes(col("hs"), MinhashK).as("sig"))
+    val buckets = Dedup.lshBuckets(sigs, "doc_id", Bands, RowsPerBand)
+    val delta = buckets.filter(col("doc_id") % 10 === 7)
+      .select(col("band"), col("key"), col("doc_id").as("a"))
+    val base = buckets.filter(col("doc_id") % 10 =!= 7)
+      .select(col("band"), col("key"), col("doc_id").as("b"))
+    val cand = delta.join(base, Seq("band", "key"))
+      .select(col("a"), col("b")).distinct()
+    val aS = sh.select(col("doc_id").as("a"), col("s").as("sa"))
+    val bS = sh.select(col("doc_id").as("b"), col("s").as("sb"))
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    val w = Window.partitionBy(col("a"))
+      .orderBy(col("jaccard").desc, col("b").asc)
+    cand.join(aS, Seq("a")).join(bS, Seq("b"))
+      .select(col("a"), col("b"),
+        round(inter.cast("double") /
+          (size(col("sa")) + size(col("sb")) - inter), 4).as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("a").as("doc_id"), col("b").as("dup_of"), col("jaccard"))
   }
 
   /** Near-dup cluster closure — the step a training-data dedup actually
@@ -313,6 +360,7 @@ object DedupQueries {
     "q_dedup_exact" -> (exactDedup _),
     "q_dedup_minhash" -> (minhashQ _),
     "q_dedup_lsh_pairs" -> (lshPairsQ _),
+    "q_dedup_incremental" -> (incrementalQ _),
     "q_dedup_clusters" -> (clustersQ _),
     "q_doc_sample" -> (sampleQ _),
     "q_dedup_simhash" -> (simhashQ _),
@@ -336,6 +384,27 @@ object DedupQueries {
         JOIN sh sa ON c.a = sa.doc_id
         JOIN sh sb ON c.b = sb.doc_id)
       WHERE jaccard >= $JaccardThreshold"""),
+    "q_dedup_incremental" -> (ctePrefix + s"""
+      , icand AS (
+        SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        FROM buckets l JOIN buckets r
+          ON l.band = r.band AND l.key = r.key
+         AND l.doc_id % 10 = 7 AND r.doc_id % 10 <> 7
+      ),
+      iver AS (
+        SELECT c.a, c.b,
+               round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                 / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))),
+                 4) AS jaccard
+        FROM icand c
+        JOIN sh sa ON c.a = sa.doc_id
+        JOIN sh sb ON c.b = sb.doc_id)
+      SELECT doc_id, dup_of, jaccard FROM (
+        SELECT a AS doc_id, b AS dup_of, jaccard,
+               row_number() OVER (PARTITION BY a
+                                  ORDER BY jaccard DESC, b) AS rn
+        FROM iver WHERE jaccard >= $JaccardThreshold)
+      WHERE rn = 1"""),
     "q_doc_sample" -> {
       val rateCase = SampleRates.toSeq.sortBy(_._1)
         .map { case (l, r) => s"WHEN '$l' THEN $r" }

@@ -1,0 +1,143 @@
+package graft.search
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.textanalysis.TextAnalysis
+
+/** BM25 full-text retrieval over the document corpus — the classic
+  * inverted-index ranking (Robertson/Spärck Jones; the Lucene
+  * `(k1, b)` parameterization with the non-negative `ln(1 + ...)` idf).
+  *
+  * Shape at 100 TB: the postings table (doc, term, tf) is one explode +
+  * hash aggregation over the corpus — the same inverted-index build as
+  * the blocker's entries table; document frequencies are a second
+  * map-side-combining aggregation of the postings; the query side
+  * (a handful of terms joined with their idf) broadcasts, so scoring is
+  * a broadcast-hash join against postings followed by one (query, doc)
+  * aggregation. The corpus never self-joins and never sorts globally —
+  * the only per-query work is a window over that query's candidate
+  * docs.
+  *
+  * Scores are accumulated in fixed-point (term contributions scaled to
+  * 1e-6 units and floored to BIGINT before the sum): double addition is
+  * not associative, so a float sum would depend on partitioning and
+  * differ between engines and between retries of the same stage —
+  * integer accumulation makes the ranking bit-reproducible everywhere,
+  * the property a 100 TB rerank pipeline needs for auditable output.
+  */
+object Search {
+
+  /** BM25 parameters: k1 saturates tf, b normalizes by document length. */
+  val K1 = 1.2
+  val B = 0.75
+  val TopK = 10
+
+  /** Fixed query workload (terms drawn from the corpus vocabulary). */
+  val Queries: Seq[(Int, String)] = Seq(
+    0 -> "spark window join",
+    1 -> "customer order line",
+    2 -> "slow query scan",
+    3 -> "hash merge vector")
+
+  val QueryTerms: Seq[(Int, String)] =
+    Queries.flatMap { case (qid, text) => text.split(" ").map(qid -> _) }
+
+  def bm25Q(s: SparkSession, d: String): DataFrame =
+    bm25Of(s, Tables.documents(s, d), QueryTerms)
+
+  def bm25Of(s: SparkSession, docs: DataFrame,
+      queryTerms: Seq[(Int, String)]): DataFrame = {
+    val base = TextAnalysis.withWords(docs)
+      .filter(size(col("w")) > 0)
+      .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("dl"))
+    // postings: the inverted index, (doc, term) → tf. dl rides along in
+    // the grouping key (functionally dependent on doc_id) to avoid a
+    // second join against a doc-length table.
+    val tf = base
+      .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val stats = base.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val dfs = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qt = s.createDataFrame(queryTerms).toDF("qid", "term")
+    // (qid, term, idf, avgdl): ≤ |query terms| rows → broadcast side
+    val qidf = broadcast(qt.join(dfs, Seq("term")).crossJoin(stats)
+      .select(col("qid"), col("term"),
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+          + lit(1.0)).as("idf"),
+        col("avgdl")))
+    // one term's BM25 contribution, in 1e-6 fixed-point units
+    val termE6 = floor(
+      col("idf") * ((col("tf") * lit(K1 + 1)) /
+        (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * (col("dl") / col("avgdl")))))
+        * lit(1e6) + lit(0.5)).cast("long")
+    val scored = tf.join(qidf, Seq("term"))
+      .select(col("qid"), col("doc_id"), termE6.as("e6"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("e6")).as("e6"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("e6").desc, col("doc_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= TopK)
+      .select(col("qid"), col("doc_id"),
+        (col("e6").cast("double") / lit(1e6)).as("score"), col("rn"))
+  }
+
+  // ---------------------------------------------------------------- oracle
+
+  private val wSql = TextAnalysis.wSql
+
+  private def qtValues: String =
+    QueryTerms.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+
+  // every fractional literal CAST to DOUBLE: DuckDB parses bare decimals
+  // as DECIMAL and decimal arithmetic diverges from Spark's doubles
+  private def d(x: Double): String = s"CAST($x AS DOUBLE)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_search_bm25" -> (bm25Q _))
+
+  val oracles: Map[String, String] = Map(
+    "q_search_bm25" -> s"""
+      WITH wd AS (SELECT doc_id, $wSql AS w FROM documents),
+      base AS (
+        SELECT doc_id, w, CAST(len(w) AS BIGINT) AS dl
+        FROM wd WHERE len(w) > 0),
+      tf AS (
+        SELECT doc_id, dl, term, count(*) AS tf
+        FROM (SELECT doc_id, dl, unnest(w) AS term FROM base)
+        GROUP BY doc_id, dl, term),
+      stats AS (
+        SELECT count(*) AS n_docs,
+               CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+        FROM base),
+      dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      qt(qid, term) AS (VALUES $qtValues),
+      qidf AS (
+        SELECT qid, q.term,
+               ln((n_docs - df + ${d(0.5)}) / (df + ${d(0.5)}) + ${d(1.0)})
+                 AS idf,
+               avgdl
+        FROM qt q JOIN dfs USING (term) CROSS JOIN stats),
+      contrib AS (
+        SELECT qid, doc_id,
+               CAST(floor(idf * ((tf * ${d(K1 + 1)}) /
+                 (tf + ${d(K1)} * (${d(1 - B)} + ${d(B)} * (dl / avgdl))))
+                 * 1e6 + ${d(0.5)}) AS BIGINT) AS e6
+        FROM tf JOIN qidf USING (term)),
+      scored AS (
+        SELECT qid, doc_id, CAST(sum(e6) AS BIGINT) AS e6
+        FROM contrib GROUP BY qid, doc_id)
+      SELECT qid, doc_id, CAST(e6 AS DOUBLE) / 1e6 AS score, rn
+      FROM (
+        SELECT qid, doc_id, e6,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY e6 DESC, doc_id) AS rn
+        FROM scored)
+      WHERE rn <= $TopK""")
+}

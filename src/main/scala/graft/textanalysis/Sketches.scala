@@ -1,0 +1,173 @@
+package graft.textanalysis
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Hashing
+
+/** HyperLogLog cardinality sketch (Flajolet et al. 2007) computed as
+  * pure relational algebra, bit-identical in Spark and DuckDB.
+  *
+  * Library sketches (Spark's `approx_count_distinct`, DuckDB's
+  * `approx_distinct`) use engine-private hash functions, so their
+  * estimates can never hash-compare across engines. This one builds the
+  * register table relationally from the shared md5-derived
+  * [[Hashing.hash60]]: register = top [[P]] bits, rank = leading-zero
+  * count of the remaining 48 bits (via `length(bin(w))`, identical in
+  * both engines), register value = `max(rank)` — an aggregation any
+  * engine executes exactly. The harmonic mean is accumulated in exact
+  * integer units (each register contributes `2^(49-M)`, a BIGINT) so
+  * the only floating-point steps are one division and one `ln`, making
+  * the estimate deterministic under any partitioning.
+  *
+  * Why it matters at 100 TB: `count(distinct x)` shuffles every
+  * distinct value; the register table is ≤ [[M]] rows per group —
+  * constant state, map-side combinable, and MERGEABLE (the `ALL` row is
+  * a register-wise max over the per-source registers — the union
+  * estimate without re-touching the corpus, the same algebra a
+  * datasketches rollup uses). The query emits est next to the exact
+  * count so the error is part of the checked result (~1.6% at m=4096).
+  */
+object Sketches {
+
+  /** Register-index bits: m = 2^p registers. */
+  val P = 12
+  val M = 1 << P // 4096
+  /** Bits left for the rank after the register index (60 - P). */
+  val WBits = 48
+  private val WMask = (1L << WBits) - 1
+
+  /** Standard HLL bias constant for m ≥ 128: 0.7213 / (1 + 1.079/m). */
+  val Alpha: Double = 0.7213 / (1 + 1.079 / M)
+  /** Numerator of the raw estimate, scaled by the 2^49 register units:
+    * alpha * m^2 * 2^(WBits+1).
+    */
+  val RawNum: Double = Alpha * M.toDouble * M.toDouble * math.pow(2, WBits + 1)
+  /** Small-range-correction threshold: 2.5 * m. */
+  val LinearBelow: Double = 2.5 * M
+
+  /** Distinct (source, doc, term) postings — the sketched universe:
+    * per-source posting cardinality (vocabulary × document incidence).
+    */
+  private def postings(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        TextAnalysis.words(col("text")).as("w"))
+      .select(col("source"), col("doc_id"),
+        explode(array_distinct(col("w"))).as("term"))
+
+  /** (source, register, max-rank) — the sketch state, ≤ [[M]] rows per
+    * source no matter the input size.
+    */
+  private def registers(post: DataFrame): DataFrame = {
+    val h = Hashing.hash60(concat_ws("|", col("term"), col("doc_id")))
+    val rr = post
+      .select(col("source"), h.as("h"))
+      .select(col("source"),
+        shiftright(col("h"), WBits).as("reg"),
+        col("h").bitwiseAND(lit(WMask)).as("w"))
+      .select(col("source"), col("reg"),
+        when(col("w") === 0, lit(WBits + 1))
+          .otherwise(lit(WBits + 1) - length(bin(col("w")))).as("rank"))
+    rr.groupBy(col("source"), col("reg")).agg(max(col("rank")).as("m"))
+  }
+
+  /** Estimate from the register table: exact-integer harmonic sum, the
+    * raw estimate, and linear counting below the small-range threshold.
+    */
+  private def estimate(regs: DataFrame): DataFrame = {
+    val withS = regs.groupBy(col("source"))
+      .agg(count(lit(1)).as("used"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST(${WBits + 1} - m AS INT))"))
+          .as("s_used"))
+      .select(col("source"), col("used"),
+        (lit(M.toLong) - col("used")).as("zeros"),
+        (col("s_used") + (lit(M.toLong) - col("used")) * lit(1L << (WBits + 1)))
+          .as("s"))
+    val rawD = lit(RawNum) / col("s").cast("double")
+    val linD = lit(M.toDouble) * log(lit(M.toDouble) / col("zeros"))
+    withS.select(col("source"), col("used").as("regs_used"),
+      when(col("zeros") > 0 && rawD <= lit(LinearBelow),
+        floor(linD + lit(0.5)))
+        .otherwise(floor(rawD + lit(0.5))).cast("long").as("est"))
+  }
+
+  def hllQ(s: SparkSession, d: String): DataFrame = {
+    val post = postings(s, d)
+    val perSource = registers(post)
+    val merged = perSource.groupBy(col("reg"))
+      .agg(max(col("m")).as("m"))
+      .select(lit("ALL").as("source"), col("reg"), col("m"))
+    val est = estimate(perSource.unionByName(merged))
+    // postings are already distinct triples (array_distinct per doc,
+    // unique doc_id) — counting needs no extra dedup shuffle
+    val exact = post.groupBy(col("source"))
+      .agg(count(lit(1)).as("exact"))
+    val exactAll = post.agg(count(lit(1)).as("exact"))
+      .select(lit("ALL").as("source"), col("exact"))
+    est.join(exact.unionByName(exactAll), Seq("source"))
+      .select(col("source"), col("regs_used"), col("est"), col("exact"),
+        (floor(abs(col("est") - col("exact")).cast("double") /
+          col("exact").cast("double") * 10000 + lit(0.5)) / lit(100))
+          .as("err_pct"))
+  }
+
+  // ---------------------------------------------------------------- oracle
+
+  private val wSql = TextAnalysis.wSql
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sketch_hll" -> (hllQ _))
+
+  val oracles: Map[String, String] = Map(
+    "q_sketch_hll" -> s"""
+      WITH wd AS (
+        SELECT source, doc_id, $wSql AS w FROM documents),
+      post AS (
+        SELECT source, doc_id, unnest(list_distinct(w)) AS term FROM wd),
+      hashed AS (
+        SELECT source,
+               ${Hashing.hash60Sql("term || '|' || doc_id")} AS h
+        FROM post),
+      rr AS (
+        SELECT source, h >> $WBits AS reg,
+               CASE WHEN (h & $WMask) = 0 THEN ${WBits + 1}
+                    ELSE ${WBits + 1} - length(bin(h & $WMask)) END AS rank
+        FROM hashed),
+      regs AS (
+        SELECT source, reg, max(rank) AS m FROM rr GROUP BY source, reg),
+      united AS (
+        SELECT * FROM regs
+        UNION ALL
+        SELECT 'ALL' AS source, reg, max(m) AS m FROM regs GROUP BY reg),
+      agg AS (
+        SELECT source, count(*) AS used,
+               CAST(sum(CAST(1 AS BIGINT) << CAST((${WBits + 1} - m) AS INTEGER))
+                 AS BIGINT) AS s_used
+        FROM united GROUP BY source),
+      est AS (
+        SELECT source, used AS regs_used,
+               CASE WHEN ($M - used) > 0
+                         AND CAST($RawNum AS DOUBLE) /
+                             CAST(s_used + ($M - used) *
+                               (CAST(1 AS BIGINT) << ${WBits + 1}) AS DOUBLE)
+                             <= CAST($LinearBelow AS DOUBLE)
+                    THEN CAST(floor(CAST($M AS DOUBLE) *
+                           ln(CAST($M AS DOUBLE) / ($M - used)) +
+                           CAST(0.5 AS DOUBLE)) AS BIGINT)
+                    ELSE CAST(floor(CAST($RawNum AS DOUBLE) /
+                           CAST(s_used + ($M - used) *
+                             (CAST(1 AS BIGINT) << ${WBits + 1}) AS DOUBLE) +
+                           CAST(0.5 AS DOUBLE)) AS BIGINT)
+               END AS est
+        FROM agg),
+      ex AS (
+        SELECT source, count(*) AS exact FROM post GROUP BY source
+        UNION ALL
+        SELECT 'ALL', count(*) FROM post)
+      SELECT e.source, regs_used, est, exact,
+             floor(abs(est - exact) / CAST(exact AS DOUBLE) * 10000
+               + CAST(0.5 AS DOUBLE)) / 100 AS err_pct
+      FROM est e JOIN ex USING (source)""")
+}

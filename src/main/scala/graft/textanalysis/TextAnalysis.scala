@@ -160,7 +160,7 @@ object TextAnalysis {
 
   // mirrors words(): non-printable-ASCII folded to space first ('g' =
   // replace all), then lower + split
-  private[textanalysis] val wSql =
+  private[graft] val wSql =
     "list_filter(string_split_regex(lower(" +
       "regexp_replace(text, '[^ -~]', ' ', 'g')), '[^a-z0-9]+'), " +
       "x -> length(x) > 0)"

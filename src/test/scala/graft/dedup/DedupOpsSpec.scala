@@ -37,6 +37,23 @@ class DedupOpsSpec extends AnyFunSuite {
       ("8", "8", true), ("9", "8", false)))
   }
 
+  test("incremental dedup pairs delta docs with the corpus only") {
+    import spark.implicits._
+    val docs = Seq(
+      // base corpus (doc_id % 10 != 7)
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "red orange yellow green blue indigo violet"),
+      // delta batch (doc_id % 10 == 7)
+      (7L, "alpha beta gamma delta epsilon zeta eta theta"), // dup of 1
+      (27L, "one two three four five six seven"), // genuinely new
+      (37L, "one two three four five six seven") // dup of 27 — but 27
+      // is ALSO delta, so the cross-set check must NOT pair them
+    ).toDF("doc_id", "text")
+    val out = DedupQueries.incrementalOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq === Seq((7L, 1L, 1.0)))
+  }
+
   test("hash sampling is deterministic and stratum-scoped") {
     val sf = "/root/testdata/sf0.001"
     val once = DedupQueries.sampleQ(spark, sf).collect()

@@ -1,0 +1,46 @@
+package graft.textanalysis
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** HLL sketch against the real sf0.001 corpus: the oracle gate checks
+  * engine parity of every register and the estimate; this checks the
+  * estimate is actually a good one, and that the merged row behaves
+  * like a union.
+  */
+class SketchesSpec extends AnyFunSuite {
+  import SparkSpec.spark
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val rows = Sketches.hllQ(spark, sfDir).collect()
+    .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+  test("every source estimate is within 5% of the exact cardinality") {
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, _, est, exact) =>
+      val err = math.abs(est - exact).toDouble / exact
+      assert(err <= 0.05, s"$src: est=$est exact=$exact err=$err")
+    }
+  }
+
+  test("the ALL row merges the per-source registers") {
+    val all = rows.filter(_._1 == "ALL")
+    assert(all.length === 1)
+    val (_, regsUsed, _, exactAll) = all.head
+    val perSource = rows.filter(_._1 != "ALL")
+    // merged register count is bounded by the union of per-source sets
+    assert(regsUsed <= perSource.map(_._2).sum)
+    assert(regsUsed >= perSource.map(_._2).max)
+    // docs belong to exactly one source, so the union is the sum here
+    assert(exactAll === perSource.map(_._4).sum)
+  }
+
+  test("register state is tiny relative to the input") {
+    // the whole point at 100 TB: per-source state ≤ m rows
+    rows.foreach { case (_, regsUsed, _, _) =>
+      assert(regsUsed <= Sketches.M)
+    }
+  }
+}
