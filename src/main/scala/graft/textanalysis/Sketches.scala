@@ -113,12 +113,70 @@ object Sketches {
           .as("err_pct"))
   }
 
+  /** Count-min sketch depth (independent hash rows) and width. */
+  val CmsDepth = 4
+  val CmsWidth = 1024
+  /** How many top terms the query reports against the sketch. */
+  val CmsTopK = 10
+
+  /** Count-min sketch (Cormode & Muthukrishnan 2005) over term
+    * occurrences, same cross-engine determinism contract as [[hllQ]]:
+    * counters are exact-integer sums over the shared md5 hash family
+    * ([[Hashing.permute]] row j, bucket = value mod width), so the
+    * whole result — including the estimates — is integer arithmetic
+    * with zero float anywhere.
+    *
+    * The sketch answers "how often does term X occur" from
+    * depth×width bounded state (4×1024 counters here) instead of a
+    * full term groupBy — and counters ADD across shards/streams, so a
+    * 100 TB corpus (or a watermarked stream) maintains per-partition
+    * sketches and merges by element-wise sum. The query reports the
+    * global top-[[CmsTopK]] terms' exact counts next to their sketch
+    * estimates; CMS never under-counts, so `overcount >= 0` is an
+    * invariant the spec asserts.
+    */
+  def cmsQ(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(explode(TextAnalysis.words(col("text"))).as("term"))
+    val hashed = toks.select(col("term"), Hashing.hash60(col("term")).as("h"))
+    // counter table: one explode into depth rows per occurrence, then a
+    // map-side-combining sum — state is depth×width no matter the input
+    val counters = hashed
+      .select(explode(array((0 until CmsDepth).map(j =>
+        struct(lit(j).as("j"),
+          (Hashing.permute(col("h"), j) % CmsWidth).as("w"))): _*)).as("b"))
+      .groupBy(col("b.j").as("j"), col("b.w").as("w"))
+      .agg(count(lit(1)).as("c"))
+    val top = hashed.groupBy(col("term"), col("h"))
+      .agg(count(lit(1)).as("exact"))
+      .orderBy(col("exact").desc, col("term").asc)
+      .limit(CmsTopK)
+    // probe: depth rows per top term, min over the matching counters
+    val probes = top.select(col("term"), col("exact"),
+      explode(array((0 until CmsDepth).map(j =>
+        struct(lit(j).as("j"),
+          (Hashing.permute(col("h"), j) % CmsWidth).as("w"))): _*)).as("b"))
+      .select(col("term"), col("exact"),
+        col("b.j").as("j"), col("b.w").as("w"))
+    probes.join(counters, Seq("j", "w"))
+      .groupBy(col("term"), col("exact"))
+      .agg(min(col("c")).as("est"))
+      .select(col("term"), col("exact"), col("est"),
+        (col("est") - col("exact")).as("overcount"))
+  }
+
   // ---------------------------------------------------------------- oracle
 
   private val wSql = TextAnalysis.wSql
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_sketch_hll" -> (hllQ _))
+    "q_sketch_hll" -> (hllQ _),
+    "q_sketch_cms" -> (cmsQ _))
+
+  private def cmsBucketSelects(from: String, extra: String): String =
+    (0 until CmsDepth).map { j =>
+      s"SELECT $extra$j AS j, (${Hashing.permuteSql("h", j)}) % $CmsWidth AS w FROM $from"
+    }.mkString("\n        UNION ALL ")
 
   val oracles: Map[String, String] = Map(
     "q_sketch_hll" -> s"""
@@ -169,5 +227,26 @@ object Sketches {
       SELECT e.source, regs_used, est, exact,
              floor(abs(est - exact) / CAST(exact AS DOUBLE) * 10000
                + CAST(0.5 AS DOUBLE)) / 100 AS err_pct
-      FROM est e JOIN ex USING (source)""")
+      FROM est e JOIN ex USING (source)""",
+    "q_sketch_cms" -> s"""
+      WITH wd AS (SELECT $wSql AS w FROM documents),
+      toks AS (SELECT unnest(w) AS term FROM wd),
+      hashed AS (
+        SELECT term, ${Hashing.hash60Sql("term")} AS h FROM toks),
+      counters AS (
+        SELECT j, w, count(*) AS c FROM (
+        ${cmsBucketSelects("hashed", "")}
+        ) GROUP BY j, w),
+      top AS (
+        SELECT term, h, count(*) AS exact
+        FROM hashed GROUP BY term, h
+        ORDER BY exact DESC, term LIMIT $CmsTopK),
+      probes AS (
+        SELECT term, exact, j, w FROM (
+        ${cmsBucketSelects("top", "term, exact, ")}
+        ))
+      SELECT p.term, p.exact, CAST(min(c.c) AS BIGINT) AS est,
+             CAST(min(c.c) - p.exact AS BIGINT) AS overcount
+      FROM probes p JOIN counters c ON p.j = c.j AND p.w = c.w
+      GROUP BY p.term, p.exact""")
 }

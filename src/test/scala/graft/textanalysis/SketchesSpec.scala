@@ -43,4 +43,23 @@ class SketchesSpec extends AnyFunSuite {
       assert(regsUsed <= Sketches.M)
     }
   }
+
+  test("count-min never under-counts and is near-exact at this width") {
+    val cms = Sketches.cmsQ(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(cms.length === Sketches.CmsTopK)
+    cms.foreach { case (term, exact, est, over) =>
+      assert(est >= exact, s"$term under-counted: est=$est exact=$exact")
+      assert(over === est - exact)
+      // 1024 counters vs a ~40-word vocabulary: collisions are rare
+      // enough that top-term overcount stays under 10%
+      assert(over.toDouble / exact <= 0.10, s"$term overcount=$over")
+    }
+  }
+
+  test("count-min estimates are reproducible across runs") {
+    val a = Sketches.cmsQ(spark, sfDir).collect().map(_.toString).sorted
+    val b = Sketches.cmsQ(spark, sfDir).collect().map(_.toString).sorted
+    assert(a.toSeq === b.toSeq)
+  }
 }
