@@ -19,7 +19,16 @@ import graft.textanalysis.TextAnalysis
   * a broadcast-hash join against postings followed by one (query, doc)
   * aggregation. The corpus never self-joins and never sorts globally —
   * the only per-query work is a window over that query's candidate
-  * docs.
+  * docs (which WindowGroupLimit prunes to top-k before the final
+  * exchange — the plan shows the map-side group-limit pass).
+  *
+  * The one deliberate demo simplification: this composes index build
+  * and retrieval in a single plan, so the corpus is scanned for
+  * postings, dfs and stats separately. A production deployment writes
+  * the postings + df tables to the lake once (exactly like
+  * `StatementLake` / the blocker's checkpointed TF index) and retrieval
+  * touches only them — the retrieval sub-plan here is unchanged by
+  * that split.
   *
   * Scores are accumulated in fixed-point (term contributions scaled to
   * 1e-6 units and floored to BIGINT before the sum): double addition is

@@ -45,4 +45,20 @@ object DocumentStream {
       .withColumn("content_hash", md5(col("text")))
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("content_hash")
+
+  /** Streaming HLL register maintenance over a document stream (needs
+    * `source`, `doc_id`, `text`): the same relational register algebra
+    * as the batch sketch ([[graft.textanalysis.Sketches]]), run as a
+    * streaming aggregation. A streaming `count(distinct term)` keeps
+    * every distinct value in the state store — unbounded on a corpus
+    * feed; the register table is ≤ 2^12 rows per source forever, and
+    * any snapshot of it merges (register-wise max) and estimates with
+    * the batch algebra (`Sketches.estimateOf`), so a continuously-run
+    * dashboard reads cardinalities off the state snapshot without
+    * touching the corpus.
+    */
+  def hllRegisters(docs: DataFrame): DataFrame = {
+    import graft.textanalysis.Sketches
+    Sketches.registersOf(Sketches.postingsOf(docs))
+  }
 }

@@ -50,17 +50,22 @@ object Sketches {
   /** Distinct (source, doc, term) postings — the sketched universe:
     * per-source posting cardinality (vocabulary × document incidence).
     */
-  private def postings(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+  def postingsOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("source"), col("doc_id"),
         TextAnalysis.words(col("text")).as("w"))
       .select(col("source"), col("doc_id"),
         explode(array_distinct(col("w"))).as("term"))
 
+  private def postings(s: SparkSession, d: String): DataFrame =
+    postingsOf(Tables.documents(s, d))
+
   /** (source, register, max-rank) — the sketch state, ≤ [[M]] rows per
-    * source no matter the input size.
+    * source no matter the input size. Works on a streaming postings
+    * frame too (stateless projections + one max aggregation), which is
+    * what [[graft.streaming.DocumentStream.hllRegisters]] runs.
     */
-  private def registers(post: DataFrame): DataFrame = {
+  def registersOf(post: DataFrame): DataFrame = {
     val h = Hashing.hash60(concat_ws("|", col("term"), col("doc_id")))
     val rr = post
       .select(col("source"), h.as("h"))
@@ -76,7 +81,7 @@ object Sketches {
   /** Estimate from the register table: exact-integer harmonic sum, the
     * raw estimate, and linear counting below the small-range threshold.
     */
-  private def estimate(regs: DataFrame): DataFrame = {
+  def estimateOf(regs: DataFrame): DataFrame = {
     val withS = regs.groupBy(col("source"))
       .agg(count(lit(1)).as("used"),
         sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST(${WBits + 1} - m AS INT))"))
@@ -95,11 +100,11 @@ object Sketches {
 
   def hllQ(s: SparkSession, d: String): DataFrame = {
     val post = postings(s, d)
-    val perSource = registers(post)
+    val perSource = registersOf(post)
     val merged = perSource.groupBy(col("reg"))
       .agg(max(col("m")).as("m"))
       .select(lit("ALL").as("source"), col("reg"), col("m"))
-    val est = estimate(perSource.unionByName(merged))
+    val est = estimateOf(perSource.unionByName(merged))
     // postings are already distinct triples (array_distinct per doc,
     // unique doc_id) — counting needs no extra dedup shuffle
     val exact = post.groupBy(col("source"))

@@ -70,4 +70,38 @@ class DocumentStreamSpec extends AnyFunSuite {
       assert(!ids.contains(4L))
     } finally q.stop()
   }
+
+  test("streaming HLL registers converge to the batch register table") {
+    import graft.textanalysis.Sketches
+    implicit val sc = spark.sqlContext
+    val src = MemoryStream[(String, Long, String)]
+    val docs = src.toDF().toDF("source", "doc_id", "text")
+    val q = DocumentStream.hllRegisters(docs)
+      .writeStream.format("memory").queryName("hllregs")
+      .outputMode("complete").start()
+    val batch1 = Seq(
+      ("s0", 1L, good), ("s0", 2L, bad), ("s1", 3L, good))
+    val batch2 = Seq(
+      ("s0", 4L, "berries and river and fox"), ("s1", 5L, bad))
+    try {
+      src.addData(batch1: _*)
+      q.processAllAvailable()
+      src.addData(batch2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("hllregs")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+        .toSet
+      val batchRegs = Sketches.registersOf(Sketches.postingsOf(
+        (batch1 ++ batch2).toDF("source", "doc_id", "text")))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+        .toSet
+      // the streaming state snapshot IS the batch register table
+      assert(streamed === batchRegs)
+      // and the snapshot estimates with the batch algebra
+      val est = Sketches.estimateOf(spark.table("hllregs"))
+        .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+      assert(est.keySet === Set("s0", "s1"))
+      assert(est.values.forall(_ > 0))
+    } finally q.stop()
+  }
 }
