@@ -114,4 +114,51 @@ class SimilaritySpec extends AnyFunSuite {
       s"(nprobe=${SimilarityQueries.NProbe})")
     assert(recall > 0.0)
   }
+
+  test("embedding clusters cover every verified pair, one keeper each") {
+    val pairs = SimilarityQueries.embedNearPairs(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val rows = SimilarityQueries.embedClustersQ(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val byId = rows.map(r => r._1 -> r._2).toMap
+    // both endpoints of every near-dup pair are clustered together
+    pairs.foreach { case (a, b) =>
+      assert(byId.contains(a) && byId.contains(b))
+      assert(byId(a) === byId(b), s"pair ($a,$b) split across clusters")
+    }
+    // canonical is the minimum member, kept exactly once per cluster
+    rows.groupBy(_._2).foreach { case (canonical, members) =>
+      assert(members.map(_._1).min === canonical)
+      assert(members.count(_._3) === 1)
+    }
+  }
+
+  test("recall query agrees with the set-intersection computed here") {
+    val rows = SimilarityQueries.recallQ(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    val ann = SimilarityQueries.annLsh(s, sf)
+      .select(col("qid"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SimilarityQueries.ivfTopK(s, sf)
+      .select(col("qid"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = SimilarityQueries.cosineTopK(s, sf)
+      .select(col("qid"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.foreach { case (qid, nExact, hitLsh, recLsh, hitIvf, recIvf) =>
+      assert(nExact === SimilarityQueries.TopK.toLong)
+      val mine = brute.filter(_._1 == qid)
+      assert(hitLsh === mine.count(ann.contains).toLong, s"qid=$qid lsh")
+      assert(hitIvf === mine.count(ivf.contains).toLong, s"qid=$qid ivf")
+      assert(recLsh >= 0.0 && recLsh <= 1.0)
+      assert(recIvf >= 0.0 && recIvf <= 1.0)
+    }
+    val avgLsh = rows.map(_._4).sum / rows.length
+    info(s"banded-LSH recall@10: $avgLsh; " +
+      s"IVF recall@10: ${rows.map(_._6).sum / rows.length}")
+    // band-OR probing must beat the ~0.01 the single-bucket form measured
+    assert(avgLsh >= 0.2)
+  }
 }
