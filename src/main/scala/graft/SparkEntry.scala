@@ -15,10 +15,12 @@ object SparkEntry {
       blocker.BlockerQueries.queries ++
       resolver.ResolverQueries.queries ++ matching.MatchingQueries.queries ++
       dedup.DedupQueries.queries ++ similarity.SimilarityQueries.queries ++
-      similarity.KMeans.queries ++ search.Search.queries ++
+      similarity.KMeans.queries ++ similarity.Pq.queries ++
+      search.Search.queries ++
       textanalysis.TextAnalysis.queries ++
       textanalysis.Sketches.queries ++
-      textanalysis.Curation.queries ++ streaming.EventOps.queries ++
+      textanalysis.Curation.queries ++ textanalysis.Pii.queries ++
+      streaming.EventOps.queries ++
       multimodal.Multimodal.queries ++ enrich.EnricherQueries.queries ++
       enrich.WikidataQueries.queries ++ enrich.NominatimQueries.queries ++
       enrich.OpenCorporatesQueries.queries ++
@@ -34,10 +36,12 @@ object SparkEntry {
       blocker.BlockerQueries.oracles ++
       resolver.ResolverQueries.oracles ++ matching.MatchingQueries.oracles ++
       dedup.DedupQueries.oracles ++ similarity.SimilarityQueries.oracles ++
-      similarity.KMeans.oracles ++ search.Search.oracles ++
+      similarity.KMeans.oracles ++ similarity.Pq.oracles ++
+      search.Search.oracles ++
       textanalysis.TextAnalysis.oracles ++
       textanalysis.Sketches.oracles ++
-      textanalysis.Curation.oracles ++ streaming.EventOps.oracles ++
+      textanalysis.Curation.oracles ++ textanalysis.Pii.oracles ++
+      streaming.EventOps.oracles ++
       multimodal.Multimodal.oracles ++ enrich.EnricherQueries.oracles ++
       enrich.WikidataQueries.oracles ++ enrich.NominatimQueries.oracles ++
       enrich.OpenCorporatesQueries.oracles ++
