@@ -86,21 +86,57 @@ object EntityTokenizer {
   private def tok(field: Column, token: Column): Column =
     struct(field.as("field"), token.as("token"))
 
-  /** Statements → (schema, id, field, token, cnt) entries for matchable
-    * schemata. `idCol` selects entity_id vs canonical_id grouping.
+  /** Matchable-schema statement projection shared by the batch entries
+    * build and the streaming tokenizer: filter + column shaping only.
     */
-  def entries(stmts: DataFrame, idCol: String = "canonical_id"): DataFrame = {
+  def preparedStatements(stmts: DataFrame, idCol: String): DataFrame = {
     val matchable = Ftm.schemata.keys.filter(Ftm.isMatchable).toSeq
-    val st = stmts
+    stmts
       .filter(col("schema").isin(matchable: _*) &&
         !col("prop").isin(SkipProperties.toSeq: _*))
       .select(col(idCol).as("id"), col("schema"), col("prop"),
         col("prop_type"), col("value"))
+  }
 
+  /** Statements → (schema, id, field, token, cnt) entries for matchable
+    * schemata. `idCol` selects entity_id vs canonical_id grouping.
+    */
+  def entries(stmts: DataFrame, idCol: String = "canonical_id"): DataFrame = {
+    val st = preparedStatements(stmts, idCol)
+    val setFam = setFamilyRows(st)
+      .distinct()
+      .withColumn("cnt", lit(1L))
+    val counted = countedFamilyRows(st)
+      .groupBy(col("id"), col("schema"), col("field"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+
+    val union = setFam.select(col("schema"), col("id"), col("field"),
+        col("token"), col("cnt"))
+      .unionByName(counted.select(col("schema"), col("id"), col("field"),
+        col("token"), col("cnt")))
+    // One row per (id, field, token) with the cluster's MERGED schema:
+    // a mixed-schema canonical cluster (Person merged under LegalEntity)
+    // must not emit the same token once per statement schema — that
+    // doubles n in the pair score and inflates xref ranking. The
+    // reference tokenizes the assembled entity, which has one schema.
+    // The groupBy key matches the per-entity count shuffle that was
+    // already here; commonSchema runs on the (tiny) distinct-schema set.
+    union
+      .groupBy(col("id"), col("field"), col("token"))
+      .agg(commonSchemaUdf(collect_set(col("schema"))).as("schema"),
+        sum(col("cnt")).as("cnt"))
+      .select(col("schema"), col("id"), col("field"), col("token"),
+        col("cnt"))
+  }
+
+  /** Set-semantics token families (one row per occurrence, PRE-distinct)
+    * — stateless narrow transforms over prepared statements, shared by
+    * [[entries]] and the streaming tokenizer (which dedupes in its own
+    * state instead of a batch `distinct`).
+    */
+  def setFamilyRows(st: DataFrame): DataFrame = {
     val p = parts(col("value"))
-    val stop = typedLit(Stopwords)
 
-    // --- set-semantics families (emitted once per entity) ---
     val nameFp = st.filter(col("prop_type") === Ftm.T.Name)
       .select(col("id"), col("schema"),
         array_join(array_sort(array_distinct(p)), "").as("fp"))
@@ -129,12 +165,15 @@ object EntityTokenizer {
       .select(col("id"), col("schema"), explode(symbolsUdf(p)).as("token"))
       .select(col("id"), col("schema"), lit(SymbolField).as("field"),
         col("token"))
-    val setFam = nameFp.unionByName(nameParts).unionByName(full)
+    nameFp.unionByName(nameParts).unionByName(full)
       .unionByName(ident).unionByName(date).unionByName(symbols)
-      .distinct()
-      .withColumn("cnt", lit(1L))
+  }
 
-    // --- counted families (every occurrence counts) ---
+  /** Counted token families (one row per occurrence, PRE-count) —
+    * stateless, shared like [[setFamilyRows]].
+    */
+  def countedFamilyRows(st: DataFrame): DataFrame = {
+    val p = parts(col("value"))
     val addrWords = st.filter(col("prop_type") === Ftm.T.Address)
       .select(col("id"), col("schema"), explode(p).as("w"))
       .filter(!col("w").isInCollection(Stopwords))
@@ -151,27 +190,7 @@ object EntityTokenizer {
       .filter(length(col("w")) >= 6 && !col("w").isInCollection(Stopwords))
       .select(col("id"), col("schema"), lit(WordField).as("field"),
         concat(lit("wd:"), col("w")).as("token"))
-    val counted = addrA.unionByName(addrWd).unionByName(words)
-      .groupBy(col("id"), col("schema"), col("field"), col("token"))
-      .agg(count(lit(1)).as("cnt"))
-
-    val union = setFam.select(col("schema"), col("id"), col("field"),
-        col("token"), col("cnt"))
-      .unionByName(counted.select(col("schema"), col("id"), col("field"),
-        col("token"), col("cnt")))
-    // One row per (id, field, token) with the cluster's MERGED schema:
-    // a mixed-schema canonical cluster (Person merged under LegalEntity)
-    // must not emit the same token once per statement schema — that
-    // doubles n in the pair score and inflates xref ranking. The
-    // reference tokenizes the assembled entity, which has one schema.
-    // The groupBy key matches the per-entity count shuffle that was
-    // already here; commonSchema runs on the (tiny) distinct-schema set.
-    union
-      .groupBy(col("id"), col("field"), col("token"))
-      .agg(commonSchemaUdf(collect_set(col("schema"))).as("schema"),
-        sum(col("cnt")).as("cnt"))
-      .select(col("schema"), col("id"), col("field"), col("token"),
-        col("cnt"))
+    addrA.unionByName(addrWd).unionByName(words)
   }
 
   private val commonSchemaUdf =
