@@ -20,6 +20,7 @@ object SparkEntry {
       textanalysis.TextAnalysis.queries ++
       textanalysis.Sketches.queries ++
       textanalysis.Curation.queries ++ textanalysis.Pii.queries ++
+      textanalysis.Bpe.queries ++
       streaming.EventOps.queries ++
       multimodal.Multimodal.queries ++ enrich.EnricherQueries.queries ++
       enrich.WikidataQueries.queries ++ enrich.NominatimQueries.queries ++
@@ -41,6 +42,7 @@ object SparkEntry {
       textanalysis.TextAnalysis.oracles ++
       textanalysis.Sketches.oracles ++
       textanalysis.Curation.oracles ++ textanalysis.Pii.oracles ++
+      textanalysis.Bpe.oracles ++
       streaming.EventOps.oracles ++
       multimodal.Multimodal.oracles ++ enrich.EnricherQueries.oracles ++
       enrich.WikidataQueries.oracles ++ enrich.NominatimQueries.oracles ++
