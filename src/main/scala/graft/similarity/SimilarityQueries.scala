@@ -277,7 +277,32 @@ object SimilarityQueries {
         (col("vec_id") === col("canonical")).as("keep"))
   }
 
+  /** k-NN majority-vote classification over the exact cosine top-k —
+    * the classic similarity-search application (label propagation /
+    * auto-tagging a corpus from its labeled neighbors). Composition:
+    * [[cosineTopK]] ⋈ labels → per-(query, label) vote count → one
+    * argmax aggregate (ties → smaller label), checked against the
+    * query's own label. Swapping in [[annLsh]]/[[ivfTopK]]/[[Pq]] top-k
+    * gives the approximate variants at scale — the vote algebra is
+    * identical.
+    */
+  def knnQ(s: SparkSession, d: String): DataFrame = {
+    val lbl = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+    val votes = cosineTopK(s, d).join(lbl, Seq("vec_id"))
+      .groupBy(col("qid"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    val pred = votes.groupBy(col("qid"))
+      .agg(max(struct(col("votes"), (-col("label")).as("nl"),
+        col("label"))).as("m"))
+      .select(col("qid"), col("m.votes").as("votes"),
+        col("m.label").as("predicted"))
+    pred.join(lbl.select(col("vec_id").as("qid"), col("label")), Seq("qid"))
+      .select(col("qid"), col("label"), col("predicted"), col("votes"),
+        (col("label") === col("predicted")).as("correct"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sim_knn" -> (knnQ _),
     "q_sim_cosine_topk" -> (cosineTopK _),
     "q_sim_clusters" -> (embedClustersQ _),
     "q_sim_embed_near" -> (embedNearPairs _),
@@ -362,6 +387,22 @@ object SimilarityQueries {
       WHERE rn <= $TopK"""
 
   val oracles: Map[String, String] = Map(
+    "q_sim_knn" -> (ctePrefix + s""",
+      topk AS ($cosineTopkBody),
+      votes AS (
+        SELECT t.qid, e.label, count(*) AS votes
+        FROM topk t JOIN embeddings e ON t.vec_id = e.vec_id
+        GROUP BY t.qid, e.label),
+      pred AS (
+        SELECT qid, label AS predicted, votes FROM (
+          SELECT qid, label, votes,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY votes DESC, label ASC) AS rn
+          FROM votes)
+        WHERE rn = 1)
+      SELECT p.qid, e.label, p.predicted, CAST(p.votes AS BIGINT) AS votes,
+             e.label = p.predicted AS correct
+      FROM pred p JOIN embeddings e ON p.qid = e.vec_id"""),
     "q_sim_clusters" -> ("WITH RECURSIVE " +
       ctePrefix.trim.stripPrefix("WITH") + s""",
       vpairs AS (
