@@ -37,7 +37,7 @@ object SparkEntry {
       blocker.BlockerQueries.oracles ++
       resolver.ResolverQueries.oracles ++ matching.MatchingQueries.oracles ++
       dedup.DedupQueries.oracles ++ similarity.SimilarityQueries.oracles ++
-      similarity.KMeans.oracles ++ similarity.Pq.oracles ++
+      similarity.KMeans.oracles ++
       search.Search.oracles ++
       textanalysis.TextAnalysis.oracles ++
       textanalysis.Sketches.oracles ++

@@ -46,8 +46,12 @@ object Pq {
   /** Codebook seed stride (≠ IVF's 37, so the two indexes differ). */
   val PqCentroidMod = 17
 
-  val TopK: Int = SimilarityQueries.TopK
-  val QueryMod: Int = SimilarityQueries.QueryMod
+  // literal copies of SimilarityQueries.TopK / QueryMod: Pq must not
+  // touch SimilarityQueries during object init — SimilarityQueries
+  // builds the q_sim_pq / recall oracle SQL from Pq's constants, and a
+  // cyclic object-init would read half-initialized fields
+  val TopK: Int = 10
+  val QueryMod: Int = 50
 
   /** Squared L2 distance between two equal-length array columns, as the
     * same left-to-right fold both engines use for dot products.
@@ -65,17 +69,26 @@ object Pq {
         .as("s"))
       .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
 
+  /** Unit-normalized corpus: PQ quantizes DIRECTIONS — on normalized
+    * vectors squared L2 is 2−2·cosine, so the ADC ranking approximates
+    * the same cosine ordering the rest of the similarity family uses
+    * (and q_sim_recall can score PQ against the exact cosine top-k).
+    */
+  def normalized(p: DataFrame): DataFrame =
+    p.select(col("vec_id"),
+      transform(col("v"), x => x / col("nrm")).as("u"))
+
   /** Seeded per-subspace codebook: (m, cid, cv) sub-vector rows. */
   def codebookOf(p: DataFrame): DataFrame =
-    subVectors(p.filter(col("vec_id") % PqCentroidMod === 0), "v")
-      .select(col("m"), col("vec_id").as("cid"), col("sv").as("cv"))
+    subVectors(normalized(p).filter(col("vec_id") % PqCentroidMod === 0),
+      "u").select(col("m"), col("vec_id").as("cid"), col("sv").as("cv"))
 
   /** Corpus codes: per (vector, subspace), the id of the nearest
     * codebook sub-vector — one argmin aggregation over the n×C product,
     * ties to the smaller code id.
     */
   def encoded(p: DataFrame, codebook: DataFrame): DataFrame =
-    subVectors(p, "v").join(broadcast(codebook), Seq("m"))
+    subVectors(normalized(p), "u").join(broadcast(codebook), Seq("m"))
       .select(col("vec_id"), col("m"),
         (-sqDist(col("sv"), col("cv"))).as("nd"), col("cid"))
       .groupBy(col("vec_id"), col("m"))
@@ -90,7 +103,8 @@ object Pq {
     val enc = encoded(p, codebook)
     // exact per-subspace distance table: queries × codebook, snapped to
     // micro units BEFORE any accumulation
-    val dtab = subVectors(p.filter(col("vec_id") % QueryMod === 0), "v")
+    val dtab = subVectors(
+      normalized(p).filter(col("vec_id") % QueryMod === 0), "u")
       .join(codebook, Seq("m"))
       .select(col("vec_id").as("qid"), col("m"), col("cid"),
         floor(sqDist(col("sv"), col("cv")) * lit(1e6) + lit(0.5))
@@ -105,51 +119,8 @@ object Pq {
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= TopK)
   }
 
-  // ---------------------------------------------------------------- oracle
-
-  private val sqDistSql =
-    "list_sum(list_transform(list_zip(%s, %s), z -> (z[1]-z[2])*(z[1]-z[2])))"
-
+  // the q_sim_pq oracle SQL lives in SimilarityQueries (next to the
+  // shared ctePrefix and the recall oracle that reuses its CTEs)
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_pq" -> (pqTopK _))
-
-  val oracles: Map[String, String] = Map(
-    "q_sim_pq" -> (SimilarityQueries.ctePrefix + s"""
-      , psub AS (
-        SELECT vec_id, m, list_slice(v, m*$SubDim+1, m*$SubDim+$SubDim)
-                 AS sv
-        FROM normed, unnest(range($M)) t(m)
-      ),
-      pqcb AS (
-        SELECT m, vec_id AS cid, sv AS cv FROM psub
-        WHERE vec_id % $PqCentroidMod = 0
-      ),
-      enc AS (
-        SELECT vec_id, m, cid AS code FROM (
-          SELECT s.vec_id, s.m, c.cid,
-                 row_number() OVER (PARTITION BY s.vec_id, s.m
-                   ORDER BY ${sqDistSql.format("s.sv", "c.cv")} ASC,
-                     c.cid ASC) AS rn
-          FROM psub s JOIN pqcb c ON s.m = c.m)
-        WHERE rn = 1
-      ),
-      dtab AS (
-        SELECT q.vec_id AS qid, q.m, c.cid,
-               CAST(floor(${sqDistSql.format("q.sv", "c.cv")} * 1e6
-                 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS pd6
-        FROM psub q JOIN pqcb c ON q.m = c.m
-        WHERE q.vec_id % $QueryMod = 0
-      ),
-      adc AS (
-        SELECT d.qid, e.vec_id, CAST(sum(d.pd6) AS BIGINT) AS ad6
-        FROM enc e JOIN dtab d ON e.m = d.m AND e.code = d.cid
-        WHERE e.vec_id <> d.qid
-        GROUP BY d.qid, e.vec_id
-      )
-      SELECT qid, vec_id, ad6, rn FROM (
-        SELECT qid, vec_id, ad6,
-               row_number() OVER (PARTITION BY qid
-                 ORDER BY ad6 ASC, vec_id ASC) AS rn
-        FROM adc)
-      WHERE rn <= $TopK"""))
 }

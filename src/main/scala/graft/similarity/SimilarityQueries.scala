@@ -244,18 +244,25 @@ object SimilarityQueries {
       .withColumn("lsh_hit", lit(1))
     val ivf = ivfTopK(s, d).select(col("qid"), col("vec_id"))
       .withColumn("ivf_hit", lit(1))
+    // PQ ranks by ADC distance on unit vectors (= cosine ordering up
+    // to quantization error), so the same exact-cosine baseline applies
+    val pq = Pq.pqTopK(s, d).select(col("qid"), col("vec_id"))
+      .withColumn("pq_hit", lit(1))
     def frac(n: Column): Column =
       floor(n.cast("double") / col("n_exact").cast("double")
         * 10000 + lit(0.5)) / 10000
     exact.join(lsh, Seq("qid", "vec_id"), "left_outer")
       .join(ivf, Seq("qid", "vec_id"), "left_outer")
+      .join(pq, Seq("qid", "vec_id"), "left_outer")
       .groupBy(col("qid"))
       .agg(count(lit(1)).as("n_exact"),
         count(col("lsh_hit")).as("hit_lsh"),
-        count(col("ivf_hit")).as("hit_ivf"))
+        count(col("ivf_hit")).as("hit_ivf"),
+        count(col("pq_hit")).as("hit_pq"))
       .select(col("qid"), col("n_exact"),
         col("hit_lsh"), frac(col("hit_lsh")).as("recall_lsh"),
-        col("hit_ivf"), frac(col("hit_ivf")).as("recall_ivf"))
+        col("hit_ivf"), frac(col("hit_ivf")).as("recall_ivf"),
+        col("hit_pq"), frac(col("hit_pq")).as("recall_pq"))
   }
 
   /** Embedding near-dup cluster closure — the embedding-side twin of
@@ -347,6 +354,60 @@ object SimilarityQueries {
                        c.vec_id ASC)
       ) WHERE rn <= $TopK"""
 
+  /** Product-quantization CTE chain ending in `pqtop` — shared by the
+    * q_sim_pq oracle and the recall oracle. Mirrors [[Pq.pqTopK]]:
+    * unit-normalize, slice into [[Pq.M]] subspaces, argmin-encode
+    * against the seeded codebook, ADC-sum the query's fixed-point
+    * distance table, rank.
+    */
+  private val pqSqDist =
+    "list_sum(list_transform(list_zip(%s, %s), z -> (z[1]-z[2])*(z[1]-z[2])))"
+
+  private val pqCtes: String = s"""
+      , unitv AS (
+        SELECT vec_id, list_transform(v, x -> x / nrm) AS u FROM normed
+      ),
+      psub AS (
+        SELECT vec_id, m,
+               list_slice(u, m*${Pq.SubDim}+1, m*${Pq.SubDim}+${Pq.SubDim})
+                 AS sv
+        FROM unitv, unnest(range(${Pq.M})) t(m)
+      ),
+      pqcb AS (
+        SELECT m, vec_id AS cid, sv AS cv FROM psub
+        WHERE vec_id % ${Pq.PqCentroidMod} = 0
+      ),
+      pqenc AS (
+        SELECT vec_id, m, cid AS code FROM (
+          SELECT s.vec_id, s.m, c.cid,
+                 row_number() OVER (PARTITION BY s.vec_id, s.m
+                   ORDER BY ${pqSqDist.format("s.sv", "c.cv")} ASC,
+                     c.cid ASC) AS rn
+          FROM psub s JOIN pqcb c ON s.m = c.m)
+        WHERE rn = 1
+      ),
+      pqdtab AS (
+        SELECT q.vec_id AS qid, q.m, c.cid,
+               CAST(floor(${pqSqDist.format("q.sv", "c.cv")} * 1e6
+                 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS pd6
+        FROM psub q JOIN pqcb c ON q.m = c.m
+        WHERE q.vec_id % ${Pq.QueryMod} = 0
+      ),
+      pqadc AS (
+        SELECT d.qid, e.vec_id, CAST(sum(d.pd6) AS BIGINT) AS ad6
+        FROM pqenc e JOIN pqdtab d ON e.m = d.m AND e.code = d.cid
+        WHERE e.vec_id <> d.qid
+        GROUP BY d.qid, e.vec_id
+      ),
+      pqtop AS (
+        SELECT qid, vec_id, ad6, rn FROM (
+          SELECT qid, vec_id, ad6,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY ad6 ASC, vec_id ASC) AS rn
+          FROM pqadc)
+        WHERE rn <= ${Pq.TopK}
+      )"""
+
   /** IVF assignment/probe CTE chain + final select — shared by the IVF
     * oracle and the recall oracle.
     */
@@ -430,7 +491,7 @@ object SimilarityQueries {
         SELECT cluster, min(vec_id) AS canonical FROM ecc GROUP BY cluster)
       SELECT c.vec_id, n.canonical, c.vec_id = n.canonical AS keep
       FROM ecc c JOIN ecanon n USING (cluster)"""),
-    "q_sim_recall" -> (ctePrefix + ivfCtes + s""",
+    "q_sim_recall" -> (ctePrefix + ivfCtes + pqCtes + s""",
       ex AS ($cosineTopkBody),
       ap AS ($annLshBody),
       iv AS ($ivfSelect)
@@ -442,11 +503,18 @@ object SimilarityQueries {
              count(iv.vec_id) AS hit_ivf,
              floor(CAST(count(iv.vec_id) AS DOUBLE) /
                CAST(count(*) AS DOUBLE) * 10000 + CAST(0.5 AS DOUBLE))
-               / 10000 AS recall_ivf
+               / 10000 AS recall_ivf,
+             count(pv.vec_id) AS hit_pq,
+             floor(CAST(count(pv.vec_id) AS DOUBLE) /
+               CAST(count(*) AS DOUBLE) * 10000 + CAST(0.5 AS DOUBLE))
+               / 10000 AS recall_pq
       FROM ex
       LEFT JOIN ap ON ex.qid = ap.qid AND ex.vec_id = ap.vec_id
       LEFT JOIN iv ON ex.qid = iv.qid AND ex.vec_id = iv.vec_id
+      LEFT JOIN pqtop pv ON ex.qid = pv.qid AND ex.vec_id = pv.vec_id
       GROUP BY ex.qid"""),
+    "q_sim_pq" -> (ctePrefix + pqCtes + """
+      SELECT qid, vec_id, ad6, rn FROM pqtop"""),
     "q_sim_quantize" -> """
       SELECT vec_id, round(scale, 9) AS scale,
              array_to_string(list_transform(v,

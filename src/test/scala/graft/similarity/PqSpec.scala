@@ -38,9 +38,9 @@ class PqSpec extends AnyFunSuite {
     // recompute one (qid, vec_id) pair by hand from collected pieces
     val row = out.orderBy(col("qid"), col("rn")).limit(1).collect()(0)
     val (qid, vid) = (row.getLong(0), row.getLong(1))
-    val p = Similarity.prepared(spark, dir)
+    val p = Pq.normalized(Similarity.prepared(spark, dir))
     def vec(id: Long): Array[Double] =
-      p.filter(col("vec_id") === id).select(col("v")).collect()(0)
+      p.filter(col("vec_id") === id).select(col("u")).collect()(0)
         .getSeq[Double](0).toArray
     val seeds = p.filter(col("vec_id") % Pq.PqCentroidMod === 0)
       .select(col("vec_id")).collect().map(_.getLong(0)).sorted
@@ -56,22 +56,15 @@ class PqSpec extends AnyFunSuite {
     assert(row.getLong(2) === ad6)
   }
 
-  test("measured recall vs exact L2 top-10") {
-    val p = Similarity.prepared(spark, dir)
-    val q = broadcast(p.filter(col("vec_id") % Pq.QueryMod === 0)
-      .select(col("vec_id").as("qid"), col("v").as("qv")))
-    val exact = p.join(q, col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"),
-        Pq.sqDist(col("qv"), col("v")).as("d"))
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
-          .orderBy(col("d").asc, col("vec_id").asc)))
-      .filter(col("rn") <= Pq.TopK)
+  test("measured recall vs the exact cosine top-10") {
+    // PQ runs on unit vectors, so the exact-cosine baseline (the same
+    // one q_sim_recall uses for LSH/IVF) is the right quality bar
+    val exact = SimilarityQueries.cosineTopK(spark, dir)
       .select(col("qid"), col("vec_id"))
     val hits = Pq.pqTopK(spark, dir).select(col("qid"), col("vec_id"))
       .join(exact, Seq("qid", "vec_id")).count()
     val recall = hits.toDouble / exact.count()
-    info(f"PQ top-10 recall vs exact L2: $recall%.2f")
+    info(f"PQ top-10 recall vs exact cosine: $recall%.2f")
     assert(recall >= 0.30) // measured 0.37 at sf0.001 (M=16, C=30 seeds)
   }
 }
