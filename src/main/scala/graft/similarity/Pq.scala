@@ -96,19 +96,23 @@ object Pq {
         .as("a"))
       .select(col("vec_id"), col("m"), col("a.cid").as("code"))
 
+  /** Exact per-subspace distance table for the query set: (qid, m,
+    * cid, pd6) — squared sub-distances snapped to micro units BEFORE
+    * any accumulation. Small (queries × M × C) → always broadcast.
+    */
+  def distanceTable(p: DataFrame, codebook: DataFrame): DataFrame =
+    subVectors(normalized(p).filter(col("vec_id") % QueryMod === 0), "u")
+      .join(codebook, Seq("m"))
+      .select(col("vec_id").as("qid"), col("m"), col("cid"),
+        floor(sqDist(col("sv"), col("cv")) * lit(1e6) + lit(0.5))
+          .cast("long").as("pd6"))
+
   /** ADC top-k: sum of fixed-point table lookups, ranked ascending. */
   def pqTopK(s: SparkSession, d: String): DataFrame = {
     val p = Similarity.prepared(s, d)
     val codebook = codebookOf(p)
     val enc = encoded(p, codebook)
-    // exact per-subspace distance table: queries × codebook, snapped to
-    // micro units BEFORE any accumulation
-    val dtab = subVectors(
-      normalized(p).filter(col("vec_id") % QueryMod === 0), "u")
-      .join(codebook, Seq("m"))
-      .select(col("vec_id").as("qid"), col("m"), col("cid"),
-        floor(sqDist(col("sv"), col("cv")) * lit(1e6) + lit(0.5))
-          .cast("long").as("pd6"))
+    val dtab = distanceTable(p, codebook)
     val scored = enc.join(broadcast(dtab),
       enc("m") === dtab("m") && enc("code") === dtab("cid"))
       .filter(col("vec_id") =!= col("qid"))

@@ -84,33 +84,46 @@ object SimilarityQueries {
     * those vectors. Complements [[annLsh]]: LSH buckets are oblivious,
     * IVF lists adapt to the data's cluster structure.
     */
-  def ivfTopK(s: SparkSession, d: String): DataFrame = {
-    val p = Similarity.prepared(s, d)
-    val cent = broadcast(p.filter(col("vec_id") % CentroidMod === 0)
+  def ivfCentroids(p: DataFrame): DataFrame =
+    broadcast(p.filter(col("vec_id") % CentroidMod === 0)
       .select(col("vec_id").as("cid"), col("v").as("cv"),
         col("nrm").as("cnrm")))
-    def withCsim(df: DataFrame): DataFrame = df.crossJoin(cent)
+
+  private def withCsim(df: DataFrame, cent: DataFrame): DataFrame =
+    df.crossJoin(cent)
       .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
         (Similarity.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
           .as("csim"))
-    // assignment argmax as ONE aggregation (max over an ordered struct,
-    // ties → min cid): map-side partial combine collapses the n×C
-    // product before the shuffle — a window over n×C rows would ship
-    // the corpus C times
-    val assigned = withCsim(p)
+
+  /** Nearest-centroid assignment as ONE aggregation (max over an
+    * ordered struct, ties → min cid): map-side partial combine
+    * collapses the n×C product before the shuffle — a window over n×C
+    * rows would ship the corpus C times.
+    */
+  def ivfAssigned(p: DataFrame, cent: DataFrame): DataFrame =
+    withCsim(p, cent)
       .groupBy(col("vec_id"))
       .agg(max(struct(col("csim"), (-col("cid")).as("ncid"), col("cid"),
         col("v"), col("nrm"))).as("m"))
       .select(col("vec_id"), col("m.v").as("v"), col("m.nrm").as("nrm"),
         col("m.cid").as("cid"))
-    // probes: queries only — the window runs over #queries × C rows
+
+  /** Per-query probe lists — the window runs over #queries × C rows. */
+  def ivfProbes(p: DataFrame, cent: DataFrame): DataFrame = {
     val wA = Window.partitionBy(col("vec_id"))
       .orderBy(col("csim").desc, col("cid").asc)
-    val probes = broadcast(withCsim(p.filter(isQuery))
+    broadcast(withCsim(p.filter(isQuery), cent)
       .withColumn("arn", row_number().over(wA))
       .filter(col("arn") <= NProbe)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("nrm").as("qnrm"), col("cid")))
+  }
+
+  def ivfTopK(s: SparkSession, d: String): DataFrame = {
+    val p = Similarity.prepared(s, d)
+    val cent = ivfCentroids(p)
+    val assigned = ivfAssigned(p, cent)
+    val probes = ivfProbes(p, cent)
     val scored = assigned.join(probes, Seq("cid"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
@@ -284,6 +297,40 @@ object SimilarityQueries {
         (col("vec_id") === col("canonical")).as("keep"))
   }
 
+  /** IVF-PQ — the composed big-ANN architecture (coarse inverted lists
+    * × product-quantized codes, the public FAISS IVFPQ design): a query
+    * probes its [[NProbe]] nearest IVF lists and ranks ONLY vectors
+    * assigned to those lists, by ADC over their stored PQ codes. At
+    * scale this is the full memory+compute story in one plan: the
+    * corpus is M bytes of codes per vector, the scan touches the probed
+    * fraction (≈ nprobe/C) of it, and the per-vector work is M integer
+    * table lookups — no float vector is ever read at query time.
+    * Composition only: [[ivfAssigned]]/[[ivfProbes]] partition,
+    * [[Pq.encoded]]/[[Pq.distanceTable]] quantize.
+    */
+  def ivfPqQ(s: SparkSession, d: String): DataFrame = {
+    val p = Similarity.prepared(s, d)
+    val cent = ivfCentroids(p)
+    val lists = ivfAssigned(p, cent)
+      .select(col("vec_id"), col("cid").as("ivf_cid"))
+    val probeIds = broadcast(ivfProbes(p, cent)
+      .select(col("qid"), col("cid").as("ivf_cid")))
+    val codebook = Pq.codebookOf(p)
+    val enc = Pq.encoded(p, codebook)
+    val dtab = Pq.distanceTable(p, codebook)
+    val cand = enc.join(lists, Seq("vec_id"))
+      .join(probeIds, Seq("ivf_cid"))
+      .filter(col("vec_id") =!= col("qid"))
+    val scored = cand.join(broadcast(dtab),
+      cand("qid") === dtab("qid") && cand("m") === dtab("m") &&
+        cand("code") === dtab("cid"))
+      .groupBy(cand("qid"), col("vec_id"))
+      .agg(sum(col("pd6")).as("ad6"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("ad6").asc, col("vec_id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= TopK)
+  }
+
   /** k-NN majority-vote classification over the exact cosine top-k —
     * the classic similarity-search application (label propagation /
     * auto-tagging a corpus from its labeled neighbors). Composition:
@@ -309,6 +356,7 @@ object SimilarityQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sim_ivfpq" -> (ivfPqQ _),
     "q_sim_knn" -> (knnQ _),
     "q_sim_cosine_topk" -> (cosineTopK _),
     "q_sim_clusters" -> (embedClustersQ _),
@@ -515,6 +563,20 @@ object SimilarityQueries {
       GROUP BY ex.qid"""),
     "q_sim_pq" -> (ctePrefix + pqCtes + """
       SELECT qid, vec_id, ad6, rn FROM pqtop"""),
+    "q_sim_ivfpq" -> (ctePrefix + ivfCtes + pqCtes + s"""
+      SELECT qid, vec_id, ad6, rn FROM (
+        SELECT qid, vec_id, ad6,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY ad6 ASC, vec_id ASC) AS rn
+        FROM (
+          SELECT p.qid, e.vec_id, CAST(sum(d.pd6) AS BIGINT) AS ad6
+          FROM pqenc e
+          JOIN assigned a ON e.vec_id = a.vec_id
+          JOIN probes p ON a.cid = p.cid
+          JOIN pqdtab d ON d.qid = p.qid AND d.m = e.m AND d.cid = e.code
+          WHERE e.vec_id <> p.qid
+          GROUP BY p.qid, e.vec_id))
+      WHERE rn <= $TopK"""),
     "q_sim_quantize" -> """
       SELECT vec_id, round(scale, 9) AS scale,
              array_to_string(list_transform(v,

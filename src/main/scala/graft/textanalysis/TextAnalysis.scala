@@ -206,7 +206,33 @@ object TextAnalysis {
       .select(col("lang"), col("q"), col("n_chars").as("value"))
   }
 
+  /** TF-IDF keyword extraction: each document's top-5 terms by
+    * tf · (1 + ln(N/df)) — the document-tagging / topic-signal pass of
+    * a curation pipeline. Two shuffles at any scale: the (doc, term)
+    * count and the term document-frequency aggregate; N is a 1-row
+    * broadcast and the rank predicate folds into WindowGroupLimit.
+    * Scores are emitted in 1e-6 fixed point (`score6`) so ranking and
+    * hashing never compare engine-accumulated doubles.
+    */
+  def keywordsQ(s: SparkSession, d: String): DataFrame = {
+    val tf = wordsDf(s, d)
+      .select(col("doc_id"), explode(col("w")).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val n = tf.select(countDistinct(col("doc_id")).as("n_docs"))
+    val scored = tf.join(df, Seq("t")).crossJoin(broadcast(n))
+      .select(col("doc_id"), col("t"), col("tf"), col("df"),
+        floor(col("tf") * (lit(1.0) +
+          log(col("n_docs").cast("double") / col("df").cast("double")))
+          * 1e6 + lit(0.5)).cast("long").as("score6"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score6").desc, col("t").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_keywords" -> (keywordsQ _),
     "q_text_quantiles" -> (lengthQuantilesQ _),
     "q_text_stats" -> (statsQ _),
     "q_text_quality" -> (qualityQ _),
@@ -215,6 +241,26 @@ object TextAnalysis {
     "q_text_tokens" -> (tokensQ _))
 
   val oracles: Map[String, String] = Map(
+    "q_text_keywords" -> s"""
+      WITH wd AS (SELECT doc_id, $wSql AS w FROM documents),
+      tf AS (
+        SELECT doc_id, t, count(*) AS tf
+        FROM (SELECT doc_id, unnest(w) AS t FROM wd)
+        GROUP BY doc_id, t),
+      dfr AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+      nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+      scored AS (
+        SELECT tf.doc_id, tf.t, tf.tf, dfr.df,
+               CAST(floor(tf.tf * (CAST(1.0 AS DOUBLE) +
+                 ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)))
+                 * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS score6
+        FROM tf JOIN dfr USING (t), nd)
+      SELECT doc_id, t, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+             score6, rn
+      FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+              ORDER BY score6 DESC, t ASC) AS rn
+            FROM scored)
+      WHERE rn <= 5""",
     // the quantile grid multiplies as DOUBLE on both sides: decimal
     // arithmetic would give ceil(0.9*10)=9 where IEEE doubles give 10
     "q_text_quantiles" -> s"""
