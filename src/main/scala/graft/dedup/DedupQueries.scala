@@ -356,7 +356,30 @@ object DedupQueries {
     )
     """
 
+  /** Multi-modal fusion dedup: the full outer join of the two verified
+    * near-dup channels — word-shingle Jaccard pairs ([[lshPairsQ]],
+    * surface text) and embedding-cosine pairs
+    * ([[graft.similarity.SimilarityQueries.embedNearPairs]], semantic)
+    * — with per-pair provenance. Surface dedup misses paraphrases,
+    * embedding dedup misses verbatim boilerplate below the cosine
+    * floor; a curation pipeline acts on the union and audits by the
+    * `evidence` column. Pure composition: both channels keep their
+    * bucketed no-all-pairs shapes, the fusion is one equi-join on the
+    * pair key.
+    */
+  def fusedQ(s: SparkSession, d: String): DataFrame = {
+    val txt = lshPairsQ(s, d)
+    val emb = graft.similarity.SimilarityQueries.embedNearPairs(s, d)
+    txt.join(emb, Seq("a", "b"), "full_outer")
+      .select(col("a"), col("b"), col("jaccard"), col("cosine"),
+        when(col("jaccard").isNotNull && col("cosine").isNotNull,
+          lit("both"))
+          .when(col("jaccard").isNotNull, lit("text"))
+          .otherwise(lit("embedding")).as("evidence"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_fused" -> (fusedQ _),
     "q_dedup_exact" -> (exactDedup _),
     "q_dedup_minhash" -> (minhashQ _),
     "q_dedup_lsh_pairs" -> (lshPairsQ _),
@@ -367,14 +390,10 @@ object DedupQueries {
     "q_dedup_simhash_pairs" -> (simhashPairsQ _),
     "q_dedup_ngram_jaccard" -> (ngramJaccardQ _))
 
-  val oracles: Map[String, String] = Map(
-    "q_dedup_exact" -> """
-      SELECT md5(lower(p_name)) AS h, count(*) AS n,
-             min(p_partkey) AS canonical
-      FROM part GROUP BY 1 HAVING count(*) > 1""",
-    "q_dedup_minhash" -> (ctePrefix +
-      "SELECT doc_id, array_to_string(sig, '-') AS sig FROM mh"),
-    "q_dedup_lsh_pairs" -> (ctePrefix + s"""
+  /** Verified word-shingle pair SELECT body — shared by its own oracle
+    * and the fused oracle so the two cannot drift.
+    */
+  private val lshPairsBody: String = s"""
       SELECT a, b, jaccard FROM (
         SELECT c.a, c.b,
                round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
@@ -383,7 +402,28 @@ object DedupQueries {
         FROM cand c
         JOIN sh sa ON c.a = sa.doc_id
         JOIN sh sb ON c.b = sb.doc_id)
-      WHERE jaccard >= $JaccardThreshold"""),
+      WHERE jaccard >= $JaccardThreshold"""
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" -> """
+      SELECT md5(lower(p_name)) AS h, count(*) AS n,
+             min(p_partkey) AS canonical
+      FROM part GROUP BY 1 HAVING count(*) > 1""",
+    "q_dedup_minhash" -> (ctePrefix +
+      "SELECT doc_id, array_to_string(sig, '-') AS sig FROM mh"),
+    "q_dedup_lsh_pairs" -> (ctePrefix + lshPairsBody),
+    "q_dedup_fused" -> (ctePrefix + ", " +
+      graft.similarity.SimilarityQueries.ctePrefix.trim
+        .stripPrefix("WITH") + s""",
+      tpairs AS ($lshPairsBody),
+      epairs AS (${graft.similarity.SimilarityQueries.embedNearBody})
+      SELECT coalesce(t.a, e.a) AS a, coalesce(t.b, e.b) AS b,
+             t.jaccard, e.cosine,
+             CASE WHEN t.a IS NOT NULL AND e.a IS NOT NULL THEN 'both'
+                  WHEN t.a IS NOT NULL THEN 'text'
+                  ELSE 'embedding' END AS evidence
+      FROM tpairs t FULL OUTER JOIN epairs e
+        ON t.a = e.a AND t.b = e.b"""),
     "q_dedup_incremental" -> (ctePrefix + s"""
       , icand AS (
         SELECT DISTINCT l.doc_id AS a, r.doc_id AS b

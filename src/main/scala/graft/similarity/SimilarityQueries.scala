@@ -366,6 +366,20 @@ object SimilarityQueries {
     "q_sim_recall" -> (recallQ _),
     "q_sim_quantize" -> (quantizeQ _))
 
+  /** Verified near-pair SELECT body — shared by its own oracle and the
+    * fused-dedup oracle ([[graft.dedup.DedupQueries]]), so the two
+    * cannot drift.
+    */
+  val embedNearBody: String = s"""
+      SELECT a, b, cosine FROM (
+        SELECT c.a, c.b,
+               round(list_sum(list_transform(list_zip(x.v, y.v),
+                 s -> s[1] * s[2])) / (x.nrm * y.nrm), 5) AS cosine
+        FROM ncand c
+        JOIN normed x ON c.a = x.vec_id
+        JOIN normed y ON c.b = y.vec_id)
+      WHERE cosine >= $NearThreshold"""
+
   /** The cosine-topk and LSH-topk SELECT bodies, shared by their own
     * oracles and the recall oracle so the two sides cannot drift.
     */
@@ -589,15 +603,7 @@ object SimilarityQueries {
         FROM embeddings)
       WHERE scale > 0""",
     "q_sim_cosine_topk" -> (ctePrefix + cosineTopkBody),
-    "q_sim_embed_near" -> (ctePrefix + s"""
-      SELECT a, b, cosine FROM (
-        SELECT c.a, c.b,
-               round(list_sum(list_transform(list_zip(x.v, y.v),
-                 s -> s[1] * s[2])) / (x.nrm * y.nrm), 5) AS cosine
-        FROM ncand c
-        JOIN normed x ON c.a = x.vec_id
-        JOIN normed y ON c.b = y.vec_id)
-      WHERE cosine >= $NearThreshold"""),
+    "q_sim_embed_near" -> (ctePrefix + embedNearBody),
     "q_sim_ivf" -> (ctePrefix + ivfCtes + "\n" + ivfSelect),
     "q_sim_ann_lsh" -> (ctePrefix + annLshBody))
 }
