@@ -378,7 +378,59 @@ object DedupQueries {
           .otherwise(lit("embedding")).as("evidence"))
   }
 
+  /** Winnowing-pair frequency cap: a fingerprint shared by more
+    * documents than this is boilerplate and is dropped before the
+    * self-join — the skew guard that bounds any join key's fan-out
+    * (the blocker stopword rationale, applied to fingerprints).
+    */
+  val WinnowDfCap = 20L
+
+  /** Minimum shared rare fingerprints for a candidate pair. */
+  val WinnowMinShared = 2L
+
+  /** Winnowing near-dup pairs (Schleimer et al., SIGMOD'03 — the MOSS
+    * channel): documents sharing ≥ [[WinnowMinShared]] rare winnowed
+    * fingerprints ([[TextAnalysis.fingerprintSets]]), reported with
+    * the full fingerprint-set Jaccard. Position-aware window-min
+    * sampling makes this channel sensitive to contiguous cloned spans
+    * that bag-of-shingles minhash dilutes. Same scale shape as every
+    * other channel: explode → frequency cap → capped equi-join →
+    * pair aggregate; no fingerprint can fan out more than
+    * [[WinnowDfCap]]².
+    */
+  def winnowPairsQ(s: SparkSession, d: String): DataFrame = {
+    // localCheckpoint, not repartition: the fingerprint build is a
+    // staged HOF pipeline, and this query fans it out FIVE ways
+    // (explode ×2 via the rare self-join, the df aggregate, both
+    // jaccard set sides) — lineage reuse re-inlines the staged
+    // projections per consumer and the plan goes quadratic (measured:
+    // subset verify 200+ s at sf0.01 vs ~2 s checkpointed). The frame
+    // is tiny (one row + ~25 hashes per doc); at lake scale the
+    // fingerprint table is a materialized artifact anyway.
+    val fps = graft.textanalysis.TextAnalysis.fingerprintSets(
+      Tables.documents(s, d)).localCheckpoint(true)
+    val ex = fps.select(col("doc_id"), explode(col("fp")).as("h"))
+    val rare = ex.join(
+      ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= WinnowDfCap),
+      Seq("h"))
+    val cand = rare.select(col("h"), col("doc_id").as("a"))
+      .join(rare.select(col("h"), col("doc_id").as("b")), Seq("h"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= WinnowMinShared)
+    val inter = size(array_intersect(col("fa"), col("fb")))
+    cand
+      .join(fps.select(col("doc_id").as("a"), col("fp").as("fa")), Seq("a"))
+      .join(fps.select(col("doc_id").as("b"), col("fp").as("fb")), Seq("b"))
+      .select(col("a"), col("b"), col("shared"),
+        round(inter.cast("double") /
+          (size(col("fa")) + size(col("fb")) - inter), 4).as("jaccard"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_winnow" -> (winnowPairsQ _),
     "q_dedup_fused" -> (fusedQ _),
     "q_dedup_exact" -> (exactDedup _),
     "q_dedup_minhash" -> (minhashQ _),
@@ -412,6 +464,26 @@ object DedupQueries {
     "q_dedup_minhash" -> (ctePrefix +
       "SELECT doc_id, array_to_string(sig, '-') AS sig FROM mh"),
     "q_dedup_lsh_pairs" -> (ctePrefix + lshPairsBody),
+    "q_dedup_winnow" -> s"""
+      WITH ${graft.textanalysis.TextAnalysis.fpSetsSql},
+      ex AS (SELECT doc_id, unnest(fp) AS h FROM fps),
+      rare AS (
+        SELECT ex.doc_id, ex.h FROM ex
+        JOIN (SELECT h, count(*) AS df FROM ex GROUP BY h
+              HAVING count(*) <= $WinnowDfCap) f ON ex.h = f.h),
+      wcand AS (
+        SELECT l.doc_id AS a, r.doc_id AS b,
+               CAST(count(*) AS BIGINT) AS shared
+        FROM rare l JOIN rare r ON l.h = r.h AND l.doc_id < r.doc_id
+        GROUP BY l.doc_id, r.doc_id
+        HAVING count(*) >= $WinnowMinShared)
+      SELECT c.a, c.b, c.shared,
+             round(CAST(len(list_intersect(fa.fp, fb.fp)) AS DOUBLE)
+               / (len(fa.fp) + len(fb.fp)
+                  - len(list_intersect(fa.fp, fb.fp))), 4) AS jaccard
+      FROM wcand c
+      JOIN fps fa ON c.a = fa.doc_id
+      JOIN fps fb ON c.b = fb.doc_id""",
     "q_dedup_fused" -> (ctePrefix + ", " +
       graft.similarity.SimilarityQueries.ctePrefix.trim
         .stripPrefix("WITH") + s""",

@@ -210,13 +210,17 @@ object Curation {
       .withColumn("w", w)
     val t = src.agg(min(col("tokens").cast("double") / col("w"))
       .as("t_units"))
-    val rates = broadcast(src.crossJoin(broadcast(t))
+    // no broadcast on `rates` itself: it is the PRESERVED side of the
+    // final left-outer join (unsupported build side — the hint would
+    // just be dropped with a warning); the hint belongs on the probe
+    // below, where rates joins the corpus
+    val rates = src.crossJoin(broadcast(t))
       .withColumn("rate",
-        least(lit(1.0), col("w") * col("t_units") / col("tokens"))))
+        least(lit(1.0), col("w") * col("t_units") / col("tokens")))
     val bucket = conv(substring(
       md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("long")
-    val sel = toks.join(rates.select(col("source"), col("rate")),
-        Seq("source"))
+    val sel = toks.join(
+        broadcast(rates.select(col("source"), col("rate"))), Seq("source"))
       .filter(bucket < col("rate") * 65536)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("sel_docs"), sum(col("n")).as("sel_tokens"))

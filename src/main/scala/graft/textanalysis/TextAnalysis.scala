@@ -112,7 +112,11 @@ object TextAnalysis {
     * sees only attributes — the md5 runs once per gram, not once per
     * (gram, window) pair.
     */
-  def fingerprintOf(docs: DataFrame): DataFrame = {
+  /** Per-document winnowed fingerprint SETS — (doc_id, fp array),
+    * shared by the summary query and the winnowing-pair dedup channel
+    * ([[graft.dedup.DedupQueries]] q_dedup_winnow).
+    */
+  def fingerprintSets(docs: DataFrame): DataFrame = {
     val n = 3
     val win = 4
     val grams = transform(sequence(lit(0), size(col("w")) - n),
@@ -132,9 +136,12 @@ object TextAnalysis {
       .select(col("doc_id"),
         transform(col("g"), x => Hashing.hash60(x)).as("hs"))
       .select(col("doc_id"), array_distinct(mins).as("fp"))
+  }
+
+  def fingerprintOf(docs: DataFrame): DataFrame =
+    fingerprintSets(docs)
       .select(col("doc_id"), size(col("fp")).as("n_fp"),
         array_min(col("fp")).as("min_fp"), array_max(col("fp")).as("max_fp"))
-  }
 
   def fingerprintQ(s: SparkSession, d: String): DataFrame =
     fingerprintOf(Tables.documents(s, d))
@@ -167,6 +174,22 @@ object TextAnalysis {
 
   private def markersSql(m: Seq[String]): String =
     m.map(x => s"'$x'").mkString("[", ",", "]")
+
+  /** `fps(doc_id, fp)` CTE body mirroring [[fingerprintSets]] — shared
+    * by the fingerprint oracle and the winnowing-pair oracle.
+    */
+  private[graft] val fpSetsSql: String = s"""fps AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(len(hs) - 3),
+                 i -> list_min(hs[i+1:i+4]))) AS fp
+        FROM (
+          SELECT doc_id,
+                 list_transform(
+                   list_transform(range(len(w) - 2),
+                     i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]),
+                   g -> ${graft.functions.Hashing.hash60Sql("g")}) AS hs
+          FROM (SELECT doc_id, $wSql AS w FROM documents)
+          WHERE len(w) >= 6))"""
 
   private def scoreSql(l: String, m: Seq[String]): String =
     s"len(list_filter(w, x -> list_contains(${markersSql(m)}, x))) AS s_$l"
@@ -304,21 +327,10 @@ object TextAnalysis {
                ${LangMarkers.map { case (l, m) => scoreSql(l, m) }.mkString(",\n               ")}
         FROM (SELECT doc_id, $wSql AS w FROM documents))""",
     "q_text_fingerprint" -> s"""
+      WITH $fpSetsSql
       SELECT doc_id, len(fp) AS n_fp, list_min(fp) AS min_fp,
              list_max(fp) AS max_fp
-      FROM (
-        SELECT doc_id,
-               list_distinct(list_transform(range(len(hs) - 3),
-                 i -> list_min(hs[i+1:i+4]))) AS fp
-        FROM (
-          SELECT doc_id,
-                 list_transform(
-                   list_transform(range(len(w) - 2),
-                     i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]),
-                   g -> ${Hashing.hash60Sql("g")}) AS hs
-          FROM (SELECT doc_id, $wSql AS w FROM documents)
-          WHERE len(w) >= 6))
-      WHERE len(fp) > 0""",
+      FROM fps WHERE len(fp) > 0""",
     "q_text_tokens" -> s"""
       SELECT doc_id,
              len(list_filter(string_split_regex(text, '\\s+'),
