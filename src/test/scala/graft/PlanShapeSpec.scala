@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape guards: the scale claims the scaladocs make, asserted on
+  * the actual physical plans so a refactor cannot silently regress
+  * them. Map-only operators must plan without a single Exchange; no
+  * pipeline may degrade to a cartesian product (the documented 1-row
+  * scalar cross-joins and the bounded n×C products are the only
+  * allowed ones, and they appear as BroadcastNestedLoopJoin over a
+  * broadcast side, never CartesianProduct).
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  import SparkSpec.spark
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("map-only operators plan with zero Exchanges") {
+    val mapOnly = Seq(
+      "q_text_pii" -> textanalysis.Pii.queries("q_text_pii"),
+      "q_text_stats" -> textanalysis.TextAnalysis.queries("q_text_stats"),
+      "q_text_fingerprint" ->
+        textanalysis.TextAnalysis.queries("q_text_fingerprint"),
+      "q_sim_quantize" ->
+        similarity.SimilarityQueries.queries("q_sim_quantize"),
+      "q_mm_meta" -> multimodal.Multimodal.queries("q_mm_meta"))
+    for ((name, q) <- mapOnly) {
+      val p = plan(q(spark, dir))
+      assert(!p.contains("Exchange"), s"$name plans an Exchange:\n$p")
+    }
+  }
+
+  test("no query plans a CartesianProduct") {
+    val all = SparkEntry.queries
+    // full sweep at the smallest SF; streaming-only ops are not in the
+    // map, so every entry is plannable
+    for ((name, q) <- all) {
+      val p = plan(q(spark, dir))
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct")
+    }
+  }
+
+  test("the pq distance table and compat tables broadcast") {
+    val p = plan(similarity.Pq.queries("q_sim_pq")(spark, dir))
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      s"q_sim_pq lost its broadcast:\n$p")
+  }
+}
