@@ -16,11 +16,12 @@ object SparkEntry {
       resolver.ResolverQueries.queries ++ matching.MatchingQueries.queries ++
       dedup.DedupQueries.queries ++ similarity.SimilarityQueries.queries ++
       similarity.KMeans.queries ++ similarity.Pq.queries ++
+      similarity.SemDedup.queries ++
       search.Search.queries ++
       textanalysis.TextAnalysis.queries ++
       textanalysis.Sketches.queries ++
       textanalysis.Curation.queries ++ textanalysis.Pii.queries ++
-      textanalysis.Bpe.queries ++
+      textanalysis.Bpe.queries ++ textanalysis.LangModel.queries ++
       streaming.EventOps.queries ++
       multimodal.Multimodal.queries ++ enrich.EnricherQueries.queries ++
       enrich.WikidataQueries.queries ++ enrich.NominatimQueries.queries ++
@@ -37,12 +38,12 @@ object SparkEntry {
       blocker.BlockerQueries.oracles ++
       resolver.ResolverQueries.oracles ++ matching.MatchingQueries.oracles ++
       dedup.DedupQueries.oracles ++ similarity.SimilarityQueries.oracles ++
-      similarity.KMeans.oracles ++
+      similarity.KMeans.oracles ++ similarity.SemDedup.oracles ++
       search.Search.oracles ++
       textanalysis.TextAnalysis.oracles ++
       textanalysis.Sketches.oracles ++
       textanalysis.Curation.oracles ++ textanalysis.Pii.oracles ++
-      textanalysis.Bpe.oracles ++
+      textanalysis.Bpe.oracles ++ textanalysis.LangModel.oracles ++
       streaming.EventOps.oracles ++
       multimodal.Multimodal.oracles ++ enrich.EnricherQueries.oracles ++
       enrich.WikidataQueries.oracles ++ enrich.NominatimQueries.oracles ++

@@ -1,0 +1,150 @@
+package graft.textanalysis
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Bigram language-model scoring with stupid backoff — the CCNet-style
+  * "perplexity filter" of a training-data pipeline: train a count LM on
+  * a held-out reference slice, score every document by its mean token
+  * log-probability, and keep/bucket documents by that score (CCNet uses
+  * a Wikipedia-trained KenLM; the relational form is engine-agnostic —
+  * counts are just aggregates).
+  *
+  * Train/score split is content-keyed (same md5-bucket idiom as
+  * q_doc_sample): documents whose hash bucket falls under 50% form the
+  * training slice, so the split is reproducible across engines and
+  * partitionings, and non-train documents genuinely exercise the
+  * backoff/OOV paths.
+  *
+  * Model (Brants et al. 2007 "stupid backoff", unnormalized scores):
+  *   S(w | prev) = count(prev, w) / count(prev)   if the bigram was seen
+  *               = 0.4 · S(w)                      otherwise
+  *   S(w)        = coalesce(count(w), 0.5) / T    (0.5 = OOV pseudocount)
+  * First token of a document scores S(w) without the backoff penalty.
+  *
+  * Scale shape (100 TB): the LM tables are vocabulary-sized hash
+  * aggregates with full map-side combine (the corpus token stream never
+  * self-joins); scoring is two equi-joins of the token stream against
+  * the unigram table and one against the bigram table — all
+  * hash-partitioned on the term key, no window, no sort. A production
+  * run writes the count tables to the lake once and scores any corpus
+  * against them; a pruned LM (top-|V| rows) becomes a broadcast join.
+  *
+  * Per-token log terms are floored to 1e-6 fixed-point BIGINT before
+  * the per-document sum (the same determinism rule as BM25/k-means:
+  * double addition is non-associative, integer sums are partition- and
+  * engine-independent).
+  */
+object LangModel {
+
+  val Backoff = 0.4
+  val OovCount = 0.5
+  /** md5 buckets below this (of 65536) train the LM — a 50% split. */
+  val TrainBuckets = 32768
+
+  private def bucket = conv(substring(
+    md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("long")
+
+  def lmScoreQ(s: SparkSession, d: String): DataFrame =
+    lmScoreOf(Tables.documents(s, d))
+
+  def lmScoreOf(docs: DataFrame): DataFrame = {
+    val base = TextAnalysis.withWords(docs)
+      .filter(size(col("w")) > 0)
+      .select(col("doc_id"), col("w"))
+    // token rows with the preceding term: posexplode's pos is 0-based,
+    // element_at is 1-based, so element_at(w, pos) IS the previous word
+    val rows = base
+      .select(col("doc_id"), col("w"), posexplode(col("w")).as(Seq("pos", "term")))
+      .select(col("doc_id"), col("term"),
+        when(col("pos") > 0, element_at(col("w"), col("pos"))).as("prev"))
+    // ONE training pass over the corpus: grouping on (prev, term) with
+    // prev-null rows included makes the bigram table a sufficient
+    // statistic — unigram counts and the token total are vocabulary-
+    // sized rollups of it (un(w) = Σ_prev bc(prev, w): every token
+    // occurrence is exactly one (prev, term) row). localCheckpoint
+    // before the fan-out so the three derived tables and two broadcast
+    // sides don't each re-inline the corpus explode (the PLANS.md
+    // fan-out rule).
+    val biAll = rows.filter(bucket < TrainBuckets)
+      .groupBy(col("prev"), col("term")).agg(count(lit(1)).as("bc"))
+      .localCheckpoint(true)
+    val uni = biAll.groupBy(col("term")).agg(sum(col("bc")).as("un"))
+    val bi = biAll.filter(col("prev").isNotNull)
+      .select(col("prev"), col("term"), col("bc"))
+    val tot = uni.agg(sum(col("un")).as("t"))
+    val unPrev = uni.select(col("term").as("prev"), col("un").as("un_prev"))
+    val pUni = coalesce(col("un").cast("double"), lit(OovCount)) /
+      col("t").cast("double")
+    val p = when(col("prev").isNull, pUni)
+      .when(col("bc").isNotNull,
+        col("bc").cast("double") / col("un_prev").cast("double"))
+      .otherwise(lit(Backoff) * pUni)
+    // LM tables broadcast (vocabulary-sized; a 100 TB run prunes to
+    // top-|V| first) — the corpus token stream is never shuffled on a
+    // term key, only hash-aggregated by doc at the end
+    val scored = rows
+      .join(broadcast(uni), Seq("term"), "left")
+      .join(broadcast(unPrev), Seq("prev"), "left")
+      .join(broadcast(bi), Seq("prev", "term"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        floor(log(p) * lit(1e6) + lit(0.5)).cast("long").as("e6"))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("e6")).as("s6"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("s6").cast("double") /
+          (col("n_tokens").cast("double") * lit(1e6)), 6).as("avg_logp"))
+  }
+
+  // ---------------------------------------------------------------- oracle
+
+  private val wSql = TextAnalysis.wSql
+
+  private def d(x: Double): String = s"CAST($x AS DOUBLE)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_lm" -> (lmScoreQ _))
+
+  val oracles: Map[String, String] = Map(
+    "q_text_lm" -> s"""
+      WITH wd AS (SELECT doc_id, $wSql AS w FROM documents),
+      base AS (SELECT doc_id, w FROM wd WHERE len(w) > 0),
+      rows_ AS (
+        SELECT doc_id, w[i] AS term,
+               CASE WHEN i > 1 THEN w[i - 1] END AS prev
+        FROM base, unnest(range(1, len(w) + 1)) t(i)),
+      train AS (
+        SELECT * FROM rows_
+        WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                AS BIGINT) < $TrainBuckets),
+      uni AS (SELECT term, count(*) AS un FROM train GROUP BY term),
+      bi AS (
+        SELECT prev, term, count(*) AS bc FROM train
+        WHERE prev IS NOT NULL GROUP BY prev, term),
+      tot AS (SELECT count(*) AS t FROM train),
+      contrib AS (
+        SELECT r.doc_id,
+               CAST(floor(ln(
+                 CASE
+                   WHEN r.prev IS NULL THEN
+                     coalesce(CAST(u.un AS DOUBLE), ${d(OovCount)})
+                       / CAST(tot.t AS DOUBLE)
+                   WHEN b.bc IS NOT NULL THEN
+                     CAST(b.bc AS DOUBLE) / CAST(up.un AS DOUBLE)
+                   ELSE ${d(Backoff)} *
+                     coalesce(CAST(u.un AS DOUBLE), ${d(OovCount)})
+                       / CAST(tot.t AS DOUBLE)
+                 END) * 1e6 + ${d(0.5)}) AS BIGINT) AS e6
+        FROM rows_ r
+        LEFT JOIN uni u ON r.term = u.term
+        LEFT JOIN uni up ON r.prev = up.term
+        LEFT JOIN bi b ON r.prev = b.prev AND r.term = b.term
+        CROSS JOIN tot)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             round(CAST(sum(e6) AS DOUBLE)
+               / (CAST(count(*) AS DOUBLE) * 1e6), 6) AS avg_logp
+      FROM contrib GROUP BY doc_id""")
+}

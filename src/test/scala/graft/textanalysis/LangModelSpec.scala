@@ -1,0 +1,64 @@
+package graft.textanalysis
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Pins the stupid-backoff arithmetic on a constructed corpus where the
+  * train/held-out hash split is solved for explicitly, and sanity
+  * invariants on the synthetic corpus.
+  */
+class LangModelSpec extends AnyFunSuite {
+  import SparkSpec.spark
+  import spark.implicits._
+
+  private def bucketOf(id: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 4)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  private def e6(p: Double): Long =
+    math.floor(math.log(p) * 1e6 + 0.5).toLong
+
+  test("train doc and held-out doc score by the exact backoff formula") {
+    val trainId = (1L to 200L).find(bucketOf(_) < LangModel.TrainBuckets).get
+    val heldId = (1L to 200L).find(bucketOf(_) >= LangModel.TrainBuckets).get
+    val docs = Seq(
+      (trainId, "a b a b", "en", "unit", 7L),
+      (heldId, "a b c", "en", "unit", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = LangModel.lmScoreOf(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // train LM (train doc only): un(a)=2 un(b)=2 T=4; bc(a,b)=2 bc(b,a)=1
+    // train doc "a b a b": ln(.5) + ln(1) + ln(.5) + ln(1), 4 tokens
+    val expTrain = BigDecimal(
+      (e6(0.5) + e6(1.0) + e6(0.5) + e6(1.0)).toDouble / (4 * 1e6))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // held-out "a b c": p(a)=2/4, p(b|a)=2/2, p(c|b)=0.4*(0.5/4) (OOV)
+    val expHeld = BigDecimal(
+      (e6(0.5) + e6(1.0) + e6(0.4 * 0.5 / 4)).toDouble / (3 * 1e6))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(trainId) === ((4L, expTrain)))
+    assert(out(heldId) === ((3L, expHeld)))
+  }
+
+  test("corpus invariants at sf0.001") {
+    val out = LangModel.lmScoreQ(spark, "/root/testdata/sf0.001")
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(0)).distinct.length === rows.length)
+    // log-probs are never positive (every probability is <= 1)
+    assert(rows.forall(_.getDouble(2) <= 0.0))
+    // token counts agree with the shared tokenizer
+    val toks = TextAnalysis.withWords(
+      graft.Tables.documents(spark, "/root/testdata/sf0.001"))
+      .filter(size(col("w")) > 0)
+      .select(col("doc_id"), size(col("w")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.forall(r => toks(r.getLong(0)) === r.getLong(1)))
+  }
+}
