@@ -405,7 +405,52 @@ object SimilarityQueries {
         (col("label") === col("predicted")).as("correct"))
   }
 
+  /** Hard-negative mining for contrastive / triplet training (the
+    * FaceNet-style miner, relationally): for each anchor, take the
+    * exact cosine top-K, split it by label agreement, and emit the
+    * [[HardNegK]] highest-cosine different-label candidates with a
+    * margin flag — `is_hard` marks negatives at or above the anchor's
+    * best positive cosine (margin violators, the pairs a triplet loss
+    * actually learns from; an anchor with no in-top-K positive treats
+    * every negative as hard).
+    *
+    * Scale shape: the candidate generation is whatever top-K engine is
+    * plugged in — here the brute baseline (queries broadcast, corpus
+    * never shuffles); at 100 TB swap annLsh/ivfTopK/pqTopK — the
+    * mining algebra downstream runs on anchors×K rows only, and is
+    * checkpointed before its two consumers (best-positive aggregate,
+    * negative ranking) so the top-K join runs once.
+    */
+  val HardNegK = 5
+
+  def hardNegQ(s: SparkSession, d: String): DataFrame = {
+    val p = Similarity.prepared(s, d)
+    val topk = Similarity.bruteTopK(p, p.filter(isQuery), TopK)
+    val lbl = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+    val j = topk
+      .join(broadcast(lbl.select(col("vec_id").as("qid"),
+        col("label").as("qlabel"))), Seq("qid"))
+      .join(broadcast(lbl.select(col("vec_id"), col("label").as("clabel"))),
+        Seq("vec_id"))
+      .select(col("qid"), col("vec_id"), col("cosine"), col("qlabel"),
+        col("clabel"))
+      .localCheckpoint(true)
+    val bestPos = j.filter(col("clabel") === col("qlabel"))
+      .groupBy(col("qid")).agg(max(col("cosine")).as("bp"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    j.filter(col("clabel") =!= col("qlabel"))
+      .join(bestPos, Seq("qid"), "left")
+      .withColumn("nrn", row_number().over(w))
+      .filter(col("nrn") <= HardNegK)
+      .select(col("qid"), col("vec_id").as("cand"), col("cosine"),
+        col("qlabel"), col("clabel"),
+        (col("bp").isNull || col("cosine") >= col("bp")).as("is_hard"),
+        coalesce(col("bp"), lit(-1.0)).as("best_pos"), col("nrn"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sim_hardneg" -> (hardNegQ _),
     "q_sim_ivfpq" -> (ivfPqQ _),
     "q_sim_near_q8" -> (nearQ8 _),
     "q_sim_knn" -> (knnQ _),
@@ -561,6 +606,29 @@ object SimilarityQueries {
       WHERE rn <= $TopK"""
 
   val oracles: Map[String, String] = Map(
+    "q_sim_hardneg" -> (ctePrefix + s""",
+      topk AS ($cosineTopkBody),
+      lj AS (
+        SELECT t.qid, t.vec_id, t.cosine,
+               eq.label AS qlabel, ec.label AS clabel
+        FROM topk t
+        JOIN embeddings eq ON t.qid = eq.vec_id
+        JOIN embeddings ec ON t.vec_id = ec.vec_id),
+      bp AS (
+        SELECT qid, max(cosine) AS bp FROM lj
+        WHERE clabel = qlabel GROUP BY qid),
+      negs AS (
+        SELECT lj.qid, lj.vec_id, lj.cosine, lj.qlabel, lj.clabel, bp.bp
+        FROM lj LEFT JOIN bp USING (qid)
+        WHERE clabel <> qlabel)
+      SELECT qid, vec_id AS cand, cosine, qlabel, clabel,
+             (bp IS NULL OR cosine >= bp) AS is_hard,
+             coalesce(bp, CAST(-1.0 AS DOUBLE)) AS best_pos, nrn
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid
+                    ORDER BY cosine DESC, vec_id ASC) AS nrn
+        FROM negs)
+      WHERE nrn <= $HardNegK"""),
     "q_sim_knn" -> (ctePrefix + s""",
       topk AS ($cosineTopkBody),
       votes AS (

@@ -234,6 +234,36 @@ object Curation {
   def mixtureQ(s: SparkSession, d: String): DataFrame =
     mixtureOf(Tables.documents(s, d))
 
+  /** Deterministic epoch shuffling + shard assignment — the training
+    * data loader's "global shuffle", relationally: every (epoch, doc)
+    * gets a 60-bit content key md5(doc_id:epoch); the shard is the key
+    * mod [[ShuffleShards]] (map-only — NO global sort: hash assignment
+    * balances shards to within sampling noise, which is how a 100 TB
+    * shuffle must work), and the within-shard read order is a window
+    * over each shard's keys — local sorts of corpus/S rows. Different
+    * epochs give statistically independent permutations; re-running
+    * any epoch reproduces it bit-for-bit on any engine/partitioning.
+    */
+  val ShuffleShards = 8
+  val ShuffleEpochs = 2
+
+  def shuffleOf(docs: DataFrame): DataFrame = {
+    val key = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit(":"), col("epoch").cast("string"))), 1, 15), 16, 10).cast("long")
+    val keyed = docs.select(col("doc_id"))
+      .withColumn("epoch", explode(array((0 until ShuffleEpochs)
+        .map(e => lit(e)): _*)))
+      .withColumn("k", key)
+      .withColumn("shard", pmod(col("k"), lit(ShuffleShards.toLong)))
+    keyed.withColumn("pos", row_number().over(
+        Window.partitionBy(col("epoch"), col("shard"))
+          .orderBy(col("k").asc, col("doc_id").asc)))
+      .select(col("epoch"), col("shard"), col("pos"), col("doc_id"))
+  }
+
+  def shuffleQ(s: SparkSession, d: String): DataFrame =
+    shuffleOf(Tables.documents(s, d))
+
   // ---------------------------------------------------------------- oracle
 
   private val wSql = TextAnalysis.wSql
@@ -252,7 +282,8 @@ object Curation {
     "q_text_contamination" -> (contaminationQ _),
     "q_dedup_crossdoc" -> (crossdocQ _),
     "q_doc_chunks" -> (chunksQ _),
-    "q_doc_shards" -> (shardsQ _))
+    "q_doc_shards" -> (shardsQ _),
+    "q_doc_shuffle" -> (shuffleQ _))
 
   val oracles: Map[String, String] = Map(
     "q_doc_mixture" -> s"""
@@ -360,5 +391,18 @@ object Curation {
              CAST(count(*) AS BIGINT) AS n_docs,
              CAST(sum(r.n) AS BIGINT) AS shard_tokens
       FROM ranked r JOIN shards s USING (source)
-      GROUP BY r.source, (r.rn - 1) % s.n_shards""")
+      GROUP BY r.source, (r.rn - 1) % s.n_shards""",
+    "q_doc_shuffle" -> s"""
+      WITH keyed AS (
+        SELECT CAST(e AS INTEGER) AS epoch,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                 CAST(e AS VARCHAR)), 1, 15) AS BIGINT) AS k,
+               doc_id
+        FROM documents, unnest(range($ShuffleEpochs)) t(e))
+      SELECT epoch, k % $ShuffleShards AS shard,
+             CAST(row_number() OVER (
+               PARTITION BY epoch, k % $ShuffleShards
+               ORDER BY k ASC, doc_id ASC) AS INTEGER) AS pos,
+             doc_id
+      FROM keyed""")
 }

@@ -80,4 +80,22 @@ class CurationSpec extends AnyFunSuite {
     // partition: every token lands in exactly one shard
     assert(out.map(_._3).sum === sizes.sum.toLong)
   }
+
+  test("shuffle: each epoch is a full, distinct, dense permutation") {
+    val docs = (1L to 200L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val out = Curation.shuffleOf(docs).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(out.length === 200 * Curation.ShuffleEpochs)
+    // every (epoch, doc) appears exactly once
+    assert(out.map(t => (t._1, t._4)).distinct.length === out.length)
+    // positions are dense from 1 within each (epoch, shard)
+    for (((_, _), g) <- out.groupBy(t => (t._1, t._2)))
+      assert(g.map(_._3).sorted.sameElements(1 to g.length))
+    // epochs permute differently: the doc sequence of shard 0 differs
+    val seq0 = out.filter(t => t._1 == 0 && t._2 == 0L)
+      .sortBy(_._3).map(_._4).toSeq
+    val seq1 = out.filter(t => t._1 == 1 && t._2 == 0L)
+      .sortBy(_._3).map(_._4).toSeq
+    assert(seq0 !== seq1)
+  }
 }
