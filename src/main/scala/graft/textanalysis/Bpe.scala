@@ -1,6 +1,7 @@
 package graft.textanalysis
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -56,12 +57,165 @@ object Bpe {
       .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
       .limit(TopMerges)
 
+  // ------------------------------------------------------------- training
+
+  /** The sentinel delimiting symbols in the string form of a symbol
+    * sequence ("_a_ab_c_") — outside the tokenizer's [a-z0-9] alphabet,
+    * so a merge pattern `_a_b_` can only match at symbol boundaries.
+    */
+  private val Sep = "_"
+
+  private def toSeq0(w: Column): Column =
+    concat(lit(Sep), regexp_replace(w, "(.)", "$1" + Sep))
+
+  private def symsOf(s: Column): Column =
+    filter(split(s, Sep), x => length(x) > 0)
+
+  /** TRUE sequential BPE training: the driver loops merge selection
+    * (each merge changes the next round's counts — inherently serial),
+    * but every iteration is a VOCABULARY-only Spark job: pair counts of
+    * the current segmentation → argmax (1 collected row) → re-segment.
+    * The corpus itself is touched only by the vocabulary build. Each
+    * round's segmentation is checkpointed so the lineage stays flat
+    * across k iterations (the k-means/connected-components rule).
+    */
+  def trainMerges(vocab: DataFrame, k: Int): Seq[(String, String)] = {
+    var seg = vocab.select(col("freq"), symsOf(toSeq0(col("w"))).as("syms"))
+      .localCheckpoint(true)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var round = 0
+    var dry = false
+    while (round < k && !dry) {
+      val top = seg.filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(
+          zip_with(slice(col("syms"), lit(1), size(col("syms")) - 1),
+            slice(col("syms"), lit(2), size(col("syms")) - 1),
+            (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (top.isEmpty) dry = true
+      else {
+        val a: String = top(0).getString(0)
+        val b: String = top(0).getString(1)
+        out += ((a, b))
+        val merged = replace(
+          concat(lit(Sep), concat_ws(Sep, col("syms")), lit(Sep)),
+          lit(Sep + a + Sep + b + Sep), lit(Sep + a + b + Sep))
+        val next = seg.select(col("freq"), symsOf(merged).as("syms"))
+          .localCheckpoint(true)
+        seg.unpersist()
+        seg = next
+        round += 1
+      }
+    }
+    out.toSeq
+  }
+
+  // --------------------------------------------------------------- encode
+
+  /** Merge table for the ORACLE-gated encoder: the top
+    * [[TopMerges]] FIRST-round pairs ranked (cnt desc, pair asc).
+    * One-shot selection instead of sequential retraining — the merge
+    * APPLICATION below is exact BPE either way, and one-shot selection
+    * is what keeps the whole encode expressible in the DuckDB oracle
+    * (sequential selection is available via [[trainMerges]], spec-gated
+    * in BpeSpec). First-round pairs are all character pairs, so rank
+    * order still decides overlaps exactly like a sequential apply.
+    */
+  def firstRoundMerges(vocab: DataFrame): DataFrame =
+    pairCounts(vocab)
+      .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+      .limit(TopMerges)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("a").asc, col("b").asc)))
+
+  /** Corpus BPE token counts: encode each DISTINCT word once (the
+    * vocabulary — the scale trick: merge application cost is
+    * vocabulary-sized, never corpus-sized) by folding the ranked merge
+    * list over the word's symbol string with exact-string replaces,
+    * then join token counts back to per-document word counts. The word
+    * count table is built in ONE corpus pass and checkpointed; the
+    * vocabulary and everything derived roll up from it.
+    */
+  def encodeOf(docs: DataFrame): DataFrame = {
+    val wc = TextAnalysis.withWords(docs)
+      .select(col("doc_id"), explode(col("w")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val vocab = wc.groupBy(col("w")).agg(sum(col("c")).as("freq"))
+    val marr = broadcast(firstRoundMerges(vocab).agg(
+      transform(array_sort(collect_list(struct(col("rnk"), col("a"),
+        col("b")))), e => struct(e.getField("a").as("a"),
+        e.getField("b").as("b"))).as("ms")))
+    val enc = aggregate(col("ms"), toSeq0(col("w")), (acc, m) =>
+      replace(acc,
+        concat(lit(Sep), m.getField("a"), lit(Sep), m.getField("b"), lit(Sep)),
+        concat(lit(Sep), m.getField("a"), m.getField("b"), lit(Sep))))
+    val vt = vocab.crossJoin(marr)
+      .select(col("w"), size(symsOf(enc)).cast("long").as("ntok"))
+    wc.join(vt, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_words"),
+        sum(col("c") * col("ntok")).as("n_bpe_tokens"))
+  }
+
+  def encodeQ(s: SparkSession, d: String): DataFrame =
+    encodeOf(Tables.documents(s, d))
+
   // ---------------------------------------------------------------- oracle
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_text_bpe" -> (bpeQ _))
+    "q_text_bpe" -> (bpeQ _),
+    "q_text_bpe_encode" -> (encodeQ _))
+
+  /** The merge chain as [[TopMerges]] generated CTEs — each applies one
+    * ranked merge with an exact-string replace on the boundary-anchored
+    * symbol string (the same fold the Spark side runs). The coalesce
+    * sentinel ('§', outside the alphabet) makes a missing rank a no-op
+    * instead of a NULL wipe on tiny corpora.
+    */
+  private def encChainSql: String = (1 to TopMerges).map { k =>
+    s"""enc$k AS (
+        SELECT w, replace(s,
+          coalesce((SELECT '_' || a || '_' || b || '_'
+                    FROM merges WHERE rnk = $k), '§'),
+          coalesce((SELECT '_' || a || b || '_'
+                    FROM merges WHERE rnk = $k), '§')) AS s
+        FROM enc${k - 1})"""
+  }.mkString(",\n      ")
 
   val oracles: Map[String, String] = Map(
+    "q_text_bpe_encode" -> s"""
+      WITH words AS (
+        SELECT doc_id, unnest(${TextAnalysis.wSql}) AS w FROM documents),
+      wc AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w),
+      vocab AS (SELECT w, CAST(sum(c) AS BIGINT) AS freq FROM wc GROUP BY w),
+      pairs AS (
+        SELECT substring(w, CAST(i AS INT), 1) AS a,
+               substring(w, CAST(i + 1 AS INT), 1) AS b, freq
+        FROM (SELECT * FROM vocab WHERE length(w) >= 2),
+             unnest(range(1, length(w))) t(i)),
+      ranked AS (
+        SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt
+        FROM pairs GROUP BY a, b
+        ORDER BY cnt DESC, a ASC, b ASC LIMIT $TopMerges),
+      merges AS (
+        SELECT a, b, row_number() OVER (ORDER BY cnt DESC, a ASC, b ASC)
+          AS rnk
+        FROM ranked),
+      enc0 AS (
+        SELECT w, '_' || regexp_replace(w, '(.)', '\\1_', 'g') AS s
+        FROM vocab),
+      $encChainSql,
+      vt AS (
+        SELECT w, CAST(len(list_filter(string_split(s, '_'),
+          x -> length(x) > 0)) AS BIGINT) AS ntok
+        FROM enc$TopMerges)
+      SELECT wc.doc_id, CAST(sum(wc.c) AS BIGINT) AS n_words,
+             CAST(sum(wc.c * vt.ntok) AS BIGINT) AS n_bpe_tokens
+      FROM wc JOIN vt USING (w) GROUP BY wc.doc_id""",
     "q_text_bpe" -> s"""
       WITH words AS (
         SELECT unnest(${TextAnalysis.wSql}) AS w FROM documents),

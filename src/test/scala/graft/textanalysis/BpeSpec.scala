@@ -28,6 +28,26 @@ class BpeSpec extends AnyFunSuite {
     assert(out === Map(("a", "a") -> 3L))
   }
 
+  test("sequential training follows the hand-computed merge chain") {
+    // vocab: "aaab" ×3, "ab" ×2
+    // r1: (a,a)=6, (a,b)=5 → merge (a,a); aaab→[aa,a,b], ab→[a,b]
+    // r2: (aa,a)=3, (a,b)=5 → merge (a,b); → [aa,ab], [ab]
+    // r3: (aa,ab)=3 → merge (aa,ab)
+    val docs = Seq((1L, "aaab aaab aaab ab ab")).toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(Bpe.vocabulary(docs), 5)
+    assert(merges === Seq(("a", "a"), ("a", "b"), ("aa", "ab")))
+  }
+
+  test("encode applies ranked merges exactly, vocabulary-wise") {
+    // first-round merges: (a,a) cnt 6 rank 1, (a,b) cnt 5 rank 2
+    // "aaab": _a_a_a_b_ →(a,a) _aa_a_b_ →(a,b) _aa_ab_ = 2 tokens
+    // "ab":   _a_b_ →(a,b) _ab_ = 1 token
+    val docs = Seq((1L, "aaab aaab aaab ab ab")).toDF("doc_id", "text")
+    val out = Bpe.encodeOf(docs).collect()
+    assert(out.length === 1)
+    assert((out(0).getLong(1), out(0).getLong(2)) === ((5L, 3L * 2 + 2L * 1)))
+  }
+
   test("top merges are fully tiebroken") {
     val rows = Bpe.bpeQ(spark, "/root/testdata/sf0.001").collect()
     assert(rows.nonEmpty && rows.length <= Bpe.TopMerges)
