@@ -1,0 +1,115 @@
+package graft.cli
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.DedupQueries
+import graft.textanalysis.{Curation, LangModel, TextAnalysis}
+
+/** `curate` — the end-to-end training-corpus curation pipeline as one
+  * spark-submit main, composing the library's LLM-data operators the
+  * way `DedupeMain` composes the entity operators:
+  *
+  *   1. exact dedup        (md5(text) groups, min-doc_id survivor)
+  *   2. quality gate       (composite heuristic, `--min-quality`)
+  *   3. LM perplexity gate (stupid-backoff bigram LM, `--min-logp`)
+  *   4. near-dup removal   (MinHash-LSH pairs → components → survivor)
+  *   5. shard assignment   (content-keyed hash shard, no global sort)
+  *
+  * Order matters and mirrors production pipelines: exact dedup first
+  * (cheapest, biggest shrink on crawled data), heuristic gates before
+  * the quadratic-ish near-dup stage so LSH sees only plausible
+  * documents, sharding last so shard sizes reflect the final corpus.
+  *
+  * Outputs under `outDir`: `corpus/` — the kept documents with
+  * `quality`, `avg_logp`, `shard` columns, partitioned by shard — and
+  * `report.json`, one JSON object of per-stage document counts.
+  * Every stage is deterministic (content-keyed decisions, tiebroken
+  * survivors), so re-running the pipeline reproduces the corpus and
+  * the report byte-for-byte.
+  *
+  * {{{
+  *   spark-submit --class graft.cli.CurateMain graft.jar \
+  *     documents.parquet /out/curated --min-quality 0.3 --min-logp -12
+  * }}}
+  */
+object CurateMain {
+
+  final case class Report(input: Long, afterExact: Long, afterQuality: Long,
+      afterLm: Long, afterNearDup: Long, shards: Int) {
+    def json: String =
+      s"""{"input": $input, "after_exact_dedup": $afterExact,
+         | "after_quality": $afterQuality, "after_lm": $afterLm,
+         | "after_near_dup": $afterNearDup, "shards": $shards}"""
+        .stripMargin.replace("\n", "")
+  }
+
+  /** The pipeline on a documents frame; returns (curated, report). */
+  def run(spark: SparkSession, docs0: DataFrame, minQuality: Double,
+      minLogp: Double): (DataFrame, Report) = {
+    val docs = docs0.select(col("doc_id"), col("text"), col("lang"),
+      col("source")).localCheckpoint(true)
+    val input = docs.count()
+
+    // 1. exact dedup — deterministic survivor: min doc_id per content
+    //    hash (dropDuplicates keeps an arbitrary partition's winner)
+    val hashed = docs.withColumn("h", md5(col("text")))
+    val winners = hashed.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+    val exact = hashed.join(winners, Seq("h", "doc_id"), "left_semi")
+      .drop("h").localCheckpoint(true)
+    val nExact = exact.count()
+
+    // 2. heuristic quality gate
+    val withQ = TextAnalysis.withWords(exact)
+      .select(col("doc_id"), TextAnalysis.qualityExpr(col("w")).as("quality"))
+    val qual = exact.join(withQ.filter(col("quality") >= minQuality),
+      Seq("doc_id")).localCheckpoint(true)
+    val nQual = qual.count()
+
+    // 3. LM gate — the bigram LM trains on the gated corpus's own
+    //    held-out hash split (CCNet trains on a reference corpus; pass
+    //    one via a second input path if you have one)
+    val lm = LangModel.lmScoreOf(qual)
+      .select(col("doc_id"), col("avg_logp"))
+    val lmKept = qual.join(lm.filter(col("avg_logp") >= minLogp),
+      Seq("doc_id")).localCheckpoint(true)
+    val nLm = lmKept.count()
+
+    // 4. near-dup removal — LSH pairs → connected components →
+    //    longest-text/min-id survivor election. The cluster table only
+    //    contains docs that appear in a near-dup pair, so unpaired docs
+    //    pass through the anti-join untouched.
+    val drop = DedupQueries.clustersOf(lmKept)
+      .filter(!col("keep"))
+      .select(col("doc_id").cast("long").as("doc_id"))
+      .localCheckpoint(true)
+    val nearKept = lmKept.join(drop, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    val nNear = nearKept.count()
+
+    // 5. shard assignment — content-keyed, map-only (epoch 0 of the
+    //    q_doc_shuffle scheme)
+    val key = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit(":0"))), 1, 15), 16, 10).cast("long")
+    val curated = nearKept
+      .withColumn("shard", pmod(key, lit(Curation.ShuffleShards.toLong)))
+    (curated, Report(input, nExact, nQual, nLm, nNear,
+      Curation.ShuffleShards))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val (pos, flags) = CliArgs.parse(args)
+    require(pos.length == 2, "usage: curate <documents.parquet> <outDir>")
+    val spark = CliArgs.session("curate")
+    val minQuality = flags.getOrElse("min-quality", "0.3").toDouble
+    val minLogp = flags.getOrElse("min-logp", "-12.0").toDouble
+    val (curated, report) =
+      run(spark, spark.read.parquet(pos.head), minQuality, minLogp)
+    curated.write.mode("overwrite").partitionBy("shard")
+      .parquet(s"${pos(1)}/corpus")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(pos(1)))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"${pos(1)}/report.json"), report.json)
+    spark.stop()
+  }
+}

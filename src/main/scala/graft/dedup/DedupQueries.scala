@@ -79,8 +79,11 @@ object DedupQueries {
     * Exchange under all three so ReuseExchange computes shingles/md5 once
     * instead of three times.
     */
-  def lshPairsQ(s: SparkSession, d: String): DataFrame = {
-    val sh = hashedShingles(s, d).repartition(col("doc_id"))
+  def lshPairsQ(s: SparkSession, d: String): DataFrame =
+    lshPairsOf(Tables.documents(s, d))
+
+  def lshPairsOf(docs: DataFrame): DataFrame = {
+    val sh = hashedShinglesOf(docs).repartition(col("doc_id"))
     val sigs = sh.select(col("doc_id"),
       Dedup.minhashSigFromHashes(col("hs"), MinhashK).as("sig"))
     val cand = Dedup.lshCandidates(sigs, "doc_id", Bands, RowsPerBand)
@@ -193,11 +196,14 @@ object DedupQueries {
     * above — and the length/election joins are per-cluster aggregates
     * over the members, never touching unclustered documents.
     */
-  def clustersQ(s: SparkSession, d: String): DataFrame = {
-    val pairs = lshPairsQ(s, d).select(
+  def clustersQ(s: SparkSession, d: String): DataFrame =
+    clustersOf(Tables.documents(s, d))
+
+  def clustersOf(docs: DataFrame): DataFrame = {
+    val pairs = lshPairsOf(docs).select(
       col("a").cast("string").as("src"), col("b").cast("string").as("dst"))
     val cc = graft.resolver.Resolver.connectedComponents(pairs)
-    val len = Tables.documents(s, d).select(
+    val len = docs.select(
       col("doc_id").cast("string").as("id"),
       length(col("text")).as("len"))
     val wl = cc.join(len, Seq("id"))
