@@ -46,6 +46,25 @@ object DocumentStream {
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Stateless LM perplexity gate on a document stream: score each
+    * arriving document against a STATIC, broadcast
+    * [[graft.textanalysis.LangModel.LmModel]] (trained once on the
+    * lake's reference slice, shipped to executors in the closure — the
+    * CCNet serving shape) and keep documents whose mean token
+    * log-probability clears the floor. Map-only like [[qualityGate]]:
+    * no state, no shuffle, and the same fixed-point arithmetic as the
+    * batch scorer, so re-scoring a gated stream in batch reproduces
+    * the decisions exactly (asserted in DocumentStreamSpec).
+    */
+  def lmGate(docs: DataFrame, model: graft.textanalysis.LangModel.LmModel,
+      minLogp: Double): DataFrame = {
+    val score = udf((ws: Seq[String]) =>
+      model.avgLogp(ws).map(Double.box).orNull)
+    docs
+      .withColumn("avg_logp", score(TextAnalysis.words(col("text"))))
+      .filter(col("avg_logp") >= minLogp)
+  }
+
   /** Streaming HLL register maintenance over a document stream (needs
     * `source`, `doc_id`, `text`): the same relational register algebra
     * as the batch sketch ([[graft.textanalysis.Sketches]]), run as a

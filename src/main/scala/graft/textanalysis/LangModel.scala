@@ -99,6 +99,55 @@ object LangModel {
           (col("n_tokens").cast("double") * lit(1e6)), 6).as("avg_logp"))
   }
 
+  // -------------------------------------------------- servable model form
+
+  /** A trained LM small enough to broadcast (production prunes to the
+    * top-|V| unigrams/bigrams before shipping — the count tables are
+    * already vocabulary-sized). `avgLogp` reproduces the fixed-point
+    * arithmetic of [[lmScoreOf]] exactly, so a stream gated with this
+    * model and a batch rescore agree bit-for-bit.
+    */
+  final case class LmModel(uni: Map[String, Long],
+      bi: Map[(String, String), Long], total: Long) extends Serializable {
+    def avgLogp(words: Seq[String]): Option[Double] = {
+      if (words.isEmpty || total == 0L) return None
+      var s6 = 0L
+      var prev: String = null
+      for (w <- words) {
+        val pUni = uni.get(w).map(_.toDouble).getOrElse(OovCount) / total
+        val p =
+          if (prev == null) pUni
+          else bi.get((prev, w)) match {
+            case Some(bc) => bc.toDouble / uni(prev).toDouble
+            case None => Backoff * pUni
+          }
+        s6 += math.floor(math.log(p) * 1e6 + 0.5).toLong
+        prev = w
+      }
+      Some(BigDecimal(s6.toDouble / (words.length * 1e6))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
+  /** Train an [[LmModel]] on the ENTIRE given frame (callers hold out
+    * their own reference slice — [[lmScoreOf]] shows the hash-split
+    * idiom). One corpus aggregation, vocabulary-sized collect.
+    */
+  def train(docs: DataFrame): LmModel = {
+    val rows = TextAnalysis.withWords(docs)
+      .filter(size(col("w")) > 0)
+      .select(col("w"), posexplode(col("w")).as(Seq("pos", "term")))
+      .select(col("term"),
+        when(col("pos") > 0, element_at(col("w"), col("pos"))).as("prev"))
+    val biAll = rows.groupBy(col("prev"), col("term"))
+      .agg(count(lit(1)).as("bc")).collect()
+    val uni = biAll.groupBy(_.getString(1))
+      .view.mapValues(_.map(_.getLong(2)).sum).toMap
+    val bi = biAll.filter(!_.isNullAt(0))
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    LmModel(uni, bi, uni.valuesIterator.sum)
+  }
+
   // ---------------------------------------------------------------- oracle
 
   private val wSql = TextAnalysis.wSql

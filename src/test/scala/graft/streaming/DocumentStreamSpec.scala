@@ -104,4 +104,32 @@ class DocumentStreamSpec extends AnyFunSuite {
       assert(est.values.forall(_ > 0))
     } finally q.stop()
   }
+
+  test("LM gate scores against the static model, exact arithmetic") {
+    import graft.textanalysis.LangModel
+    // train on "a b a b": un(a)=2 un(b)=2 T=4; bc(a,b)=2 bc(b,a)=1
+    val model = LangModel.train(Seq((1L, "a b a b")).toDF("doc_id", "text"))
+    assert(model.total === 4L && model.bi(("a", "b")) === 2L)
+    def e6(p: Double) = math.floor(math.log(p) * 1e6 + 0.5).toLong
+    // "a b c": p(a)=.5, p(b|a)=1, p(c|b)=0.4*(0.5/4) → avg of 3
+    val expHeld = BigDecimal((e6(0.5) + e6(1.0) + e6(0.4 * 0.5 / 4)).toDouble
+      / (3 * 1e6)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(model.avgLogp(Seq("a", "b", "c")) === Some(expHeld))
+
+    implicit val sc = spark.sqlContext
+    val src = MemoryStream[(Long, String)]
+    val docs = src.toDF().toDF("doc_id", "text")
+    val q = DocumentStream.lmGate(docs, model, minLogp = expHeld - 0.001)
+      .writeStream.format("memory").queryName("lmgate")
+      .outputMode("append").start()
+    try {
+      // doc 1 scores exactly expHeld (passes); doc 2 is all-OOV (drops)
+      src.addData((1L, "a b c"), (2L, "zz zz zz zz"))
+      q.processAllAvailable()
+      val rows = spark.table("lmgate")
+        .select("doc_id", "avg_logp").collect()
+      assert(rows.map(_.getLong(0)).toSet === Set(1L))
+      assert(rows.head.getDouble(1) === expHeld)
+    } finally q.stop()
+  }
 }
