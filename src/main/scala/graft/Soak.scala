@@ -14,12 +14,20 @@ import graft.xref.Xref
   * corpus 10× the bench without config changes, and records wall time
   * plus total/peak shuffle volumes for PLANS.md.
   *
-  * Usage: runMain graft.Soak [sfDir] [replicas]
+  * A second mode soaks the corpus-curation pipeline the same way:
+  * `runMain graft.Soak <sfDir> <replicas> curate` replicates the
+  * document corpus N× with IDENTICAL texts (worst-case duplication —
+  * every document has N−1 exact copies) and runs `CurateMain.run`;
+  * the exact-dedup stage must collapse the corpus back to ~1× before
+  * the quadratic-ish near-dup stage ever sees it.
+  *
+  * Usage: runMain graft.Soak [sfDir] [replicas] [xref|curate]
   */
 object Soak {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val replicas = args.lift(1).map(_.toInt).getOrElse(10)
+    val mode = args.lift(2).getOrElse("xref")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
@@ -39,6 +47,24 @@ object Soak {
         if (w > peakStageWrite) peakStageWrite = w
       }
     })
+
+    if (mode == "curate") {
+      val docs = docCorpus(spark, sfDir, replicas)
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val nDocs = docs.count()
+      val t0 = System.nanoTime()
+      val (curated, report) =
+        cli.CurateMain.run(spark, docs, minQuality = 0.3, minLogp = -12.0)
+      val nOut = curated.count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"""{"soak":"curate","sf":"$sfDir","replicas":$replicas,""" +
+        f""""docs":$nDocs,"out":$nOut,"report":${report.json},""" +
+        f""""wall_sec":$wall%.1f,""" +
+        f""""shuffle_write_mb":${shuffleWrite / 1e6}%.1f,""" +
+        f""""peak_stage_shuffle_mb":${peakStageWrite / 1e6}%.1f}""")
+      spark.stop()
+      return
+    }
 
     val stmts = corpus(spark, sfDir, replicas)
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
@@ -67,6 +93,18 @@ object Soak {
     * map onto FtM matchable schemata so the production tokenizer (which
     * gates on the ontology) processes them.
     */
+  /** N replicas of the document corpus with distinct ids but IDENTICAL
+    * texts — every doc has N−1 exact duplicates.
+    */
+  def docCorpus(s: SparkSession, sfDir: String, replicas: Int): DataFrame = {
+    val base = Tables.documents(s, sfDir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val span = 10000000L
+    (0 until replicas).map { i =>
+      base.withColumn("doc_id", col("doc_id") + lit(i * span))
+    }.reduce(_.unionByName(_))
+  }
+
   def corpus(s: SparkSession, sfDir: String, replicas: Int): DataFrame = {
     val base = StarStatements(s, sfDir)
       .filter(col("field") === "name")
