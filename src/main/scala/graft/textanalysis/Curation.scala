@@ -264,6 +264,40 @@ object Curation {
   def shuffleQ(s: SparkSession, d: String): DataFrame =
     shuffleOf(Tables.documents(s, d))
 
+  /** Fill-in-the-middle transform (Bavarian et al. 2022, "Efficient
+    * Training of Language Models to Fill in the Middle"): rewrite a
+    * hash-selected [[FimRate]] of documents into PSM order —
+    * `<PRE>prefix<SUF>suffix<MID>middle` — so the trained model learns
+    * infilling. Map-only and fully content-keyed: the apply decision
+    * reuses the q_doc_sample bucket idiom and the two split points are
+    * independent md5 slices mod the character length, so the transform
+    * is reproducible on any engine/partitioning (both engines index
+    * substrings by CHARACTER, which the byte-stability round taught us
+    * to check on this corpus's multi-byte text).
+    */
+  val FimRate = 0.5
+
+  def fimOf(docs: DataFrame): DataFrame = {
+    val L = length(col("text"))
+    val bucket = conv(substring(
+      md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("long")
+    def cut(from: Int) = pmod(conv(substring(
+      md5(concat(lit("fim:"), col("doc_id").cast("string"))),
+      from, 8), 16, 10).cast("long"), L.cast("long")) + 1
+    val (c1, c2) = (cut(1), cut(9))
+    val lo = least(c1, c2)
+    val hi = greatest(c1, c2)
+    val fim = bucket < (FimRate * 65536).toLong && L >= lit(2)
+    val psm = concat(lit("<PRE>"), col("text").substr(lit(1), lo - 1),
+      lit("<SUF>"), col("text").substr(hi, L - hi + 1),
+      lit("<MID>"), col("text").substr(lo, hi - lo))
+    docs.select(col("doc_id"), fim.as("fim"),
+      when(fim, psm).otherwise(col("text")).as("text_out"))
+  }
+
+  def fimQ(s: SparkSession, d: String): DataFrame =
+    fimOf(Tables.documents(s, d))
+
   // ---------------------------------------------------------------- oracle
 
   private val wSql = TextAnalysis.wSql
@@ -283,7 +317,8 @@ object Curation {
     "q_dedup_crossdoc" -> (crossdocQ _),
     "q_doc_chunks" -> (chunksQ _),
     "q_doc_shards" -> (shardsQ _),
-    "q_doc_shuffle" -> (shuffleQ _))
+    "q_doc_shuffle" -> (shuffleQ _),
+    "q_doc_fim" -> (fimQ _))
 
   val oracles: Map[String, String] = Map(
     "q_doc_mixture" -> s"""
@@ -404,5 +439,29 @@ object Curation {
                PARTITION BY epoch, k % $ShuffleShards
                ORDER BY k ASC, doc_id ASC) AS INTEGER) AS pos,
              doc_id
-      FROM keyed""")
+      FROM keyed""",
+    "q_doc_fim" -> s"""
+      WITH c AS (
+        SELECT doc_id, text, length(text) AS l,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                 AS BIGINT) AS bucket,
+               (CAST('0x' || substr(md5('fim:' || CAST(doc_id AS VARCHAR)),
+                  1, 8) AS BIGINT) % length(text)) + 1 AS c1,
+               (CAST('0x' || substr(md5('fim:' || CAST(doc_id AS VARCHAR)),
+                  9, 8) AS BIGINT) % length(text)) + 1 AS c2
+        FROM documents),
+      d AS (
+        SELECT doc_id, text, l,
+               bucket < ${(FimRate * 65536).toLong} AND l >= 2 AS fim,
+               least(c1, c2) AS lo, greatest(c1, c2) AS hi
+        FROM c)
+      SELECT doc_id, fim,
+             CASE WHEN fim THEN
+               '<PRE>' || substring(text, 1, CAST(lo - 1 AS INT)) ||
+               '<SUF>' || substring(text, CAST(hi AS INT),
+                 CAST(l - hi + 1 AS INT)) ||
+               '<MID>' || substring(text, CAST(lo AS INT),
+                 CAST(hi - lo AS INT))
+             ELSE text END AS text_out
+      FROM d""")
 }

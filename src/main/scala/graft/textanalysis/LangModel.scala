@@ -154,11 +154,32 @@ object LangModel {
 
   private def d(x: Double): String = s"CAST($x AS DOUBLE)"
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_text_lm" -> (lmScoreQ _))
+  /** Per-language curriculum bucketing: split each language's corpus
+    * into [[CurriculumStages]] difficulty quartiles by LM score
+    * (stage 1 = most-probable/easiest text first — the curriculum-
+    * learning ordering), fully tiebroken so the stage assignment is
+    * deterministic across engines. One window over the vocabulary-
+    * joined score table; the corpus itself is only touched by the LM
+    * scorer's two passes.
+    */
+  val CurriculumStages = 4
 
-  val oracles: Map[String, String] = Map(
-    "q_text_lm" -> s"""
+  def curriculumQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val scored = lmScoreOf(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    scored.withColumn("stage", ntile(CurriculumStages).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+          .orderBy(col("avg_logp").desc, col("doc_id").asc)))
+      .select(col("doc_id"), col("lang"), col("avg_logp"), col("stage"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_lm" -> (lmScoreQ _),
+    "q_doc_curriculum" -> (curriculumQ _))
+
+  /** The scorer's CTE chain + final aggregate, shared by both oracles. */
+  private lazy val lmCtes: String = s"""
       WITH wd AS (SELECT doc_id, $wSql AS w FROM documents),
       base AS (SELECT doc_id, w FROM wd WHERE len(w) > 0),
       rows_ AS (
@@ -191,9 +212,20 @@ object LangModel {
         LEFT JOIN uni u ON r.term = u.term
         LEFT JOIN uni up ON r.prev = up.term
         LEFT JOIN bi b ON r.prev = b.prev AND r.term = b.term
-        CROSS JOIN tot)
-      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-             round(CAST(sum(e6) AS DOUBLE)
-               / (CAST(count(*) AS DOUBLE) * 1e6), 6) AS avg_logp
-      FROM contrib GROUP BY doc_id""")
+        CROSS JOIN tot),
+      scored AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               round(CAST(sum(e6) AS DOUBLE)
+                 / (CAST(count(*) AS DOUBLE) * 1e6), 6) AS avg_logp
+        FROM contrib GROUP BY doc_id)
+      """
+
+  val oracles: Map[String, String] = Map(
+    "q_text_lm" -> (lmCtes +
+      "SELECT doc_id, n_tokens, avg_logp FROM scored"),
+    "q_doc_curriculum" -> (lmCtes + s"""
+      SELECT s.doc_id, d.lang, s.avg_logp,
+             CAST(ntile($CurriculumStages) OVER (PARTITION BY d.lang
+               ORDER BY s.avg_logp DESC, s.doc_id ASC) AS INTEGER) AS stage
+      FROM scored s JOIN documents d ON s.doc_id = d.doc_id"""))
 }

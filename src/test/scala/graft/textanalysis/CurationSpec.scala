@@ -98,4 +98,42 @@ class CurationSpec extends AnyFunSuite {
       .sortBy(_._3).map(_._4).toSeq
     assert(seq0 !== seq1)
   }
+
+  test("fim: PSM reorder is lossless and the rate is hash-keyed") {
+    val docs = (1L to 100L)
+      .map(i => (i, s"abcdefghijklmnopqrstuvwxyz $i")).toDF("doc_id", "text")
+    val orig = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = Curation.fimOf(docs).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getString(2)))
+    assert(out.length === 100)
+    val (fimmed, plain) = out.partition(_._2)
+    // roughly half transform at rate 0.5; untouched docs pass through
+    assert(fimmed.length > 20 && fimmed.length < 80)
+    assert(plain.forall { case (id, _, t) => t === orig(id) })
+    // <PRE>p<SUF>s<MID>m reassembles to p + m + s = the original text
+    val Psm = "(?s)<PRE>(.*)<SUF>(.*)<MID>(.*)".r
+    for ((id, _, t) <- fimmed) t match {
+      case Psm(p, s, m) => assert(p + m + s === orig(id), s"doc $id")
+      case _ => fail(s"doc $id not in PSM form: $t")
+    }
+  }
+
+  test("curriculum: stages are balanced and ordered easy-first") {
+    val rows = LangModel.curriculumQ(spark, "/root/testdata/sf0.001")
+      .collect().map(r =>
+        (r.getString(1), r.getDouble(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    for ((_, byLang) <- rows.groupBy(_._1)) {
+      val sizes = byLang.groupBy(_._3).view.mapValues(_.length).toMap
+      assert(sizes.keySet.subsetOf((1 to LangModel.CurriculumStages).toSet))
+      // ntile balance: sizes differ by at most 1
+      if (sizes.size > 1) assert(sizes.values.max - sizes.values.min <= 1)
+      // stage 1 holds the highest scores
+      if (sizes.size > 1) {
+        val s1min = byLang.filter(_._3 == 1).map(_._2).min
+        val s2max = byLang.filter(_._3 == 2).map(_._2).max
+        assert(s1min >= s2max)
+      }
+    }
+  }
 }
