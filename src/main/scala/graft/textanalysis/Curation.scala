@@ -44,7 +44,7 @@ object Curation {
   /** Word n-grams over the materialized `w` attribute (HOF rule: the
     * lambda references only attributes, so the split runs once per doc).
     */
-  private def grams(n: Int): Column =
+  private[textanalysis] def grams(n: Int): Column =
     transform(sequence(lit(1), size(col("w")) - (n - 1)),
       i => concat_ws(" ",
         (0 until n).map(k => element_at(col("w"), i + lit(k))): _*))
@@ -302,7 +302,7 @@ object Curation {
 
   private val wSql = TextAnalysis.wSql
 
-  private def gramSql(n: Int): String = {
+  private[textanalysis] def gramSql(n: Int): String = {
     val parts = (0 until n).map(k => s"w[i+$k]").mkString(" || ' ' || ")
     s"list_transform(range(1, len(w) - ${n - 2}), i -> $parts)"
   }

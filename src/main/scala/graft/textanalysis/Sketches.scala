@@ -170,20 +170,109 @@ object Sketches {
         (col("est") - col("exact")).as("overcount"))
   }
 
+  // ----------------------------------------------------------------- bloom
+
+  /** Bloom filter bits (m) and hash count (k). At the synthetic eval-set
+    * cardinality (~a few hundred grams) m=2^16 gives a deliberately
+    * non-trivial false-positive rate so the n_bloom ≥ n_exact gap is
+    * visible in the checked result; production sizes m ≈ 1.44·n·log2(1/ε).
+    */
+  val BloomBits = 1 << 16
+  val BloomK = 4
+
+  /** Bloom-filter decontamination — the SKETCH form of
+    * q_text_contamination and the reason the sketch family exists at
+    * 100 TB: the exact probe broadcasts every eval gram string; the
+    * Bloom form broadcasts a fixed m-bit filter no matter how large the
+    * benchmark suite grows. Built relationally (the filter IS a
+    * distinct-bit-position table, exactly like the HLL register table),
+    * probed with a k-way position join; no false negatives by
+    * construction — the per-doc result carries `n_bloom` next to the
+    * exact `n_exact` so the overcount is part of the checked output
+    * (the CMS no-undercount idiom).
+    */
+  def bloomQ(s: SparkSession, d: String): DataFrame =
+    bloomOf(Tables.documents(s, d))
+
+  def bloomOf(docs: DataFrame): DataFrame = {
+    val n = Curation.ContaminationN
+    val g = TextAnalysis.withWords(docs)
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"),
+        explode(array_distinct(Curation.grams(n))).as("g"))
+      .withColumn("h", Hashing.hash60(col("g")))
+    val isEval = col("doc_id") % 97 === 0
+    def kBits = explode(array((0 until BloomK).map(i =>
+      Hashing.permute(col("h"), i) % BloomBits): _*)).as("bit")
+    val bits = g.filter(isEval).select(kBits).distinct()
+      .withColumn("set", lit(1))
+    val evalGrams = g.filter(isEval).select(col("g")).distinct()
+      .withColumn("eg", lit(1))
+    val hits = g.filter(!isEval)
+      .select(col("doc_id"), col("g"), kBits)
+      .join(broadcast(bits), Seq("bit"), "left")
+      .groupBy(col("doc_id"), col("g"))
+      .agg((count(col("set")) === BloomK).as("bloom_hit"))
+    hits.join(broadcast(evalGrams), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("n_bloom"),
+        count(col("eg")).as("n_exact"))
+  }
+
   // ---------------------------------------------------------------- oracle
 
   private val wSql = TextAnalysis.wSql
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sketch_hll" -> (hllQ _),
-    "q_sketch_cms" -> (cmsQ _))
+    "q_sketch_cms" -> (cmsQ _),
+    "q_sketch_bloom" -> (bloomQ _))
 
   private def cmsBucketSelects(from: String, extra: String): String =
     (0 until CmsDepth).map { j =>
       s"SELECT $extra$j AS j, (${Hashing.permuteSql("h", j)}) % $CmsWidth AS w FROM $from"
     }.mkString("\n        UNION ALL ")
 
+  /** i-th Bloom bit of hash expr `h`, with i a SQL range variable —
+    * the generic form of [[Hashing.permuteSql]].
+    */
+  private val bloomBitSql =
+    s"(((h % ${Hashing.MinHashPrime}) * (2 * i + 1) + (i * i + 7))" +
+      s" % ${Hashing.MinHashPrime}) % $BloomBits"
+
   val oracles: Map[String, String] = Map(
+    "q_sketch_bloom" -> s"""
+      WITH wd AS (SELECT doc_id, $wSql AS w FROM documents),
+      base AS (
+        SELECT doc_id, w FROM wd
+        WHERE len(w) >= ${Curation.ContaminationN}),
+      g0 AS (
+        SELECT DISTINCT doc_id, g
+        FROM (SELECT doc_id,
+                unnest(${Curation.gramSql(Curation.ContaminationN)}) AS g
+              FROM base)),
+      g AS (SELECT doc_id, g, ${Hashing.hash60Sql("g")} AS h FROM g0),
+      bits AS (
+        SELECT DISTINCT $bloomBitSql AS bit
+        FROM (SELECT h FROM g WHERE doc_id % 97 = 0),
+             unnest(range($BloomK)) t(i)),
+      evalg AS (
+        SELECT DISTINCT g, 1 AS eg FROM g WHERE doc_id % 97 = 0),
+      pr AS (
+        SELECT doc_id, g, $bloomBitSql AS bit
+        FROM (SELECT * FROM g WHERE doc_id % 97 <> 0),
+             unnest(range($BloomK)) t(i)),
+      hits AS (
+        SELECT pr.doc_id, pr.g, count(b.bit) = $BloomK AS bloom_hit
+        FROM pr LEFT JOIN bits b ON pr.bit = b.bit
+        GROUP BY pr.doc_id, pr.g)
+      SELECT h.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(sum(CASE WHEN h.bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bloom,
+             CAST(count(e.eg) AS BIGINT) AS n_exact
+      FROM hits h LEFT JOIN evalg e ON h.g = e.g
+      GROUP BY h.doc_id""",
     "q_sketch_hll" -> s"""
       WITH wd AS (
         SELECT source, doc_id, $wSql AS w FROM documents),

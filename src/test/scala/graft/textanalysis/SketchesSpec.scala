@@ -62,4 +62,16 @@ class SketchesSpec extends AnyFunSuite {
     val b = Sketches.cmsQ(spark, sfDir).collect().map(_.toString).sorted
     assert(a.toSeq === b.toSeq)
   }
+
+  test("bloom probe has no false negatives; positives are bounded") {
+    val rows = Sketches.bloomQ(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, grams, bloom, exact) =>
+      assert(bloom >= exact, s"doc $id: false negative ($bloom < $exact)")
+      assert(bloom <= grams && exact <= grams)
+    }
+    // every exact hit is found (aggregate form of the per-doc check)
+    assert(rows.map(_._3).sum >= rows.map(_._4).sum)
+  }
 }
