@@ -110,6 +110,8 @@ object CurateMain {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(pos(1)))
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"${pos(1)}/report.json"), report.json)
-    spark.stop()
+    // NO spark.stop(): the CLI convention here (and what keeps these
+    // mains drivable from the shared test session) — spark-submit
+    // tears the JVM down anyway
   }
 }

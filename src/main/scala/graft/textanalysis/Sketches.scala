@@ -220,6 +220,63 @@ object Sketches {
         count(col("eg")).as("n_exact"))
   }
 
+  // ------------------------------------------------------------ histogram
+
+  /** Fixed-bin histogram bins for the quantile sketch. */
+  val HistBins = 32L
+
+  /** Histogram quantile estimation — the MERGEABLE one-pass form of
+    * q_text_quantiles: the exact positional quantile needs a full sort
+    * per group; the histogram needs one min/max pass and one
+    * (lang, bin) count aggregate whose state is ≤ [[HistBins]] rows per
+    * group — constant, map-side-combinable, and mergeable across
+    * partitions/days exactly like the HLL registers. Everything is
+    * BIGINT arithmetic (integer bin width, integer within-bin
+    * interpolation), so the estimate is bit-identical on any engine and
+    * partitioning, and the exact value rides along in the checked
+    * result so the binning error is visible (≤ bin width by
+    * construction).
+    */
+  def histqQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("lang"),
+      col("n_chars").as("x"))
+    val stats = docs.groupBy(col("lang"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"),
+        count(lit(1)).as("n"))
+      .withColumn("wdt", expr(s"(mx - mn) div $HistBins + 1"))
+    val wanted = broadcast(stats
+      .select(col("lang"), col("mn"), col("wdt"), col("n"),
+        explode(typedLit(TextAnalysis.Quantiles)).as("q"))
+      .withColumn("pos", ceil(col("q") * col("n")).cast("long")))
+    val bins = docs.join(broadcast(stats.select(col("lang"), col("mn"),
+        col("wdt"))), Seq("lang"))
+      .withColumn("bin", expr("(x - mn) div wdt"))
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = bins.withColumn("cum", sum(col("cnt")).over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("bin"))))
+    val est = cum.join(wanted, Seq("lang"))
+      .filter(col("cum") >= col("pos"))
+      .groupBy(col("lang"), col("q"))
+      .agg(min(struct(col("bin"), col("cnt"), col("cum"), col("pos"),
+        col("mn"), col("wdt"))).as("m"))
+      .select(col("lang"), col("q"),
+        (col("m.mn") + col("m.bin") * col("m.wdt") +
+          expr("(m.pos - (m.cum - m.cnt) - 1) * m.wdt div m.cnt"))
+          .as("est"))
+    val ranked = docs.withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("x"))))
+    val exact = ranked.join(wanted.select(col("lang"), col("q"),
+        col("pos")), Seq("lang"))
+      .filter(col("rn") === col("pos"))
+      .select(col("lang"), col("q"), col("x").as("exact"))
+    est.join(exact, Seq("lang", "q"))
+      .select(col("lang"), col("q"), col("est"), col("exact"),
+        (col("est") - col("exact")).as("err"))
+  }
+
   // ---------------------------------------------------------------- oracle
 
   private val wSql = TextAnalysis.wSql
@@ -227,7 +284,8 @@ object Sketches {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sketch_hll" -> (hllQ _),
     "q_sketch_cms" -> (cmsQ _),
-    "q_sketch_bloom" -> (bloomQ _))
+    "q_sketch_bloom" -> (bloomQ _),
+    "q_sketch_histq" -> (histqQ _))
 
   private def cmsBucketSelects(from: String, extra: String): String =
     (0 until CmsDepth).map { j =>
@@ -242,6 +300,49 @@ object Sketches {
       s" % ${Hashing.MinHashPrime}) % $BloomBits"
 
   val oracles: Map[String, String] = Map(
+    "q_sketch_histq" -> s"""
+      WITH docs AS (SELECT lang, n_chars AS x FROM documents),
+      stats AS (
+        SELECT lang, min(x) AS mn, max(x) AS mx,
+               CAST(count(*) AS BIGINT) AS n,
+               (max(x) - min(x)) // $HistBins + 1 AS wdt
+        FROM docs GROUP BY lang),
+      wanted AS (
+        SELECT s.lang, s.mn, s.wdt, CAST(q AS DOUBLE) AS q,
+               CAST(ceil(CAST(q AS DOUBLE) * s.n) AS BIGINT) AS pos
+        FROM stats s,
+             unnest([${TextAnalysis.Quantiles.mkString(", ")}]) t(q)),
+      bins AS (
+        SELECT d.lang, (d.x - s.mn) // s.wdt AS bin,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM docs d JOIN stats s USING (lang)
+        GROUP BY d.lang, (d.x - s.mn) // s.wdt),
+      cum AS (
+        SELECT lang, bin, cnt,
+               CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY bin)
+                 AS BIGINT) AS cum
+        FROM bins),
+      cand AS (
+        SELECT c.lang, w.q, c.bin, c.cnt, c.cum, w.pos, w.mn, w.wdt,
+               row_number() OVER (PARTITION BY c.lang, w.q
+                 ORDER BY c.bin) AS arn
+        FROM cum c JOIN wanted w ON c.lang = w.lang
+        WHERE c.cum >= w.pos),
+      est AS (
+        SELECT lang, q,
+               mn + bin * wdt + (pos - (cum - cnt) - 1) * wdt // cnt
+                 AS est
+        FROM cand WHERE arn = 1),
+      ranked AS (
+        SELECT lang, x,
+               row_number() OVER (PARTITION BY lang ORDER BY x) AS rn
+        FROM docs),
+      exact_ AS (
+        SELECT r.lang, w.q, r.x AS exact
+        FROM ranked r JOIN wanted w
+          ON r.lang = w.lang AND r.rn = w.pos)
+      SELECT e.lang, e.q, e.est, x.exact, e.est - x.exact AS err
+      FROM est e JOIN exact_ x ON e.lang = x.lang AND e.q = x.q""",
     "q_sketch_bloom" -> s"""
       WITH wd AS (SELECT doc_id, $wSql AS w FROM documents),
       base AS (

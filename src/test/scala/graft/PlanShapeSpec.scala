@@ -27,6 +27,7 @@ class PlanShapeSpec extends AnyFunSuite {
         textanalysis.TextAnalysis.queries("q_text_fingerprint"),
       "q_sim_quantize" ->
         similarity.SimilarityQueries.queries("q_sim_quantize"),
+      "q_doc_fim" -> textanalysis.Curation.queries("q_doc_fim"),
       "q_mm_meta" -> multimodal.Multimodal.queries("q_mm_meta"))
     for ((name, q) <- mapOnly) {
       val p = plan(q(spark, dir))

@@ -74,4 +74,25 @@ class SketchesSpec extends AnyFunSuite {
     // every exact hit is found (aggregate form of the per-doc check)
     assert(rows.map(_._3).sum >= rows.map(_._4).sum)
   }
+
+  test("histogram quantiles stay within one bin of the exact value") {
+    val rows = Sketches.histqQ(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // every (lang, q) in the grid appears exactly once
+    assert(rows.map(t => (t._1, t._2)).distinct.length === rows.length)
+    // binning error is bounded by one bin width by construction
+    val wdt = graft.Tables.documents(spark, sfDir)
+      .groupBy(org.apache.spark.sql.functions.col("lang"))
+      .agg(org.apache.spark.sql.functions.expr(
+        s"(max(n_chars) - min(n_chars)) div ${Sketches.HistBins} + 1")
+        .as("wdt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { case (lang, q, est, exact, err) =>
+      assert(err === est - exact)
+      assert(math.abs(err) <= wdt(lang),
+        s"$lang q=$q est=$est exact=$exact wdt=${wdt(lang)}")
+    }
+  }
 }
