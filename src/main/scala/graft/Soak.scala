@@ -88,23 +88,24 @@ object Soak {
     spark.stop()
   }
 
-  /** N replicas of the star statement view widened to the full
-    * statement-table shape, each replica its own dataset. Star schemas
-    * map onto FtM matchable schemata so the production tokenizer (which
-    * gates on the ontology) processes them.
-    */
   /** N replicas of the document corpus with distinct ids but IDENTICAL
-    * texts — every doc has N−1 exact duplicates.
+    * texts — every doc has N−1 exact duplicates. The id span is derived
+    * from the corpus's own max id so replicas can never collide.
     */
   def docCorpus(s: SparkSession, sfDir: String, replicas: Int): DataFrame = {
     val base = Tables.documents(s, sfDir)
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
-    val span = 10000000L
+    val span = base.agg(max(col("doc_id"))).head.getLong(0) + 1L
     (0 until replicas).map { i =>
       base.withColumn("doc_id", col("doc_id") + lit(i * span))
     }.reduce(_.unionByName(_))
   }
 
+  /** N replicas of the star statement view widened to the full
+    * statement-table shape, each replica its own dataset. Star schemas
+    * map onto FtM matchable schemata so the production tokenizer (which
+    * gates on the ontology) processes them.
+    */
   def corpus(s: SparkSession, sfDir: String, replicas: Int): DataFrame = {
     val base = StarStatements(s, sfDir)
       .filter(col("field") === "name")

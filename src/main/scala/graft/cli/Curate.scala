@@ -88,11 +88,9 @@ object CurateMain {
     val nNear = nearKept.count()
 
     // 5. shard assignment — content-keyed, map-only (epoch 0 of the
-    //    q_doc_shuffle scheme)
-    val key = conv(substring(md5(concat(col("doc_id").cast("string"),
-      lit(":0"))), 1, 15), 16, 10).cast("long")
-    val curated = nearKept
-      .withColumn("shard", pmod(key, lit(Curation.ShuffleShards.toLong)))
+    //    q_doc_shuffle scheme, same key expression)
+    val curated = nearKept.withColumn("shard",
+      pmod(Curation.shuffleKey(lit(0)), lit(Curation.ShuffleShards.toLong)))
     (curated, Report(input, nExact, nQual, nLm, nNear,
       Curation.ShuffleShards))
   }

@@ -59,17 +59,30 @@ object Bpe {
 
   // ------------------------------------------------------------- training
 
-  /** The sentinel delimiting symbols in the string form of a symbol
-    * sequence ("_a_ab_c_") — outside the tokenizer's [a-z0-9] alphabet,
-    * so a merge pattern `_a_b_` can only match at symbol boundaries.
+  /** Symbol sequences are strings with DOUBLE-underscore boundaries
+    * ("__a__ab__c__", '_' is outside the [a-z0-9] alphabet), and a
+    * merge of (a, b) is the exact-string replace of `_a__b_` with
+    * `_ab_`: the pattern consumes only the INNER half of each boundary,
+    * so adjacent occurrences keep their shared boundary's outer half
+    * and a single left-to-right replace pass merges ALL non-overlapping
+    * occurrences — true simultaneous BPE merge application. (With
+    * single-separator boundaries the shared '_' is consumed by the
+    * previous match and `abab` under-merges to [ab, a, b]; the
+    * double-boundary form yields [ab, ab], pinned in BpeSpec.)
     */
   private val Sep = "_"
 
   private def toSeq0(w: Column): Column =
-    concat(lit(Sep), regexp_replace(w, "(.)", "$1" + Sep))
+    concat(lit(Sep + Sep), regexp_replace(w, "(.)", "$1" + Sep + Sep))
 
   private def symsOf(s: Column): Column =
     filter(split(s, Sep), x => length(x) > 0)
+
+  private def mergeSearch(a: Column, b: Column): Column =
+    concat(lit(Sep), a, lit(Sep + Sep), b, lit(Sep))
+
+  private def mergeRepl(a: Column, b: Column): Column =
+    concat(lit(Sep), a, b, lit(Sep))
 
   /** TRUE sequential BPE training: the driver loops merge selection
     * (each merge changes the next round's counts — inherently serial),
@@ -101,8 +114,9 @@ object Bpe {
         val b: String = top(0).getString(1)
         out += ((a, b))
         val merged = replace(
-          concat(lit(Sep), concat_ws(Sep, col("syms")), lit(Sep)),
-          lit(Sep + a + Sep + b + Sep), lit(Sep + a + b + Sep))
+          concat(lit(Sep + Sep), concat_ws(Sep + Sep, col("syms")),
+            lit(Sep + Sep)),
+          mergeSearch(lit(a), lit(b)), mergeRepl(lit(a), lit(b)))
         val next = seg.select(col("freq"), symsOf(merged).as("syms"))
           .localCheckpoint(true)
         seg.unpersist()
@@ -150,9 +164,8 @@ object Bpe {
         col("b")))), e => struct(e.getField("a").as("a"),
         e.getField("b").as("b"))).as("ms")))
     val enc = aggregate(col("ms"), toSeq0(col("w")), (acc, m) =>
-      replace(acc,
-        concat(lit(Sep), m.getField("a"), lit(Sep), m.getField("b"), lit(Sep)),
-        concat(lit(Sep), m.getField("a"), m.getField("b"), lit(Sep))))
+      replace(acc, mergeSearch(m.getField("a"), m.getField("b")),
+        mergeRepl(m.getField("a"), m.getField("b"))))
     val vt = vocab.crossJoin(marr)
       .select(col("w"), size(symsOf(enc)).cast("long").as("ntok"))
     wc.join(vt, Seq("w"))
@@ -179,7 +192,7 @@ object Bpe {
   private def encChainSql: String = (1 to TopMerges).map { k =>
     s"""enc$k AS (
         SELECT w, replace(s,
-          coalesce((SELECT '_' || a || '_' || b || '_'
+          coalesce((SELECT '_' || a || '__' || b || '_'
                     FROM merges WHERE rnk = $k), '§'),
           coalesce((SELECT '_' || a || b || '_'
                     FROM merges WHERE rnk = $k), '§')) AS s
@@ -206,7 +219,7 @@ object Bpe {
           AS rnk
         FROM ranked),
       enc0 AS (
-        SELECT w, '_' || regexp_replace(w, '(.)', '\\1_', 'g') AS s
+        SELECT w, '__' || regexp_replace(w, '(.)', '\\1__', 'g') AS s
         FROM vocab),
       $encChainSql,
       vt AS (

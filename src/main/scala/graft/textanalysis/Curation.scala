@@ -91,15 +91,24 @@ object Curation {
     * the 100 TB training side never shuffles for the probe; the only
     * exchange is the per-doc count aggregation.
     */
+  /** Distinct word n-grams per document, and the held-out eval-slice
+    * predicate (benchmark stand-in) — shared by the exact contamination
+    * probe and its Bloom sketch form ([[Sketches.bloomOf]]), so the two
+    * can never diverge on what "the eval set" means.
+    */
+  private[textanalysis] def distinctGrams(docs: DataFrame, n: Int): DataFrame =
+    TextAnalysis.withWords(docs)
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), explode(array_distinct(grams(n))).as("g"))
+
+  private[textanalysis] def isEval: Column = col("doc_id") % 97 === 0
+
   def contaminationOf(docs: DataFrame): DataFrame = {
-    val g = TextAnalysis.withWords(docs)
-      .filter(size(col("w")) >= ContaminationN)
-      .select(col("doc_id"),
-        explode(array_distinct(grams(ContaminationN))).as("g"))
-    val eval_ = g.filter(col("doc_id") % 97 === 0)
+    val g = distinctGrams(docs, ContaminationN)
+    val eval_ = g.filter(isEval)
       .select(col("g")).distinct()
       .withColumn("eg", lit(1))
-    g.filter(col("doc_id") % 97 =!= 0)
+    g.filter(!isEval)
       .join(broadcast(eval_), Seq("g"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"), count(col("eg")).as("n_hit"))
@@ -247,9 +256,16 @@ object Curation {
   val ShuffleShards = 8
   val ShuffleEpochs = 2
 
+  /** The 60-bit content key of (doc, epoch) — shared by [[shuffleOf]]
+    * and the curate CLI's shard assignment (epoch 0), so the CLI's
+    * shards always match q_doc_shuffle's.
+    */
+  def shuffleKey(epoch: Column): Column = conv(substring(
+    md5(concat(col("doc_id").cast("string"), lit(":"),
+      epoch.cast("string"))), 1, 15), 16, 10).cast("long")
+
   def shuffleOf(docs: DataFrame): DataFrame = {
-    val key = conv(substring(md5(concat(col("doc_id").cast("string"),
-      lit(":"), col("epoch").cast("string"))), 1, 15), 16, 10).cast("long")
+    val key = shuffleKey(col("epoch"))
     val keyed = docs.select(col("doc_id"))
       .withColumn("epoch", explode(array((0 until ShuffleEpochs)
         .map(e => lit(e)): _*)))

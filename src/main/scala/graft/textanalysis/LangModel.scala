@@ -115,11 +115,13 @@ object LangModel {
       var prev: String = null
       for (w <- words) {
         val pUni = uni.get(w).map(_.toDouble).getOrElse(OovCount) / total
+        // uni.get guard: a top-|V|-pruned model may keep a bigram whose
+        // context fell below the unigram cutoff — back off, don't throw
         val p =
           if (prev == null) pUni
-          else bi.get((prev, w)) match {
-            case Some(bc) => bc.toDouble / uni(prev).toDouble
-            case None => Backoff * pUni
+          else (bi.get((prev, w)), uni.get(prev)) match {
+            case (Some(bc), Some(un)) => bc.toDouble / un.toDouble
+            case _ => Backoff * pUni
           }
         s6 += math.floor(math.log(p) * 1e6 + 0.5).toLong
         prev = w

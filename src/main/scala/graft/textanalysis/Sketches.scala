@@ -195,13 +195,9 @@ object Sketches {
     bloomOf(Tables.documents(s, d))
 
   def bloomOf(docs: DataFrame): DataFrame = {
-    val n = Curation.ContaminationN
-    val g = TextAnalysis.withWords(docs)
-      .filter(size(col("w")) >= n)
-      .select(col("doc_id"),
-        explode(array_distinct(Curation.grams(n))).as("g"))
+    val g = Curation.distinctGrams(docs, Curation.ContaminationN)
       .withColumn("h", Hashing.hash60(col("g")))
-    val isEval = col("doc_id") % 97 === 0
+    val isEval = Curation.isEval
     def kBits = explode(array((0 until BloomK).map(i =>
       Hashing.permute(col("h"), i) % BloomBits): _*)).as("bit")
     val bits = g.filter(isEval).select(kBits).distinct()
@@ -240,10 +236,15 @@ object Sketches {
   def histqQ(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("lang"),
       col("n_chars").as("x"))
+    // localCheckpoint before the fan-out: `stats` feeds two broadcast
+    // consumers (wanted, bins) above DIFFERENT projections, so
+    // ReuseExchange can't merge them and each would re-run the corpus
+    // min/max pass (the PLANS.md fan-out rule; languages-sized table)
     val stats = docs.groupBy(col("lang"))
       .agg(min(col("x")).as("mn"), max(col("x")).as("mx"),
         count(lit(1)).as("n"))
       .withColumn("wdt", expr(s"(mx - mn) div $HistBins + 1"))
+      .localCheckpoint(true)
     val wanted = broadcast(stats
       .select(col("lang"), col("mn"), col("wdt"), col("n"),
         explode(typedLit(TextAnalysis.Quantiles)).as("q"))

@@ -48,6 +48,23 @@ class BpeSpec extends AnyFunSuite {
     assert((out(0).getLong(1), out(0).getLong(2)) === ((5L, 3L * 2 + 2L * 1)))
   }
 
+  test("adjacent same-pair occurrences merge in one pass") {
+    // the under-merge trap: with shared single-separator boundaries,
+    // 'abab' would merge to [ab, a, b]; true BPE (double-boundary
+    // replace) gives [ab, ab] — the merge chain below only holds if
+    // adjacent occurrences merge simultaneously
+    val docs = Seq((1L, "abab abab aaaa")).toDF("doc_id", "text")
+    // r1: (a,b)=4 > (a,a)=3 → abab=[ab,ab]; r2: (a,a)=3 → aaaa=[aa,aa]
+    // r3: (ab,ab)=2 → [abab]; r4: (aa,aa)=1 → [aaaa]; r5 dry
+    val merges = Bpe.trainMerges(Bpe.vocabulary(docs), 10)
+    assert(merges ===
+      Seq(("a", "b"), ("a", "a"), ("ab", "ab"), ("aa", "aa")))
+    // encode with first-round merges ((a,b) rank 1): abab → 2 tokens
+    val out = Bpe.encodeOf(Seq((1L, "abab abab")).toDF("doc_id", "text"))
+      .collect()
+    assert((out(0).getLong(1), out(0).getLong(2)) === ((2L, 4L)))
+  }
+
   test("top merges are fully tiebroken") {
     val rows = Bpe.bpeQ(spark, "/root/testdata/sf0.001").collect()
     assert(rows.nonEmpty && rows.length <= Bpe.TopMerges)
