@@ -69,16 +69,21 @@ object Dedup {
     * so cross-set joins (delta vs. corpus) can reuse the banding without
     * the self-join.
     */
-  def lshBuckets(sig: DataFrame, idCol: String, bands: Int,
-      rowsPerBand: Int): DataFrame = {
-    val bandKeys = (0 until bands).map { b =>
+  /** The per-band (band, key) struct array over a `sig` column —
+    * shared by [[lshBuckets]] and the streaming near-dup screen so
+    * batch and stream band identically.
+    */
+  def bandKeys(bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
       struct(lit(b).as("band"),
         concat_ws("-", (0 until rowsPerBand).map(r =>
           element_at(col("sig"), b * rowsPerBand + r + 1)): _*).as("key"))
-    }
-    sig.select(col(idCol), explode(array(bandKeys: _*)).as("bk"))
+    }: _*)
+
+  def lshBuckets(sig: DataFrame, idCol: String, bands: Int,
+      rowsPerBand: Int): DataFrame =
+    sig.select(col(idCol), explode(bandKeys(bands, rowsPerBand)).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
-  }
 
   /** SimHash signature over word tokens: per (doc, bit) weighted vote,
     * then bits with positive vote set. `bits` ≤ 60 (hash60 entropy).

@@ -1,9 +1,21 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
+import graft.dedup.{Dedup, DedupQueries}
+import graft.functions.Hashing
 import graft.textanalysis.TextAnalysis
+
+/** One banded signature row of a streamed document. */
+case class BandedSig(doc_id: Long, band: Int, key: String, sig: Seq[Long])
+
+/** A streaming near-duplicate candidate: `est_jaccard` is the minhash
+  * component-agreement estimate between the two signatures.
+  */
+case class NearDupCandidate(a: Long, b: Long, band: Int,
+    est_jaccard: Double)
 
 /** Continuous training-data ingest: the document-side streaming twins.
   * A 100 TB corpus is not rebuilt nightly — new documents arrive as a
@@ -63,6 +75,70 @@ object DocumentStream {
     docs
       .withColumn("avg_logp", score(TextAnalysis.words(col("text"))))
       .filter(col("avg_logp") >= minLogp)
+  }
+
+  /** Streaming near-duplicate screen — the online form of the batch
+    * MinHash-LSH candidate generation ([[Dedup.lshCandidates]]): each
+    * arriving document is shingled, minhash-signed and banded with the
+    * SHARED batch expressions (band-identical by construction), then a
+    * `flatMapGroupsWithState` keyed by (band, key) holds each bucket's
+    * seen (doc, signature) list and emits a candidate against every
+    * earlier same-bucket document, with the minhash component-agreement
+    * estimate in place of the batch's exact shingle Jaccard (state
+    * holds signatures — [[DedupQueries.MinhashK]] longs/doc — never
+    * shingle sets, which is what keeps the store small; the exact
+    * verify belongs to the lake's batch pass). A pair sharing several
+    * bands is emitted once per band — downstream dedupes on (a, b),
+    * exactly like the batch `.distinct()`.
+    *
+    * `stateTtl` follows the [[MatchStream.candidates]] rule: only set
+    * it under a real ProcessingTime trigger.
+    */
+  def nearDupStream(docs: DataFrame, stateTtl: Option[String] = None)
+      : Dataset[NearDupCandidate] = {
+    import DedupQueries.{ShingleN, MinhashK, Bands, RowsPerBand}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val banded = docs
+      .select(col("doc_id"), Dedup.words(col("text")).as("w"))
+      .filter(size(col("w")) >= ShingleN)
+      .select(col("doc_id"),
+        Dedup.shinglesFromWords(col("w"), ShingleN).as("s"))
+      .select(col("doc_id"),
+        transform(col("s"), x => Hashing.hash60(x)).as("hs"))
+      .select(col("doc_id"),
+        Dedup.minhashSigFromHashes(col("hs"), MinhashK).as("sig"))
+      .select(col("doc_id"), col("sig"),
+        explode(Dedup.bandKeys(Bands, RowsPerBand)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.key").as("key"), col("sig"))
+      .as[BandedSig]
+    val timeoutConf = if (stateTtl.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
+    banded.groupByKey(r => (r.band, r.key))
+      .flatMapGroupsWithState[Seq[(Long, Seq[Long])], NearDupCandidate](
+        OutputMode.Append(), timeoutConf) {
+        (bk: (Int, String), rows: Iterator[BandedSig],
+            state: GroupState[Seq[(Long, Seq[Long])]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var seen = state.getOption.getOrElse(Seq.empty)
+            val out = List.newBuilder[NearDupCandidate]
+            for (r <- rows if !seen.exists(_._1 == r.doc_id)) {
+              for ((oid, osig) <- seen) {
+                val agree = r.sig.zip(osig).count(p => p._1 == p._2)
+                val est = BigDecimal(agree.toDouble / r.sig.length)
+                  .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+                out += NearDupCandidate(math.min(r.doc_id, oid),
+                  math.max(r.doc_id, oid), bk._1, est)
+              }
+              seen = seen :+ ((r.doc_id, r.sig))
+            }
+            state.update(seen)
+            stateTtl.foreach(state.setTimeoutDuration)
+            out.result().iterator
+          }
+      }
   }
 
   /** Streaming HLL register maintenance over a document stream (needs

@@ -105,6 +105,50 @@ class DocumentStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup screen equals batch LSH candidates") {
+    import graft.dedup.{Dedup, DedupQueries}
+    import org.apache.spark.sql.functions._
+    val near1 = "the quick brown fox jumps over the lazy dog tonight"
+    val near2 = "the quick brown fox jumps over the lazy dog today"
+    val other = "completely different words about spark window joins here"
+    val all = Seq((1L, near1), (3L, other), (2L, near2), (4L, near1))
+    implicit val sc = spark.sqlContext
+    val src = MemoryStream[(Long, String)]
+    val q = DocumentStream.nearDupStream(src.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("neardup")
+      .outputMode("append").start()
+    try {
+      src.addData(all(0), all(1)) // batch 1
+      q.processAllAvailable()
+      src.addData(all(2), all(3)) // batch 2: near-dups of doc 1 arrive
+      q.processAllAvailable()
+      val streamed = spark.table("neardup")
+        .select("a", "b").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // batch twin over the union corpus
+      val docs = all.toDF("doc_id", "text")
+      val sigs = docs
+        .select(col("doc_id"), Dedup.words(col("text")).as("w"))
+        .filter(size(col("w")) >= DedupQueries.ShingleN)
+        .select(col("doc_id"), Dedup.shinglesFromWords(col("w"),
+          DedupQueries.ShingleN).as("s"))
+        .select(col("doc_id"), transform(col("s"),
+          x => graft.functions.Hashing.hash60(x)).as("hs"))
+        .select(col("doc_id"), Dedup.minhashSigFromHashes(col("hs"),
+          DedupQueries.MinhashK).as("sig"))
+      val batch = Dedup.lshCandidates(sigs, "doc_id",
+        DedupQueries.Bands, DedupQueries.RowsPerBand)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed === batch)
+      // the cross-batch exact duplicate (1, 4) is found with est 1.0
+      assert(streamed.contains((1L, 4L)))
+      val est14 = spark.table("neardup")
+        .filter(col("a") === 1L && col("b") === 4L)
+        .select("est_jaccard").head.getDouble(0)
+      assert(est14 === 1.0)
+    } finally q.stop()
+  }
+
   test("LM gate scores against the static model, exact arithmetic") {
     import graft.textanalysis.LangModel
     // train on "a b a b": un(a)=2 un(b)=2 T=4; bc(a,b)=2 bc(b,a)=1
