@@ -139,6 +139,49 @@ object Multimodal {
       FrameFeature(f.doc_id, f.frame_no, w, h, feat)
     }
 
+  // ---------------------------------------------------- perceptual dedup
+
+  /** aHash sample width (32 "pixels"; every corpus doc is ≥ 32 bytes). */
+  val APixels = 32
+  val AHashBands = 4
+  val AHashBandBits = 8
+  val AHashMaxDist = 3
+
+  /** Average-hash (aHash) signatures — the classic perceptual-hash
+    * algebra over the media payload: sample [[APixels]] evenly-strided
+    * intensity values, set bit i iff pixel i is above the sample mean.
+    * The mean comparison is kept in exact integers
+    * (`pixels·p_i > Σp` ⇔ `p_i > mean`), so the signature is
+    * bit-identical across engines. On real images the intensity row is
+    * the decoder's luma plane (the [[decodeFrames]] stage); here it is
+    * the payload's byte values (ASCII-verified corpus — the HASH AND
+    * BANDING ALGEBRA is the deliverable, as with [[stubFeature]]).
+    */
+  def ahashSigs(docs: DataFrame): DataFrame = {
+    val stride = expr(s"length(text) div $APixels")
+    val px = array((0 until APixels).map(i =>
+      ascii(col("text").substr(lit(1) + lit(i) * stride, lit(1)))
+        .cast("long")): _*)
+    docs.filter(length(col("text")) >= APixels)
+      .select(col("doc_id"), px.as("px"))
+      .select(col("doc_id"), col("px"),
+        aggregate(col("px"), lit(0L), (a, x) => a + x).as("s"))
+      .select(col("doc_id"),
+        (0 until APixels).map(i =>
+          when(element_at(col("px"), i + 1) * APixels > col("s"),
+            lit(1L << i)).otherwise(lit(0L))).reduce(_ + _).as("simhash"))
+  }
+
+  /** Perceptual near-duplicate pairs: aHash signatures through the
+    * SAME hamming-banding machinery as the text SimHash
+    * ([[graft.dedup.Dedup.simhashPairs]]) — pigeonhole-complete for
+    * distance ≤ [[AHashMaxDist]], never an all-pairs scan. The
+    * image-dedup stage of a multimodal pipeline, relationally.
+    */
+  def phashPairsQ(s: SparkSession, d: String): DataFrame =
+    graft.dedup.Dedup.simhashPairs(ahashSigs(Tables.documents(s, d)),
+      "doc_id", AHashBands, AHashBandBits, AHashMaxDist)
+
   // ---------------------------------------------------------------- oracle
 
   // The oracle mirrors the byte math on VARCHAR: the corpus is verified
@@ -164,7 +207,8 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_meta" -> (metaQ _),
     "q_mm_frames" -> (framesQ _),
-    "q_mm_features" -> (featuresQ _))
+    "q_mm_features" -> (featuresQ _),
+    "q_mm_phash" -> (phashPairsQ _))
 
   val oracles: Map[String, String] = Map(
     "q_mm_meta" -> s"""
@@ -180,5 +224,31 @@ object Multimodal {
       SELECT doc_id, count(*) AS n_frames,
              round(avg(CAST(${Hashing.hash60Sql("frame")}
                % 1000 AS DOUBLE) / 1000.0), 6) AS mean_feature
-      FROM frames GROUP BY doc_id"""))
+      FROM frames GROUP BY doc_id"""),
+    "q_mm_phash" -> s"""
+      WITH px AS (
+        SELECT doc_id,
+               list_transform(range($APixels), i ->
+                 CAST(ascii(substring(text,
+                   CAST(1 + i * (length(text) // $APixels) AS INT), 1))
+                   AS BIGINT)) AS px
+        FROM documents WHERE length(text) >= $APixels),
+      hs AS (SELECT doc_id, px, CAST(list_sum(px) AS BIGINT) AS s FROM px),
+      sig AS (
+        SELECT doc_id,
+               (SELECT CAST(sum(CASE WHEN px[i + 1] * $APixels > s
+                      THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS BIGINT)
+                FROM unnest(range($APixels)) t(i)) AS simhash
+        FROM hs),
+      banded AS (
+        SELECT doc_id, simhash, CAST(i AS INT) AS band,
+               (simhash >> (CAST(i AS INT) * $AHashBandBits))
+                 & ${(1L << AHashBandBits) - 1} AS key
+        FROM sig, unnest(range($AHashBands)) t(i))
+      SELECT a, b, hamming FROM (
+        SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+               bit_count(xor(l.simhash, r.simhash)) AS hamming
+        FROM banded l JOIN banded r
+          ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)
+      WHERE hamming <= $AHashMaxDist""")
 }

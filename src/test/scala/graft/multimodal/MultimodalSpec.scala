@@ -49,4 +49,21 @@ class MultimodalSpec extends AnyFunSuite {
       .filter(pooled("n_frames") =!= expected("n_frames")).count() === 0)
     assert(pooled.count() === expected.count())
   }
+
+  test("aHash: identical payloads collide, pairs respect the bound") {
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a" * 16 + "z" * 16 + "a" * 16 + "z" * 16),
+      (2L, "a" * 16 + "z" * 16 + "a" * 16 + "z" * 16),
+      (3L, "m" * 64)).toDF("doc_id", "text")
+    val sigs = Multimodal.ahashSigs(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) === sigs(2L), "identical payloads hash equal")
+    // doc 3 is constant intensity: no pixel exceeds the mean → hash 0
+    assert(sigs(3L) === 0L)
+    val pairs = Multimodal.phashPairsQ(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.forall { case (a, b, h) =>
+      a < b && h <= Multimodal.AHashMaxDist })
+  }
 }
