@@ -280,6 +280,36 @@ object Curation {
   def shuffleQ(s: SparkSession, d: String): DataFrame =
     shuffleOf(Tables.documents(s, d))
 
+  /** Weighted sample size for [[wsampleOf]]. */
+  val WSampleN = 100
+
+  /** Deterministic weighted sampling WITHOUT replacement — the
+    * Efraimidis–Spirakis priority scheme (2006), with token count as
+    * the weight: each doc gets priority u^(1/w) for a content-keyed
+    * uniform u, and the global top-[[WSampleN]] priorities are the
+    * sample (token-heavy docs proportionally more likely). Engine
+    * parity: ln(u)/w is the monotone log form, floored to 1e-6
+    * fixed-point BEFORE ranking with a doc_id tiebreak, so the sample
+    * set is identical across engines/partitionings; the plan is a
+    * map-only projection + TakeOrderedAndProject (no global sort
+    * materialization at any scale).
+    */
+  def wsampleOf(docs: DataFrame): DataFrame = {
+    val u = (conv(substring(md5(concat(lit("ws:"),
+      col("doc_id").cast("string"))), 1, 4), 16, 10).cast("double") +
+      lit(0.5)) / lit(65536.0)
+    TextAnalysis.withWords(docs)
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("prio_e6",
+        floor(log(u) / col("n_tokens") * lit(1e6) + lit(0.5)).cast("long"))
+      .orderBy(col("prio_e6").desc, col("doc_id").asc)
+      .limit(WSampleN)
+  }
+
+  def wsampleQ(s: SparkSession, d: String): DataFrame =
+    wsampleOf(Tables.documents(s, d))
+
   /** Fill-in-the-middle transform (Bavarian et al. 2022, "Efficient
     * Training of Language Models to Fill in the Middle"): rewrite a
     * hash-selected [[FimRate]] of documents into PSM order —
@@ -334,7 +364,8 @@ object Curation {
     "q_doc_chunks" -> (chunksQ _),
     "q_doc_shards" -> (shardsQ _),
     "q_doc_shuffle" -> (shuffleQ _),
-    "q_doc_fim" -> (fimQ _))
+    "q_doc_fim" -> (fimQ _),
+    "q_doc_wsample" -> (wsampleQ _))
 
   val oracles: Map[String, String] = Map(
     "q_doc_mixture" -> s"""
@@ -479,5 +510,20 @@ object Curation {
                '<MID>' || substring(text, CAST(lo AS INT),
                  CAST(hi - lo AS INT))
              ELSE text END AS text_out
-      FROM d""")
+      FROM d""",
+    "q_doc_wsample" -> s"""
+      WITH toks AS (
+        SELECT doc_id, CAST(len($wSql) AS BIGINT) AS n_tokens
+        FROM documents),
+      pri AS (
+        SELECT doc_id, n_tokens,
+               CAST(floor(ln((CAST(CAST('0x' || substr(
+                   md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 4)
+                   AS BIGINT) AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                 / CAST(65536.0 AS DOUBLE))
+                 / n_tokens * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                 AS prio_e6
+        FROM toks WHERE n_tokens > 0)
+      SELECT doc_id, n_tokens, prio_e6 FROM pri
+      ORDER BY prio_e6 DESC, doc_id ASC LIMIT $WSampleN""")
 }

@@ -51,4 +51,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
       s"q_sim_pq lost its broadcast:\n$p")
   }
+
+  test("the LM token stream joins its count tables by broadcast only") {
+    // the scale claim of q_text_lm: the corpus token stream must never
+    // shuffle on a term key — every LM-table join is broadcast-hash
+    val p = plan(textanalysis.LangModel.queries("q_text_lm")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"q_text_lm lost broadcasts:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"q_text_lm shuffles the token stream:\n$p")
+  }
+
+  test("wsample plans TakeOrderedAndProject, not a global sort") {
+    val p = plan(textanalysis.Curation.queries("q_doc_wsample")(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q_doc_wsample lost its top-N plan:\n$p")
+  }
 }
