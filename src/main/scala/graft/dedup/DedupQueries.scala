@@ -435,7 +435,59 @@ object DedupQueries {
           (size(col("fa")) + size(col("fb")) - inter), 4).as("jaccard"))
   }
 
+  /** Minimum same-diagonal samples for a reported clone span. */
+  val SpanMinFp = 2
+
+  /** Clone-span EXTENTS per document pair — the MOSS-style step after
+    * winnowing flags a pair: where and how long are the cloned spans?
+    * Shared rare fingerprints carry their gram positions
+    * ([[graft.textanalysis.TextAnalysis.fingerprintPositions]]); a
+    * clone preserves the offset between the two documents, so its
+    * samples line up on ONE diagonal (pa − pb constant), at most
+    * [[graft.textanalysis.TextAnalysis.FpWin]] grams apart (the
+    * winnowing window guarantee). Spans are therefore gap-≤-window
+    * clusters of same-diagonal hits — lag + running-sum windows over
+    * the (pair, diagonal) partitions, rows bounded by the df-capped
+    * hit join, never the corpus. Reported per pair: span count and the
+    * longest extent in grams (≥ [[SpanMinFp]] samples each).
+    */
+  def spansQ(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = graft.textanalysis.TextAnalysis.FpN
+    val win = graft.textanalysis.TextAnalysis.FpWin
+    // checkpoint before the fan-out (df aggregate + both join sides)
+    val pos = graft.textanalysis.TextAnalysis.fingerprintPositions(
+      Tables.documents(s, d)).localCheckpoint(true)
+    val rare = pos.join(
+      pos.groupBy(col("h")).agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") <= WinnowDfCap),
+      Seq("h"))
+    val hits = rare.select(col("h"), col("doc_id").as("a"),
+        col("gpos").as("pa"))
+      .join(rare.select(col("h"), col("doc_id").as("b"),
+        col("gpos").as("pb")), Seq("h"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("pa"), col("pb"),
+        (col("pa") - col("pb")).as("diag"))
+      .distinct()
+    val wOrd = Window.partitionBy(col("a"), col("b"), col("diag"))
+      .orderBy(col("pa"))
+    val spans = hits
+      .withColumn("prev", lag(col("pa"), 1).over(wOrd))
+      .withColumn("brk", when(col("prev").isNull ||
+        col("pa") - col("prev") > win, 1).otherwise(0))
+      .withColumn("span", sum(col("brk")).over(wOrd))
+      .groupBy(col("a"), col("b"), col("diag"), col("span"))
+      .agg((max(col("pa")) - min(col("pa")) + n).as("span_grams"),
+        count(lit(1)).as("n_fp"))
+    spans.filter(col("n_fp") >= SpanMinFp)
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_spans"),
+        max(col("span_grams")).as("longest_span_grams"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_spans" -> (spansQ _),
     "q_dedup_winnow" -> (winnowPairsQ _),
     "q_dedup_fused" -> (fusedQ _),
     "q_dedup_exact" -> (exactDedup _),
@@ -462,7 +514,64 @@ object DedupQueries {
         JOIN sh sb ON c.b = sb.doc_id)
       WHERE jaccard >= $JaccardThreshold"""
 
+  private val spanGramSql: String = {
+    val n = graft.textanalysis.TextAnalysis.FpN
+    (0 until n).map(k => s"w[i+${k + 1}]").mkString(" || ' ' || ")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_dedup_spans" -> {
+      val n = graft.textanalysis.TextAnalysis.FpN
+      val win = graft.textanalysis.TextAnalysis.FpWin
+      s"""
+      WITH wd AS (
+        SELECT doc_id, ${graft.textanalysis.TextAnalysis.wSql} AS w
+        FROM documents),
+      base AS (SELECT doc_id, w FROM wd WHERE len(w) >= ${n + win - 1}),
+      g AS (
+        SELECT doc_id,
+               list_transform(range(len(w) - ${n - 1}), i -> $spanGramSql)
+                 AS g
+        FROM base),
+      hs AS (
+        SELECT doc_id,
+               list_transform(g, x -> ${graft.functions.Hashing
+                 .hash60Sql("x")}) AS hs
+        FROM g),
+      pf AS (
+        SELECT DISTINCT doc_id,
+               CAST(i + list_position(hs[i+1:i+$win],
+                 list_min(hs[i+1:i+$win])) - 1 AS BIGINT) AS gpos,
+               list_min(hs[i+1:i+$win]) AS h
+        FROM hs, unnest(range(len(hs) - ${win - 1})) t(i)),
+      dfs AS (SELECT h, count(DISTINCT doc_id) AS df FROM pf GROUP BY h),
+      rare AS (
+        SELECT pf.doc_id, pf.gpos, pf.h
+        FROM pf JOIN dfs USING (h) WHERE df <= $WinnowDfCap),
+      hits AS (
+        SELECT DISTINCT ra.doc_id AS a, rb.doc_id AS b,
+               ra.gpos AS pa, ra.gpos - rb.gpos AS diag
+        FROM rare ra JOIN rare rb
+          ON ra.h = rb.h AND ra.doc_id < rb.doc_id),
+      flagged AS (
+        SELECT a, b, diag, pa,
+               CASE WHEN lag(pa) OVER w IS NULL
+                      OR pa - lag(pa) OVER w > $win
+                    THEN 1 ELSE 0 END AS brk
+        FROM hits
+        WINDOW w AS (PARTITION BY a, b, diag ORDER BY pa)),
+      numbered AS (
+        SELECT a, b, diag, pa,
+               sum(brk) OVER (PARTITION BY a, b, diag ORDER BY pa) AS span
+        FROM flagged),
+      spans AS (
+        SELECT a, b, diag, span, max(pa) - min(pa) + $n AS span_grams,
+               count(*) AS n_fp
+        FROM numbered GROUP BY a, b, diag, span)
+      SELECT a, b, CAST(count(*) AS BIGINT) AS n_spans,
+             CAST(max(span_grams) AS BIGINT) AS longest_span_grams
+      FROM spans WHERE n_fp >= $SpanMinFp GROUP BY a, b"""
+    },
     "q_dedup_exact" -> """
       SELECT md5(lower(p_name)) AS h, count(*) AS n,
              min(p_partkey) AS canonical

@@ -70,4 +70,39 @@ class DedupOpsSpec extends AnyFunSuite {
       .filter(col("lang") === "de").count()
     assert(once.count(_._2 == "de").toLong === total)
   }
+
+  test("clone spans: a shared span is found with a faithful extent") {
+    // doc 1 and 2 share a 30-word clone at DIFFERENT offsets, inside
+    // unrelated surrounding text; doc 3 is unrelated entirely
+    val clone = (0 until 30).map(i => s"cl$i").mkString(" ")
+    val docs = Seq(
+      (1L, (0 until 10).map(i => s"pa$i").mkString(" ") + " " + clone +
+        " " + (0 until 8).map(i => s"sa$i").mkString(" ")),
+      (2L, (0 until 4).map(i => s"pb$i").mkString(" ") + " " + clone +
+        " " + (0 until 12).map(i => s"sb$i").mkString(" ")),
+      (3L, (0 until 40).map(i => s"zz$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    // spansQ reads from a directory; drive the same pipeline inline
+    import graft.textanalysis.TextAnalysis
+    val pos = TextAnalysis.fingerprintPositions(docs)
+    val rare = pos.join(
+      pos.groupBy(col("h")).agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") <= DedupQueries.WinnowDfCap), Seq("h"))
+    val hits = rare.select(col("h"), col("doc_id").as("a"),
+        col("gpos").as("pa"))
+      .join(rare.select(col("h"), col("doc_id").as("b"),
+        col("gpos").as("pb")), Seq("h"))
+      .filter(col("a") < col("b"))
+      .collect()
+    assert(hits.nonEmpty, "the clone must produce shared fingerprints")
+    // all shared hits lie on the clone's single diagonal (11 - 5 = 6)
+    assert(hits.forall(r => r.getLong(2) - r.getLong(4) === 6L))
+    val cloneGrams = 30 - TextAnalysis.FpN + 1
+    // extent from first to last sample + n stays within one window of
+    // the true clone length and never exceeds it
+    val pas = hits.map(_.getLong(2))
+    val extent = pas.max - pas.min + TextAnalysis.FpN
+    assert(extent <= cloneGrams + TextAnalysis.FpN - 1)
+    assert(extent >= cloneGrams - 2 * TextAnalysis.FpWin)
+  }
 }
