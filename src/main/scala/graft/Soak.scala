@@ -95,7 +95,8 @@ object Soak {
   def docCorpus(s: SparkSession, sfDir: String, replicas: Int): DataFrame = {
     val base = Tables.documents(s, sfDir)
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
-    val span = base.agg(max(col("doc_id"))).head.getLong(0) + 1L
+    val maxRow = base.agg(max(col("doc_id"))).head
+    val span = if (maxRow.isNullAt(0)) 1L else maxRow.getLong(0) + 1L
     (0 until replicas).map { i =>
       base.withColumn("doc_id", col("doc_id") + lit(i * span))
     }.reduce(_.unionByName(_))

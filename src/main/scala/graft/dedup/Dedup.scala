@@ -65,24 +65,25 @@ object Dedup {
       .select(col("a"), col("b")).distinct()
   }
 
+  /** The per-band (band, key) struct array over a signature column —
+    * shared by [[lshBuckets]] and the streaming near-dup screen so
+    * batch and stream band identically.
+    */
+  def bandKeys(sigCol: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("-", (0 until rowsPerBand).map(r =>
+          element_at(sigCol, b * rowsPerBand + r + 1)): _*).as("key"))
+    }: _*)
+
   /** The (id, band, key) bucket rows behind [[lshCandidates]] — exposed
     * so cross-set joins (delta vs. corpus) can reuse the banding without
     * the self-join.
     */
-  /** The per-band (band, key) struct array over a `sig` column —
-    * shared by [[lshBuckets]] and the streaming near-dup screen so
-    * batch and stream band identically.
-    */
-  def bandKeys(bands: Int, rowsPerBand: Int): Column =
-    array((0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        concat_ws("-", (0 until rowsPerBand).map(r =>
-          element_at(col("sig"), b * rowsPerBand + r + 1)): _*).as("key"))
-    }: _*)
-
   def lshBuckets(sig: DataFrame, idCol: String, bands: Int,
       rowsPerBand: Int): DataFrame =
-    sig.select(col(idCol), explode(bandKeys(bands, rowsPerBand)).as("bk"))
+    sig.select(col(idCol),
+      explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
 
   /** SimHash signature over word tokens: per (doc, bit) weighted vote,

@@ -56,7 +56,7 @@ object DedupQueries {
     * is non-cheap and multiply-referenced downstream, so CollapseProject
     * keeps it materialized — the md5 runs exactly once per shingle.
     */
-  private[dedup] def hashedShinglesOf(docs: DataFrame): DataFrame =
+  private[graft] def hashedShinglesOf(docs: DataFrame): DataFrame =
     shingleDfOf(docs)
       .withColumn("hs", transform(col("s"), x => Hashing.hash60(x)))
 
@@ -451,13 +451,16 @@ object DedupQueries {
     * hit join, never the corpus. Reported per pair: span count and the
     * longest extent in grams (≥ [[SpanMinFp]] samples each).
     */
-  def spansQ(s: SparkSession, d: String): DataFrame = {
+  def spansQ(s: SparkSession, d: String): DataFrame =
+    spansOf(Tables.documents(s, d))
+
+  def spansOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val n = graft.textanalysis.TextAnalysis.FpN
     val win = graft.textanalysis.TextAnalysis.FpWin
     // checkpoint before the fan-out (df aggregate + both join sides)
-    val pos = graft.textanalysis.TextAnalysis.fingerprintPositions(
-      Tables.documents(s, d)).localCheckpoint(true)
+    val pos = graft.textanalysis.TextAnalysis.fingerprintPositions(docs)
+      .localCheckpoint(true)
     val rare = pos.join(
       pos.groupBy(col("h")).agg(countDistinct(col("doc_id")).as("df"))
         .filter(col("df") <= WinnowDfCap),

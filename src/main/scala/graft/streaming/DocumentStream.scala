@@ -5,7 +5,6 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.dedup.{Dedup, DedupQueries}
-import graft.functions.Hashing
 import graft.textanalysis.TextAnalysis
 
 /** One banded signature row of a streamed document. */
@@ -94,22 +93,28 @@ object DocumentStream {
     * `stateTtl` follows the [[MatchStream.candidates]] rule: only set
     * it under a real ProcessingTime trigger.
     */
+  /** Per-bucket state cap — the streaming analogue of the blocker's
+    * stopword cost cap / the winnow df cap: a hot (band, key) bucket
+    * (boilerplate-heavy ingest) would otherwise grow state and do
+    * O(n²) emission work without bound. Once a bucket holds this many
+    * signatures, further arrivals in it are DROPPED (the batch
+    * stopword semantics: an over-common key is uninformative) — real
+    * near-dups of a dropped doc still surface through its other
+    * [[DedupQueries.Bands]]−1 bands unless ALL of them are hot.
+    */
+  val NearDupBucketCap = 64
+
   def nearDupStream(docs: DataFrame, stateTtl: Option[String] = None)
       : Dataset[NearDupCandidate] = {
-    import DedupQueries.{ShingleN, MinhashK, Bands, RowsPerBand}
+    import DedupQueries.{MinhashK, Bands, RowsPerBand}
     val spark = docs.sparkSession
     import spark.implicits._
-    val banded = docs
-      .select(col("doc_id"), Dedup.words(col("text")).as("w"))
-      .filter(size(col("w")) >= ShingleN)
-      .select(col("doc_id"),
-        Dedup.shinglesFromWords(col("w"), ShingleN).as("s"))
-      .select(col("doc_id"),
-        transform(col("s"), x => Hashing.hash60(x)).as("hs"))
+    // the batch shingle/hash pipeline, shared code end-to-end
+    val banded = DedupQueries.hashedShinglesOf(docs)
       .select(col("doc_id"),
         Dedup.minhashSigFromHashes(col("hs"), MinhashK).as("sig"))
       .select(col("doc_id"), col("sig"),
-        explode(Dedup.bandKeys(Bands, RowsPerBand)).as("bk"))
+        explode(Dedup.bandKeys(col("sig"), Bands, RowsPerBand)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"),
         col("bk.key").as("key"), col("sig"))
       .as[BandedSig]
@@ -124,7 +129,8 @@ object DocumentStream {
           else {
             var seen = state.getOption.getOrElse(Seq.empty)
             val out = List.newBuilder[NearDupCandidate]
-            for (r <- rows if !seen.exists(_._1 == r.doc_id)) {
+            for (r <- rows if seen.size < NearDupBucketCap &&
+                !seen.exists(_._1 == r.doc_id)) {
               for ((oid, osig) <- seen) {
                 val agree = r.sig.zip(osig).count(p => p._1 == p._2)
                 val est = BigDecimal(agree.toDouble / r.sig.length)

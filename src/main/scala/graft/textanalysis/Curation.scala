@@ -83,14 +83,6 @@ object Curation {
   def repetitionQ(s: SparkSession, d: String): DataFrame =
     repetitionOf(Tables.documents(s, d))
 
-  /** Benchmark decontamination: for every training document, the
-    * fraction of its distinct [[ContaminationN]]-grams that appear in
-    * a held-out eval slice (`doc_id % 97 == 0` stands in for the
-    * benchmark set). The eval gram set is bounded by the benchmark
-    * corpus — a few MB even for a large suite — so it broadcasts and
-    * the 100 TB training side never shuffles for the probe; the only
-    * exchange is the per-doc count aggregation.
-    */
   /** Distinct word n-grams per document, and the held-out eval-slice
     * predicate (benchmark stand-in) — shared by the exact contamination
     * probe and its Bloom sketch form ([[Sketches.bloomOf]]), so the two
@@ -103,6 +95,13 @@ object Curation {
 
   private[textanalysis] def isEval: Column = col("doc_id") % 97 === 0
 
+  /** Benchmark decontamination: for every training document, the
+    * fraction of its distinct [[ContaminationN]]-grams that appear in
+    * a held-out eval slice. The eval gram set is bounded by the
+    * benchmark corpus — a few MB even for a large suite — so it
+    * broadcasts and the 100 TB training side never shuffles for the
+    * probe; the only exchange is the per-doc count aggregation.
+    */
   def contaminationOf(docs: DataFrame): DataFrame = {
     val g = distinctGrams(docs, ContaminationN)
     val eval_ = g.filter(isEval)

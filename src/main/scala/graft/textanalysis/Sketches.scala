@@ -245,10 +245,13 @@ object Sketches {
         count(lit(1)).as("n"))
       .withColumn("wdt", expr(s"(mx - mn) div $HistBins + 1"))
       .localCheckpoint(true)
-    val wanted = broadcast(stats
-      .select(col("lang"), col("mn"), col("wdt"), col("n"),
-        explode(typedLit(TextAnalysis.Quantiles)).as("q"))
-      .withColumn("pos", ceil(col("q") * col("n")).cast("long")))
+    // the quantile definition (grid + type-1 rank) is shared with
+    // q_text_quantiles via TextAnalysis.quantileTargets; the sketch
+    // only adds its bin geometry to the targets
+    val wanted = broadcast(
+      TextAnalysis.quantileTargets(stats.select(col("lang"), col("n")))
+        .join(stats.select(col("lang"), col("mn"), col("wdt")),
+          Seq("lang")))
     val bins = docs.join(broadcast(stats.select(col("lang"), col("mn"),
         col("wdt"))), Seq("lang"))
       .withColumn("bin", expr("(x - mn) div wdt"))
@@ -266,12 +269,7 @@ object Sketches {
         (col("m.mn") + col("m.bin") * col("m.wdt") +
           expr("(m.pos - (m.cum - m.cnt) - 1) * m.wdt div m.cnt"))
           .as("est"))
-    val ranked = docs.withColumn("rn", row_number().over(
-      org.apache.spark.sql.expressions.Window
-        .partitionBy(col("lang")).orderBy(col("x"))))
-    val exact = ranked.join(wanted.select(col("lang"), col("q"),
-        col("pos")), Seq("lang"))
-      .filter(col("rn") === col("pos"))
+    val exact = TextAnalysis.exactQuantiles(docs, wanted)
       .select(col("lang"), col("q"), col("x").as("exact"))
     est.join(exact, Seq("lang", "q"))
       .select(col("lang"), col("q"), col("est"), col("exact"),

@@ -106,16 +106,6 @@ object TextAnalysis {
     scored.select(col("doc_id"), pred.as("pred_lang"))
   }
 
-  /** Winnowing fingerprint (Schleimer et al., SIGMOD'03): positional
-    * shingle hashes → sliding min over windows of `win`. Staged as four
-    * projections (words → grams → hashes → window-mins) so each lambda
-    * sees only attributes — the md5 runs once per gram, not once per
-    * (gram, window) pair.
-    */
-  /** Per-document winnowed fingerprint SETS — (doc_id, fp array),
-    * shared by the summary query and the winnowing-pair dedup channel
-    * ([[graft.dedup.DedupQueries]] q_dedup_winnow).
-    */
   /** Winnowing parameters: [[FpN]]-word grams, window of [[FpWin]]
     * consecutive gram hashes per fingerprint (Schleimer et al. 2003) —
     * shared by the set form, the position form and their oracles.
@@ -123,6 +113,15 @@ object TextAnalysis {
   val FpN = 3
   val FpWin = 4
 
+  /** Winnowing fingerprint (Schleimer et al., SIGMOD'03): positional
+    * shingle hashes → sliding min over windows of [[FpWin]]. Staged as
+    * four projections (words → grams → hashes → window-mins) so each
+    * lambda sees only attributes — the md5 runs once per gram, not once
+    * per (gram, window) pair. Per-document fingerprint SETS —
+    * (doc_id, fp array), shared by the summary query and the
+    * winnowing-pair dedup channel ([[graft.dedup.DedupQueries]]
+    * q_dedup_winnow).
+    */
   def fingerprintSets(docs: DataFrame): DataFrame = {
     val n = FpN
     val win = FpWin
@@ -250,20 +249,33 @@ object TextAnalysis {
     * 100 TB the sort is per-language-partition and the quantile grid
     * is a literal, so the plan stays a single ranked pass.
     */
+  /** (lang, n, q, pos) type-1 quantile targets (`pos = ceil(q·n)`,
+    * double multiply — both engines in IEEE doubles) over a
+    * lang-grouped frame — shared by the exact positional query and the
+    * histogram sketch so the quantile DEFINITION lives in one place.
+    */
+  private[textanalysis] def quantileTargets(counts: DataFrame): DataFrame =
+    counts.select(col("lang"), col("n"), explode(typedLit(Quantiles)).as("q"))
+      .withColumn("pos", ceil(col("q") * col("n")).cast("long"))
+
+  /** Exact type-1 quantile values of `x` per language at the targets. */
+  private[textanalysis] def exactQuantiles(vals: DataFrame,
+      targets: DataFrame): DataFrame = {
+    val ranked = vals.withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("x"))))
+    ranked.join(broadcast(targets.select(col("lang"), col("q"),
+        col("pos"))), Seq("lang"))
+      .filter(col("rn") === col("pos"))
+      .select(col("lang"), col("q"), col("x"))
+  }
+
   def lengthQuantilesQ(s: SparkSession, d: String): DataFrame = {
     val docs = graft.Tables.documents(s, d)
-      .select(col("lang"), col("n_chars"))
-    val ranked = docs.withColumn("rn", row_number().over(
-      org.apache.spark.sql.expressions.Window
-        .partitionBy(col("lang")).orderBy(col("n_chars"))))
+      .select(col("lang"), col("n_chars").as("x"))
     val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
-    val grid = typedLit(Quantiles)
-    val wanted = counts
-      .select(col("lang"), col("n"), explode(grid).as("q"))
-      .withColumn("pos", ceil(col("q") * col("n")).cast("long"))
-    ranked.join(broadcast(wanted),
-        Seq("lang")).filter(col("rn") === col("pos"))
-      .select(col("lang"), col("q"), col("n_chars").as("value"))
+    exactQuantiles(docs, quantileTargets(counts))
+      .select(col("lang"), col("q"), col("x").as("value"))
   }
 
   /** TF-IDF keyword extraction: each document's top-5 terms by

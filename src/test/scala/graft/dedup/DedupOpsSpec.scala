@@ -82,27 +82,27 @@ class DedupOpsSpec extends AnyFunSuite {
         " " + (0 until 12).map(i => s"sb$i").mkString(" ")),
       (3L, (0 until 40).map(i => s"zz$i").mkString(" ")))
       .toDF("doc_id", "text")
-    // spansQ reads from a directory; drive the same pipeline inline
     import graft.textanalysis.TextAnalysis
+    // hit-level audit: all shared fingerprints lie on the clone's
+    // single diagonal (offset 10 − 4 = 6)
     val pos = TextAnalysis.fingerprintPositions(docs)
-    val rare = pos.join(
-      pos.groupBy(col("h")).agg(countDistinct(col("doc_id")).as("df"))
-        .filter(col("df") <= DedupQueries.WinnowDfCap), Seq("h"))
-    val hits = rare.select(col("h"), col("doc_id").as("a"),
+    val hits = pos.select(col("h"), col("doc_id").as("a"),
         col("gpos").as("pa"))
-      .join(rare.select(col("h"), col("doc_id").as("b"),
+      .join(pos.select(col("h"), col("doc_id").as("b"),
         col("gpos").as("pb")), Seq("h"))
       .filter(col("a") < col("b"))
       .collect()
     assert(hits.nonEmpty, "the clone must produce shared fingerprints")
-    // all shared hits lie on the clone's single diagonal (11 - 5 = 6)
     assert(hits.forall(r => r.getLong(2) - r.getLong(4) === 6L))
+    // end-to-end through the PRODUCTION operator: one span for (1, 2),
+    // nothing involving the unrelated doc 3, faithful extent
+    val spans = DedupQueries.spansOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spans.length === 1)
+    val (a, b, nSpans, longest) = spans.head
+    assert((a, b) === ((1L, 2L)) && nSpans === 1L)
     val cloneGrams = 30 - TextAnalysis.FpN + 1
-    // extent from first to last sample + n stays within one window of
-    // the true clone length and never exceeds it
-    val pas = hits.map(_.getLong(2))
-    val extent = pas.max - pas.min + TextAnalysis.FpN
-    assert(extent <= cloneGrams + TextAnalysis.FpN - 1)
-    assert(extent >= cloneGrams - 2 * TextAnalysis.FpWin)
+    assert(longest <= cloneGrams + TextAnalysis.FpN - 1)
+    assert(longest >= cloneGrams - 2 * TextAnalysis.FpWin)
   }
 }

@@ -125,15 +125,9 @@ class DocumentStreamSpec extends AnyFunSuite {
       val streamed = spark.table("neardup")
         .select("a", "b").distinct().collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-      // batch twin over the union corpus
+      // batch twin over the union corpus — the SAME shared pipeline
       val docs = all.toDF("doc_id", "text")
-      val sigs = docs
-        .select(col("doc_id"), Dedup.words(col("text")).as("w"))
-        .filter(size(col("w")) >= DedupQueries.ShingleN)
-        .select(col("doc_id"), Dedup.shinglesFromWords(col("w"),
-          DedupQueries.ShingleN).as("s"))
-        .select(col("doc_id"), transform(col("s"),
-          x => graft.functions.Hashing.hash60(x)).as("hs"))
+      val sigs = DedupQueries.hashedShinglesOf(docs)
         .select(col("doc_id"), Dedup.minhashSigFromHashes(col("hs"),
           DedupQueries.MinhashK).as("sig"))
       val batch = Dedup.lshCandidates(sigs, "doc_id",
