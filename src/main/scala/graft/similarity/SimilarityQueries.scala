@@ -449,7 +449,82 @@ object SimilarityQueries {
         coalesce(col("bp"), lit(-1.0)).as("best_pos"), col("nrn"))
   }
 
+  /** MMR selection depth and the relevance/diversity mix. `MmrDiv` is
+    * spelled as its own constant (not computed as 1−λ): 1−0.7 is
+    * 0.30000000000000004 in IEEE doubles while a 0.3 literal is not —
+    * both engines must parse the same literal.
+    */
+  val MmrK = 3
+  val MmrLambda = 0.7
+  val MmrDiv = 0.3
+
+  /** Maximal-Marginal-Relevance diversified top-k (Carbonell &
+    * Goldstein 1998) — the retrieval-side dedup of RAG / training-data
+    * selection: from each anchor's cosine top-[[TopK]], greedily pick
+    * [[MmrK]] results maximizing λ·sim(q,d) − (1−λ)·max sim(d, picked).
+    * The greedy loop is UNROLLED (k is a small constant) into chained
+    * argmax aggregations — no recursion, no driver loop; the pairwise
+    * candidate sims are a per-anchor K×K table, checkpointed with the
+    * top-k so the selection steps never re-run the brute scan. Scores
+    * rank in 1e-6 fixed point over the already-5-decimal cosines, so
+    * the selection is bit-identical across engines.
+    */
+  def mmrQ(s: SparkSession, d: String): DataFrame = {
+    val p = Similarity.prepared(s, d)
+    val tk = Similarity.bruteTopK(p, p.filter(isQuery), TopK)
+      .select(col("qid"), col("vec_id").as("cand"),
+        col("cosine").as("cosq"))
+      .localCheckpoint(true)
+    val v = p.select(col("vec_id"), col("v"), col("nrm"))
+    val psim = tk.select(col("qid"), col("cand").as("x"))
+      .join(tk.select(col("qid"), col("cand").as("y")), Seq("qid"))
+      .filter(col("x") =!= col("y"))
+      .join(v.select(col("vec_id").as("x"), col("v").as("vx"),
+        col("nrm").as("nx")), Seq("x"))
+      .join(v.select(col("vec_id").as("y"), col("v").as("vy"),
+        col("nrm").as("ny")), Seq("y"))
+      .select(col("qid"), col("x"), col("y"),
+        round(Similarity.dot(col("vx"), col("vy")) /
+          (col("nx") * col("ny")), 5).as("s"))
+      .localCheckpoint(true)
+    def e6(c: Column) = floor(c * lit(1e6) + lit(0.5)).cast("long")
+    val p1 = tk.groupBy(col("qid"))
+      .agg(max(struct(col("cosq"), (-col("cand")).as("nc"),
+        col("cand"))).as("m"))
+      .select(col("qid"), col("m.cand").as("p1"),
+        e6(lit(MmrLambda) * col("m.cosq")).as("e1"))
+    val c2 = tk.join(p1, Seq("qid")).filter(col("cand") =!= col("p1"))
+      .join(psim.select(col("qid"), col("x").as("cand"),
+        col("y").as("p1"), col("s").as("s1")), Seq("qid", "cand", "p1"))
+      .withColumn("sc",
+        e6(lit(MmrLambda) * col("cosq") - lit(MmrDiv) * col("s1")))
+    val p2 = c2.groupBy(col("qid"))
+      .agg(max(struct(col("sc"), (-col("cand")).as("nc"), col("cand"),
+        col("p1"))).as("m"))
+      .select(col("qid"), col("m.p1").as("p1"), col("m.cand").as("p2"),
+        col("m.sc").as("e2"))
+    val c3 = tk.join(p2, Seq("qid"))
+      .filter(col("cand") =!= col("p1") && col("cand") =!= col("p2"))
+      .join(psim.select(col("qid"), col("x").as("cand"),
+        col("y").as("p1"), col("s").as("s1")), Seq("qid", "cand", "p1"))
+      .join(psim.select(col("qid"), col("x").as("cand"),
+        col("y").as("p2"), col("s").as("s2")), Seq("qid", "cand", "p2"))
+      .withColumn("sc", e6(lit(MmrLambda) * col("cosq") -
+        lit(MmrDiv) * greatest(col("s1"), col("s2"))))
+    val p3 = c3.groupBy(col("qid"))
+      .agg(max(struct(col("sc"), (-col("cand")).as("nc"),
+        col("cand"))).as("m"))
+      .select(col("qid"), col("m.cand").as("p3"), col("m.sc").as("e3"))
+    p1.select(col("qid"), lit(1).as("sel_rank"), col("p1").as("vec_id"),
+        col("e1").as("mmr_e6"))
+      .unionByName(p2.select(col("qid"), lit(2).as("sel_rank"),
+        col("p2").as("vec_id"), col("e2").as("mmr_e6")))
+      .unionByName(p3.select(col("qid"), lit(3).as("sel_rank"),
+        col("p3").as("vec_id"), col("e3").as("mmr_e6")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sim_mmr" -> (mmrQ _),
     "q_sim_hardneg" -> (hardNegQ _),
     "q_sim_ivfpq" -> (ivfPqQ _),
     "q_sim_near_q8" -> (nearQ8 _),
@@ -606,6 +681,57 @@ object SimilarityQueries {
       WHERE rn <= $TopK"""
 
   val oracles: Map[String, String] = Map(
+    "q_sim_mmr" -> (ctePrefix + s""",
+      topk AS ($cosineTopkBody),
+      tk AS (SELECT qid, vec_id AS cand, cosine AS cosq FROM topk),
+      psim AS (
+        SELECT t1.qid, t1.cand AS x, t2.cand AS y,
+               round(list_sum(list_transform(list_zip(na.v, nb.v),
+                 s -> s[1] * s[2])) / (na.nrm * nb.nrm), 5) AS s
+        FROM tk t1 JOIN tk t2 ON t1.qid = t2.qid AND t1.cand <> t2.cand
+        JOIN normed na ON na.vec_id = t1.cand
+        JOIN normed nb ON nb.vec_id = t2.cand),
+      p1 AS (
+        SELECT qid, cand AS p1,
+               CAST(floor(CAST($MmrLambda AS DOUBLE) * cosq * 1e6
+                 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS e1
+        FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                ORDER BY cosq DESC, cand ASC) AS rn FROM tk)
+        WHERE rn = 1),
+      c2 AS (
+        SELECT t.qid, t.cand, p.p1,
+               CAST(floor((CAST($MmrLambda AS DOUBLE) * t.cosq
+                 - CAST($MmrDiv AS DOUBLE) * ps.s) * 1e6
+                 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS sc
+        FROM tk t JOIN p1 p ON t.qid = p.qid AND t.cand <> p.p1
+        JOIN psim ps ON ps.qid = t.qid AND ps.x = t.cand
+                    AND ps.y = p.p1),
+      p2 AS (
+        SELECT qid, p1, cand AS p2, sc AS e2
+        FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                ORDER BY sc DESC, cand ASC) AS rn FROM c2)
+        WHERE rn = 1),
+      c3 AS (
+        SELECT t.qid, t.cand,
+               CAST(floor((CAST($MmrLambda AS DOUBLE) * t.cosq
+                 - CAST($MmrDiv AS DOUBLE) * greatest(pa.s, pb.s)) * 1e6
+                 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS sc
+        FROM tk t JOIN p2 p
+          ON t.qid = p.qid AND t.cand <> p.p1 AND t.cand <> p.p2
+        JOIN psim pa ON pa.qid = t.qid AND pa.x = t.cand
+                    AND pa.y = p.p1
+        JOIN psim pb ON pb.qid = t.qid AND pb.x = t.cand
+                    AND pb.y = p.p2),
+      p3 AS (
+        SELECT qid, cand AS p3, sc AS e3
+        FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                ORDER BY sc DESC, cand ASC) AS rn FROM c3)
+        WHERE rn = 1)
+      SELECT qid, 1 AS sel_rank, p1 AS vec_id, e1 AS mmr_e6 FROM p1
+      UNION ALL
+      SELECT qid, 2 AS sel_rank, p2 AS vec_id, e2 AS mmr_e6 FROM p2
+      UNION ALL
+      SELECT qid, 3 AS sel_rank, p3 AS vec_id, e3 AS mmr_e6 FROM p3"""),
     "q_sim_hardneg" -> (ctePrefix + s""",
       topk AS ($cosineTopkBody),
       lj AS (
