@@ -12,12 +12,41 @@ import graft.functions.Hashing
   * Scale design: signatures are computed entirely inside whole-stage
   * codegen (split / transform / aggregate higher-order functions over the
   * text column — no UDF, no shuffle), so the only shuffles are (a) the
-  * band-bucket groupBy-join, whose fan-out per bucket is bounded exactly
-  * like the blocker's stopword cap, and (b) the final distinct on
-  * candidate pairs. Verification joins fetch shingle sets for candidate
-  * pairs only — never the full cross product.
+  * band-bucket groupBy-join, whose per-bucket fan-out is bounded by
+  * [[LshBucketCap]] (see [[dropHotBuckets]] — the blocker's stopword cap
+  * and the streaming screen's `NearDupBucketCap`, applied to the batch
+  * path), and (b) the final distinct on candidate pairs. Verification
+  * joins fetch shingle sets for candidate pairs only — never the full
+  * cross product.
   */
 object Dedup {
+
+  /** Maximum signatures a (band, key) bucket may hold before it is
+    * treated as boilerplate and dropped from candidate generation.
+    * Mirrors [[graft.streaming.DocumentStream.NearDupBucketCap]] so the
+    * batch and streaming near-dup screens bound skew identically. A
+    * boilerplate-heavy corpus can put k near-identical (but not
+    * byte-identical, so exact-dedup-first does not collapse them)
+    * signatures into one bucket; without the cap that bucket alone
+    * emits k²/2 pairs — the skew blow-up the blocker's stopword cost
+    * model exists to prevent (`nomenklatura/blocker/index.py:66-71` is
+    * the reference's own precedent). Docs in a dropped bucket still
+    * pair through their other bands, exactly like the stopword
+    * anti-join leaves entities matchable on their rarer tokens.
+    */
+  val LshBucketCap = 64L
+
+  /** Buckets minus hot keys: drop every (band, key) shared by more
+    * than `cap` rows. The hot-key list is tiny by construction
+    * (≤ rows/cap keys), so the anti-join broadcasts under AQE — the
+    * same shape as the blocker's stopword anti-join.
+    */
+  def dropHotBuckets(buckets: DataFrame, cap: Long): DataFrame = {
+    val hot = buckets.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("df")).filter(col("df") > cap)
+      .select(col("band"), col("key"))
+    buckets.join(hot, Seq("band", "key"), "left_anti")
+  }
 
   /** Lowercased word tokens of a text column. */
   def words(text: Column): Column =
@@ -53,12 +82,14 @@ object Dedup {
     minhashSigFromHashes(transform(shingleCol, s => Hashing.hash60(s)), k)
 
   /** Candidate pairs from LSH banding: split the k-signature into
-    * `bands` bands of `rowsPerBand`, bucket on (band, key), join within
+    * `bands` bands of `rowsPerBand`, bucket on (band, key), drop hot
+    * buckets over `cap` ([[dropHotBuckets]]), join within the kept
     * buckets, distinct. Returns (a, b) with a < b.
     */
   def lshCandidates(sig: DataFrame, idCol: String, bands: Int,
-      rowsPerBand: Int): DataFrame = {
-    val buckets = lshBuckets(sig, idCol, bands, rowsPerBand)
+      rowsPerBand: Int, cap: Long = LshBucketCap): DataFrame = {
+    val buckets = dropHotBuckets(
+      lshBuckets(sig, idCol, bands, rowsPerBand), cap)
     val l = buckets.select(col("band"), col("key"), col(idCol).as("a"))
     val r = buckets.select(col("band"), col("key"), col(idCol).as("b"))
     l.join(r, Seq("band", "key")).filter(col("a") < col("b"))
@@ -111,18 +142,20 @@ object Dedup {
     * within `maxDist` bits must agree on at least one of `bands`
     * `bandBits`-wide bands when bands > maxDist (pigeonhole). Exact
     * distance checked after the bucket join — so the result is complete
-    * for maxDist ≤ bands − 1, with no all-pairs scan.
+    * for maxDist ≤ bands − 1 among signatures outside hot buckets:
+    * buckets over `cap` are dropped first ([[dropHotBuckets]]), the
+    * same boilerplate skew guard as the minhash path.
     */
   def simhashPairs(sigs: DataFrame, idCol: String, bands: Int,
-      bandBits: Int, maxDist: Int): DataFrame = {
+      bandBits: Int, maxDist: Int, cap: Long = LshBucketCap): DataFrame = {
     val mask = (1L << bandBits) - 1
-    val banded = sigs.select(col(idCol), col("simhash"),
+    val banded = dropHotBuckets(sigs.select(col(idCol), col("simhash"),
       explode(array((0 until bands).map(i =>
         struct(lit(i).as("band"),
           expr(s"shiftright(simhash, ${bandBits * i}) & $mask").as("key"))): _*))
         .as("bk"))
       .select(col(idCol), col("simhash"), col("bk.band").as("band"),
-        col("bk.key").as("key"))
+        col("bk.key").as("key")), cap)
     val l = banded.select(col("band"), col("key"), col(idCol).as("a"),
       col("simhash").as("sig_a"))
     val r = banded.select(col("band"), col("key"), col(idCol).as("b"),

@@ -161,7 +161,11 @@ object DedupQueries {
     val sh = hashedShinglesOf(docs).repartition(col("doc_id"))
     val sigs = sh.select(col("doc_id"),
       Dedup.minhashSigFromHashes(col("hs"), MinhashK).as("sig"))
-    val buckets = Dedup.lshBuckets(sigs, "doc_id", Bands, RowsPerBand)
+    // same hot-bucket cap as the self-join path: a boilerplate band key
+    // must not fan the delta out against the whole corpus
+    val buckets = Dedup.dropHotBuckets(
+      Dedup.lshBuckets(sigs, "doc_id", Bands, RowsPerBand),
+      Dedup.LshBucketCap)
     val delta = buckets.filter(col("doc_id") % 10 === 7)
       .select(col("band"), col("key"), col("doc_id").as("a"))
     val base = buckets.filter(col("doc_id") % 10 =!= 7)
@@ -307,9 +311,15 @@ object DedupQueries {
     buckets AS (
       $bandSelects
     ),
+    kept AS (
+      SELECT b.* FROM buckets b
+      JOIN (SELECT band, key FROM buckets GROUP BY band, key
+            HAVING count(*) <= ${Dedup.LshBucketCap}) f
+        USING (band, key)
+    ),
     cand AS (
       SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-      FROM buckets l JOIN buckets r
+      FROM kept l JOIN kept r
         ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
     ),
     wc AS (
@@ -335,6 +345,12 @@ object DedupQueries {
     sbuckets AS (
       $simBandSelects
     ),
+    skept AS (
+      SELECT b.* FROM sbuckets b
+      JOIN (SELECT band, key FROM sbuckets GROUP BY band, key
+            HAVING count(*) <= ${Dedup.LshBucketCap}) f
+        USING (band, key)
+    ),
     ccodes AS (
       SELECT doc_id,
              list_transform(string_split(lower(text), ''),
@@ -355,9 +371,15 @@ object DedupQueries {
     cbuckets AS (
       $charBandSelects
     ),
+    ckept AS (
+      SELECT b.* FROM cbuckets b
+      JOIN (SELECT band, key FROM cbuckets GROUP BY band, key
+            HAVING count(*) <= ${Dedup.LshBucketCap}) f
+        USING (band, key)
+    ),
     ccand AS (
       SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-      FROM cbuckets l JOIN cbuckets r
+      FROM ckept l JOIN ckept r
         ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
     )
     """
@@ -617,7 +639,7 @@ object DedupQueries {
     "q_dedup_incremental" -> (ctePrefix + s"""
       , icand AS (
         SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-        FROM buckets l JOIN buckets r
+        FROM kept l JOIN kept r
           ON l.band = r.band AND l.key = r.key
          AND l.doc_id % 10 = 7 AND r.doc_id % 10 <> 7
       ),
@@ -686,7 +708,7 @@ object DedupQueries {
       SELECT a, b, hamming FROM (
         SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
                bit_count(xor(l.simhash, r.simhash)) AS hamming
-        FROM sbuckets l JOIN sbuckets r
+        FROM skept l JOIN skept r
           ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)
       WHERE hamming <= $SimhashMaxDist"""),
     "q_dedup_ngram_jaccard" -> (ctePrefix + s"""

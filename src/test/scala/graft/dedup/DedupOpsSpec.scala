@@ -71,6 +71,55 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(once.count(_._2 == "de").toLong === total)
   }
 
+  /** Signatures for the cap tests: band 0 (sig slots 1-4) is the hot
+    * boilerplate key shared by ALL docs; band 1 (slots 5-8) pairs doc
+    * 2i with 2i+1; bands 2-3 are unique per doc. MinhashK = 16,
+    * Bands = 4, RowsPerBand = 4 per [[DedupQueries]].
+    */
+  private def hotBandSigs(n: Int) = {
+    val rows = (0 until n).map { i =>
+      val sig = Array.fill(4)(7L) ++ Array.fill(4)(1000L + i / 2) ++
+        (8 until 16).map(k => 100000L + i * 16L + k)
+      (i.toLong, sig.toSeq)
+    }
+    rows.toDF("doc_id", "sig")
+  }
+
+  test("hot LSH bucket is dropped by the cap; rarer bands still pair") {
+    val sigs = hotBandSigs(100)
+    // uncapped: the hot band alone contributes 100*99/2 pairs
+    val uncapped = Dedup.lshCandidates(sigs, "doc_id",
+      DedupQueries.Bands, DedupQueries.RowsPerBand, cap = Long.MaxValue)
+    assert(uncapped.count() === 100L * 99 / 2)
+    // capped (default 64): the boilerplate bucket is gone, the 50
+    // neighbour pairs from band 1 (bucket size 2) survive
+    val capped = Dedup.lshCandidates(sigs, "doc_id",
+      DedupQueries.Bands, DedupQueries.RowsPerBand)
+    val got = capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === (0 until 100 by 2).map(i => (i.toLong, i + 1L)).toSet)
+  }
+
+  test("soak: pair volume stays linear when 1k docs share a band key") {
+    val sigs = hotBandSigs(1000)
+    val n = Dedup.lshCandidates(sigs, "doc_id",
+      DedupQueries.Bands, DedupQueries.RowsPerBand).count()
+    // linear in docs (one neighbour pair per two docs), not k²/2
+    assert(n === 500L)
+  }
+
+  test("simhash hot buckets are capped; near pair outside them survives") {
+    // 100 byte-identical simhashes: every band bucket holds 100 > cap,
+    // so the boilerplate cluster emits nothing; docs 200/201 differ in
+    // one bit and pair normally
+    val sigs = ((0 until 100).map(i => (i.toLong, 0L)) ++
+      Seq((200L, 0x3FFFFFL), (201L, 0x3FFFFEL))).toDF("doc_id", "simhash")
+    val pairs = Dedup.simhashPairs(sigs, "doc_id",
+      DedupQueries.SimhashBands, DedupQueries.SimhashBandBits,
+      DedupQueries.SimhashMaxDist)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq === Seq((200L, 201L, 1)))
+  }
+
   test("clone spans: a shared span is found with a faithful extent") {
     // doc 1 and 2 share a 30-word clone at DIFFERENT offsets, inside
     // unrelated surrounding text; doc 3 is unrelated entirely
