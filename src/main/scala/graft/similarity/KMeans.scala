@@ -30,14 +30,27 @@ object KMeans {
 
   val CentroidMod: Int = SimilarityQueries.CentroidMod
 
-  def lloydQ(s: SparkSession, d: String): DataFrame = {
-    val p = Similarity.prepared(s, d)
-    val cent = broadcast(p.filter(col("vec_id") % CentroidMod === 0)
+  /** Lloyd steps folded into [[trainedCentroids]] — the N the IVF index
+    * build pays once per corpus (the BPE-style driver loop).
+    */
+  val IvfIterations = 2
+
+  /** Seeded centroids (every [[CentroidMod]]-th vector) as (cid, cv,
+    * cnrm) — iteration 0 of the trainer and the SemDedup partitioner.
+    */
+  def seededCentroids(p: DataFrame): DataFrame =
+    p.filter(col("vec_id") % CentroidMod === 0)
       .select(col("vec_id").as("cid"), col("v").as("cv"),
-        col("nrm").as("cnrm")))
-    // nearest-centroid argmax as ONE aggregation (ties → min cid) —
-    // the same shape as SimilarityQueries.ivfTopK assignment
-    val assigned = p.crossJoin(cent)
+        col("nrm").as("cnrm"))
+
+  /** One Lloyd step: nearest-centroid assignment (argmax as ONE
+    * aggregation, ties → min cid — the same shape as
+    * [[SimilarityQueries.ivfTopK]] assignment), then fixed-point
+    * element sums → exact integer means. Emits (cid, n_members, nv);
+    * centroids that attracted no members drop out.
+    */
+  def lloydStep(p: DataFrame, cent: DataFrame): DataFrame = {
+    val assigned = p.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("v"), col("cid"),
         (Similarity.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
           .as("csim"))
@@ -55,17 +68,49 @@ object KMeans {
       .select(col("cid"), col("pos"), col("n"),
         (col("s6").cast("double") / (col("n").cast("double") * lit(1e6)))
           .as("x"))
-    val newc = sums.groupBy(col("cid"))
+    sums.groupBy(col("cid"))
       .agg(max(col("n")).as("n_members"),
         transform(array_sort(collect_list(struct(col("pos"), col("x")))),
           e => e.getField("x")).as("nv"))
+  }
+
+  def lloydQ(s: SparkSession, d: String): DataFrame = {
+    val p = Similarity.prepared(s, d)
+    val cent = seededCentroids(p)
     // report each centroid's movement: cosine(old, new) and the new norm
-    newc.join(cent, Seq("cid"))
+    lloydStep(p, cent).join(broadcast(cent), Seq("cid"))
       .select(col("cid"), col("n_members"),
         round(Similarity.dot(col("nv"), col("cv")) /
           (Similarity.norm(col("nv")) * col("cnrm")), 5).as("shift"),
         round(Similarity.norm(col("nv")), 5).as("norm"))
   }
+
+  private val centCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  /** Trained IVF centroids: [[IvfIterations]] Lloyd steps from the
+    * seeded positions, driver-looped with a checkpoint per step (the
+    * BPE pattern — lineage would otherwise stack an n×C product per
+    * iteration), cached per (session, sfDir) like the blocker's TF
+    * index: an IVF index is trained once per corpus, then every query
+    * probes it. Fixed-point sums make the result bit-identical on any
+    * partitioning — which is what lets the DuckDB oracle re-derive the
+    * same centroids by unrolling the same [[IvfIterations]] steps.
+    */
+  def trainedCentroids(s: SparkSession, d: String): DataFrame =
+    centCache.getOrElseUpdate((s, d), {
+      val p = Similarity.prepared(s, d)
+      var cent = seededCentroids(p)
+      for (_ <- 0 until IvfIterations)
+        cent = lloydStep(p, cent)
+          .select(col("cid"), col("nv").as("cv"),
+            Similarity.norm(col("nv")).as("cnrm"))
+          .localCheckpoint(true)
+      cent
+    })
+
+  /** Drop cached trained centroids (see BlockerQueries.clearTfCache). */
+  def clearCache(): Unit = centCache.clear()
 
   // ---------------------------------------------------------------- oracle
 

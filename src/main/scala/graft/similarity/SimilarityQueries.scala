@@ -121,18 +121,20 @@ object SimilarityQueries {
       .filter(col("cos8") >= NearThreshold)
   }
 
-  // IVF: every ~37th vector is a deterministic "centroid"; C ≈ n/37 at
-  // test SF but would be ~sqrt(n) k-means centroids in production — the
-  // plumbing (assign, probe, per-cluster search) is identical.
+  // IVF: every ~37th vector seeds a centroid (C ≈ n/37 at test SF,
+  // ~sqrt(n) in production), then KMeans.trainedCentroids adapts the
+  // seeds with Lloyd iterations. Measured top-10 recall at sf0.01
+  // (iters × nprobe sweep, PLANS.md): seeds@2probe 0.27 → trained(2)
+  // @2probe 0.37 → trained(2)@3probe 0.47; training plateaus at 2
+  // iterations (3rd buys ≤0.02), probes dominate after that. 3 of ~14
+  // lists ≈ 21% of the corpus scanned here; C grows ~sqrt(n) in
+  // production so the probed fraction shrinks with scale.
   val CentroidMod = 37
-  val NProbe = 2
+  val NProbe = 3
 
-  /** IVF (inverted-file) ANN: assign every vector to its nearest
-    * centroid (n×C broadcast product — the IVF scale story: C ≪ n, so
-    * assignment is linear and the corpus never self-joins), then each
-    * query probes its [[NProbe]] nearest centroid lists and ranks only
-    * those vectors. Complements [[annLsh]]: LSH buckets are oblivious,
-    * IVF lists adapt to the data's cluster structure.
+  /** Seeded (untrained) centroids — iteration 0 of the trainer; still
+    * the SemDedup partitioner, where any fixed partition works and the
+    * per-cluster pairwise step dominates.
     */
   def ivfCentroids(p: DataFrame): DataFrame =
     broadcast(p.filter(col("vec_id") % CentroidMod === 0)
@@ -169,9 +171,17 @@ object SimilarityQueries {
         col("nrm").as("qnrm"), col("cid")))
   }
 
+  /** IVF (inverted-file) ANN: assign every vector to its nearest
+    * TRAINED centroid ([[KMeans.trainedCentroids]] — an n×C broadcast
+    * product, the IVF scale story: C ≪ n, so assignment is linear and
+    * the corpus never self-joins), then each query probes its
+    * [[NProbe]] nearest centroid lists and ranks only those vectors.
+    * Complements [[annLsh]]: LSH buckets are oblivious, IVF lists
+    * adapt to the data's cluster structure.
+    */
   def ivfTopK(s: SparkSession, d: String): DataFrame = {
     val p = Similarity.prepared(s, d)
-    val cent = ivfCentroids(p)
+    val cent = broadcast(KMeans.trainedCentroids(s, d))
     val assigned = ivfAssigned(p, cent)
     val probes = ivfProbes(p, cent)
     val scored = assigned.join(probes, Seq("cid"))
@@ -360,7 +370,7 @@ object SimilarityQueries {
     */
   def ivfPqQ(s: SparkSession, d: String): DataFrame = {
     val p = Similarity.prepared(s, d)
-    val cent = ivfCentroids(p)
+    val cent = broadcast(KMeans.trainedCentroids(s, d))
     val lists = ivfAssigned(p, cent)
       .select(col("vec_id"), col("cid").as("ivf_cid"))
     val probeIds = broadcast(ivfProbes(p, cent)
@@ -641,14 +651,59 @@ object SimilarityQueries {
         WHERE rn <= ${Pq.TopK}
       )"""
 
-  /** IVF assignment/probe CTE chain + final select — shared by the IVF
-    * oracle and the recall oracle.
+  /** The trained-centroid CTE chain: seed from every [[CentroidMod]]-th
+    * vector, then unroll [[KMeans.IvfIterations]] Lloyd steps — the
+    * exact fixed-point math of [[KMeans.lloydStep]] (e6 integer sums,
+    * `s6/(n·1e6)` means), so both engines land on bit-identical
+    * centroids and the oracle genuinely re-derives the trained index.
     */
-  private val ivfCtes: String = s"""
-      , cents AS (
+  private def trainCtes: String = {
+    val seed = s"""
+      , tcents0 AS (
         SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM normed
         WHERE vec_id % $CentroidMod = 0
+      )"""
+    val steps = (0 until KMeans.IvfIterations).map { t =>
+      s""",
+      tasg$t AS (
+        SELECT n.vec_id, n.v, c.cid,
+               row_number() OVER (PARTITION BY n.vec_id
+                 ORDER BY list_sum(list_transform(list_zip(n.v, c.cv),
+                   s -> s[1] * s[2])) / (n.nrm * c.cnrm) DESC,
+                   c.cid ASC) AS arn
+        FROM normed n, tcents$t c
       ),
+      tsums$t AS (
+        SELECT cid, pos, CAST(sum(e6) AS BIGINT) AS s6, count(*) AS n
+        FROM (
+          SELECT cid, i AS pos,
+                 CAST(floor(v[i+1] * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                   AS e6
+          FROM (SELECT vec_id, v, cid FROM tasg$t WHERE arn = 1),
+               unnest(range(len(v))) u(i))
+        GROUP BY cid, pos
+      ),
+      tcents${t + 1} AS (
+        SELECT cid, cv,
+               sqrt(list_sum(list_transform(cv, x -> x * x))) AS cnrm
+        FROM (
+          SELECT cid,
+                 list(CAST(s6 AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6)
+                      ORDER BY pos) AS cv
+          FROM tsums$t GROUP BY cid)
+      )"""
+    }.mkString
+    seed + steps + s""",
+      cents AS (
+        SELECT cid, cv, cnrm FROM tcents${KMeans.IvfIterations}
+      )"""
+  }
+
+  /** IVF assignment/probe CTE chain + final select — shared by the IVF
+    * oracle and the recall oracle. `cents` is the TRAINED centroid
+    * table from [[trainCtes]].
+    */
+  private val ivfCtes: String = trainCtes + s""",
       asg AS (
         SELECT n.vec_id, n.v, n.nrm, c.cid,
                list_sum(list_transform(list_zip(n.v, c.cv),
