@@ -1,17 +1,22 @@
 package graft.model
 
-/** Minimal Follow-the-Money ontology: the schema hierarchy, property
-  * types, matchability flags and caption rules the engine's operators
-  * need (reference: the `followthemoney` model consumed all over
+/** The Follow-the-Money ontology: schema hierarchy, property types,
+  * matchability flags and caption rules the engine's operators need
+  * (reference: the `followthemoney` model consumed all over
   * nomenklatura — e.g. schema compatibility `blocker/index.py:220-225`,
   * matchable filter `blocker/index.py:227-228`, property types driving
   * the tokenizer `blocker/tokenizer.py:40-58`).
   *
-  * This is a hand-authored subset covering the schemata exercised by the
-  * reference's own fixtures (donations.ijson: Organization, Address,
-  * Person, Company, Payment) plus their ancestors. It is a broadcastable
-  * plain-Scala object: tiny, immutable, shipped to executors by closure
-  * capture — never a join against a "model table".
+  * Definitions load from the bundled `ftm-model.json` resource — a
+  * transcription of the published (MIT) followthemoney schema model:
+  * ~65 schemata with their `extends` graph, abstract/matchable flags,
+  * captions, featured lists and match-relevant core properties (the
+  * full upstream model also carries labels/descriptions per property,
+  * which nothing here consumes). Swapping in a regenerated dump of the
+  * upstream model keeps working as long as the same keys exist. Parsed
+  * once at class-load into plain Scala maps: tiny, immutable, shipped
+  * to executors by closure capture — never a join against a "model
+  * table".
   */
 object Ftm {
 
@@ -33,6 +38,7 @@ object Ftm {
     val Url = "url"
     val Gender = "gender"
     val Topic = "topic"
+    val Checksum = "checksum"
   }
 
   final case class Prop(name: String, tpe: String, matchable: Boolean = true)
@@ -42,132 +48,39 @@ object Ftm {
       isA: Seq[String],
       matchable: Boolean,
       caption: Seq[String],
-      props: Seq[Prop])
+      props: Seq[Prop],
+      isAbstract: Boolean = false,
+      featuredProps: Seq[String] = Nil)
 
-  /** Schema definitions (subset of the public FtM ontology). */
-  val schemata: Map[String, Schema] = Seq(
-    Schema("Thing", Nil, matchable = false, caption = Seq("name"), props = Seq(
-      Prop("name", T.Name),
-      Prop("alias", T.Name),
-      Prop("weakAlias", T.Name, matchable = false),
-      Prop("previousName", T.Name),
-      Prop("country", T.Country),
-      Prop("address", T.Address),
-      Prop("addressEntity", T.Entity),
-      Prop("sourceUrl", T.Url, matchable = false),
-      Prop("notes", T.Text, matchable = false),
-      Prop("wikidataId", T.Identifier),
-      Prop("wikipediaUrl", T.Url, matchable = false),
-      Prop("topics", T.Topic))),
-    Schema("LegalEntity", Seq("Thing"), matchable = true, caption = Seq("name"),
-      props = Seq(
-        Prop("email", T.Email),
-        Prop("phone", T.Phone),
-        Prop("website", T.Url, matchable = false),
-        Prop("legalForm", T.StringT, matchable = false),
-        Prop("incorporationDate", T.Date),
-        Prop("dissolutionDate", T.Date),
-        Prop("taxNumber", T.Identifier),
-        Prop("vatCode", T.Identifier),
-        Prop("jurisdiction", T.Country),
-        Prop("registrationNumber", T.Identifier),
-        Prop("idNumber", T.Identifier))),
-    Schema("Person", Seq("LegalEntity"), matchable = true,
-      caption = Seq("name"), props = Seq(
-        Prop("title", T.Name, matchable = false),
-        Prop("firstName", T.Name),
-        Prop("secondName", T.Name),
-        Prop("middleName", T.Name),
-        Prop("fatherName", T.Name),
-        Prop("motherName", T.Name),
-        Prop("lastName", T.Name),
-        Prop("birthDate", T.Date),
-        Prop("birthPlace", T.StringT),
-        Prop("deathDate", T.Date),
-        Prop("nationality", T.Country),
-        Prop("citizenship", T.Country),
-        Prop("gender", T.Gender),
-        Prop("religion", T.StringT, matchable = false),
-        Prop("education", T.StringT, matchable = false),
-        Prop("political", T.StringT, matchable = false),
-        Prop("ethnicity", T.StringT, matchable = false),
-        Prop("position", T.StringT, matchable = false))),
-    Schema("Organization", Seq("LegalEntity"), matchable = true,
-      caption = Seq("name"), props = Nil),
-    Schema("Company", Seq("Organization"), matchable = true,
-      caption = Seq("name"), props = Nil),
-    Schema("PublicBody", Seq("Organization"), matchable = true,
-      caption = Seq("name"), props = Nil),
-    Schema("Vehicle", Seq("Thing"), matchable = false,
-      caption = Seq("name"), props = Seq(
-        Prop("registrationNumber", T.Identifier),
-        Prop("type", T.StringT, matchable = false))),
-    Schema("Vessel", Seq("Vehicle"), matchable = true,
-      caption = Seq("name"), props = Seq(
-        Prop("imoNumber", T.Identifier),
-        Prop("mmsi", T.Identifier),
-        Prop("callSign", T.Identifier),
-        Prop("flag", T.Country))),
-    Schema("Airplane", Seq("Vehicle"), matchable = true,
-      caption = Seq("name"), props = Seq(
-        Prop("serialNumber", T.Identifier),
-        Prop("icaoCode", T.Identifier))),
-    Schema("CryptoWallet", Seq("Thing"), matchable = true,
-      caption = Seq("publicKey"), props = Seq(
-        Prop("publicKey", T.Identifier),
-        Prop("currency", T.StringT, matchable = false))),
-    Schema("Security", Seq("Thing"), matchable = true,
-      caption = Seq("name"), props = Seq(
-        Prop("isin", T.Identifier),
-        Prop("figiCode", T.Identifier),
-        Prop("ticker", T.Identifier),
-        Prop("issuer", T.Entity))),
-    Schema("Position", Seq("Thing"), matchable = true,
-      caption = Seq("name"), props = Seq(
-        Prop("country", T.Country),
-        Prop("organization", T.Entity))),
-    Schema("Address", Seq("Thing"), matchable = true, caption = Seq("full"),
-      props = Seq(
-        Prop("full", T.Address),
-        Prop("street", T.StringT),
-        Prop("street2", T.StringT),
-        Prop("city", T.StringT),
-        Prop("postalCode", T.StringT),
-        Prop("region", T.StringT),
-        Prop("state", T.StringT))),
-    Schema("Interval", Nil, matchable = false, caption = Nil, props = Seq(
-      Prop("date", T.Date),
-      Prop("startDate", T.Date),
-      Prop("endDate", T.Date),
-      Prop("sourceUrl", T.Url, matchable = false),
-      Prop("summary", T.Text, matchable = false))),
-    Schema("Occupancy", Seq("Interval"), matchable = false,
-      caption = Nil, props = Seq(
-        Prop("holder", T.Entity),
-        Prop("post", T.Entity),
-        // curation-period fallbacks for the tenure dates
-        Prop("periodStart", T.Date),
-        Prop("periodEnd", T.Date))),
-    Schema("Family", Seq("Interval"), matchable = false,
-      caption = Seq("relationship"), props = Seq(
-        Prop("person", T.Entity),
-        Prop("relative", T.Entity),
-        Prop("relationship", T.StringT, matchable = false))),
-    Schema("Associate", Seq("Interval"), matchable = false,
-      caption = Seq("relationship"), props = Seq(
-        Prop("person", T.Entity),
-        Prop("associate", T.Entity),
-        Prop("relationship", T.StringT, matchable = false))),
-    Schema("Payment", Seq("Interval"), matchable = false,
-      caption = Seq("amountEur"), props = Seq(
-        Prop("payer", T.Entity),
-        Prop("beneficiary", T.Entity),
-        Prop("amount", T.Number),
-        Prop("amountEur", T.Number),
-        Prop("currency", T.StringT, matchable = false),
-        Prop("purpose", T.Text, matchable = false),
-        Prop("namesMentioned", T.Name, matchable = false)))
-  ).map(s => s.name -> s).toMap
+  /** Schema definitions, loaded from the bundled model resource. */
+  val schemata: Map[String, Schema] = {
+    import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+    import scala.jdk.CollectionConverters._
+    val in = getClass.getResourceAsStream("/graft/model/ftm-model.json")
+    require(in != null, "ftm-model.json resource missing")
+    val root =
+      try new ObjectMapper().readTree(in)
+      finally in.close()
+    def strings(n: JsonNode): Seq[String] =
+      if (n == null) Nil else n.elements().asScala.map(_.asText()).toSeq
+    root.properties().asScala.map { e =>
+      val name = e.getKey
+      val s = e.getValue
+      val props = Option(s.get("properties")).toSeq
+        .flatMap(_.properties().asScala).map { p =>
+          Prop(p.getKey, p.getValue.get("type").asText(),
+            matchable = Option(p.getValue.get("matchable"))
+              .forall(_.asBoolean()))
+        }
+      name -> Schema(name,
+        isA = strings(s.get("extends")),
+        matchable = s.get("matchable").asBoolean(),
+        caption = strings(s.get("caption")),
+        props = props,
+        isAbstract = Option(s.get("abstract")).exists(_.asBoolean()),
+        featuredProps = strings(s.get("featured")))
+    }.toMap
+  }
 
   /** Name-type tag for the logic-v2 name matcher (the followthemoney
     * `schema_type_tag` classification): PER for people, ORG for legal
@@ -193,22 +106,10 @@ object Ftm {
     * `Schema.featured`). Consumed by the review-comparison ordering
     * (`tui/util.py:40-49`: featured props sort first).
     */
-  val featured: Map[String, Seq[String]] = Map(
-    "LegalEntity" -> Seq("name", "country", "legalForm"),
-    "Person" -> Seq("name", "nationality", "birthDate"),
-    "Organization" -> Seq("name", "country"),
-    "Company" -> Seq("name", "jurisdiction", "registrationNumber"),
-    "PublicBody" -> Seq("name", "country"),
-    "Vehicle" -> Seq("name", "registrationNumber"),
-    "Vessel" -> Seq("name", "imoNumber", "flag"),
-    "Airplane" -> Seq("name", "serialNumber"),
-    "CryptoWallet" -> Seq("publicKey", "currency"),
-    "Security" -> Seq("name", "isin", "issuer"),
-    "Position" -> Seq("name", "country"),
-    "Address" -> Seq("full"),
-    "Family" -> Seq("person", "relative", "relationship"),
-    "Associate" -> Seq("person", "associate", "relationship"),
-    "Payment" -> Seq("payer", "beneficiary", "amount"))
+  val featured: Map[String, Seq[String]] =
+    schemata.collect {
+      case (n, s) if s.featuredProps.nonEmpty => n -> s.featuredProps
+    }
 
   def featuredOf(schema: String): Seq[String] =
     featured.getOrElse(schema, Nil)
@@ -228,7 +129,7 @@ object Ftm {
     */
   val matchableTypes: Set[String] = Set(
     T.Name, T.Identifier, T.Date, T.Country, T.Address, T.Email,
-    T.Phone, T.Url, T.Entity)
+    T.Phone, T.Url, T.Entity, T.Checksum)
 
   /** Transitive ancestors of a schema, including itself. */
   def ancestors(name: String): Set[String] = {
