@@ -426,17 +426,35 @@ object DedupQueries {
     * pair aggregate; no fingerprint can fan out more than
     * [[WinnowDfCap]]².
     */
+  // localCheckpoint, not repartition, for the fingerprint tables: the
+  // build is a staged HOF pipeline fanned out FIVE ways (explode ×2 via
+  // the rare self-join, the df aggregate, both jaccard set sides) —
+  // lineage reuse re-inlines the staged projections per consumer and
+  // the plan goes quadratic (measured: subset verify 200+ s at sf0.01
+  // vs ~2 s checkpointed). Cached per (session, sfDir) because the
+  // winnow + spans queries share them and at lake scale the fingerprint
+  // table is a materialized ingest artifact anyway (the PQ-codes /
+  // banded-corpus / blocker-TF pattern).
+  private val fpSetsCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private val fpPosCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  private def fpSetsCk(s: SparkSession, d: String): DataFrame =
+    fpSetsCache.getOrElseUpdate((s, d),
+      graft.textanalysis.TextAnalysis.fingerprintSets(
+        Tables.documents(s, d)).localCheckpoint(true))
+
+  private def fpPosCk(s: SparkSession, d: String): DataFrame =
+    fpPosCache.getOrElseUpdate((s, d),
+      graft.textanalysis.TextAnalysis.fingerprintPositions(
+        Tables.documents(s, d)).localCheckpoint(true))
+
+  /** Drop cached fingerprint tables (see BlockerQueries.clearTfCache). */
+  def clearCache(): Unit = { fpSetsCache.clear(); fpPosCache.clear() }
+
   def winnowPairsQ(s: SparkSession, d: String): DataFrame = {
-    // localCheckpoint, not repartition: the fingerprint build is a
-    // staged HOF pipeline, and this query fans it out FIVE ways
-    // (explode ×2 via the rare self-join, the df aggregate, both
-    // jaccard set sides) — lineage reuse re-inlines the staged
-    // projections per consumer and the plan goes quadratic (measured:
-    // subset verify 200+ s at sf0.01 vs ~2 s checkpointed). The frame
-    // is tiny (one row + ~25 hashes per doc); at lake scale the
-    // fingerprint table is a materialized artifact anyway.
-    val fps = graft.textanalysis.TextAnalysis.fingerprintSets(
-      Tables.documents(s, d)).localCheckpoint(true)
+    val fps = fpSetsCk(s, d)
     val ex = fps.select(col("doc_id"), explode(col("fp")).as("h"))
     val rare = ex.join(
       ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
@@ -474,15 +492,17 @@ object DedupQueries {
     * longest extent in grams (≥ [[SpanMinFp]] samples each).
     */
   def spansQ(s: SparkSession, d: String): DataFrame =
-    spansOf(Tables.documents(s, d))
+    spansFrom(fpPosCk(s, d))
 
-  def spansOf(docs: DataFrame): DataFrame = {
+  def spansOf(docs: DataFrame): DataFrame =
+    // checkpoint before the fan-out (df aggregate + both join sides)
+    spansFrom(graft.textanalysis.TextAnalysis.fingerprintPositions(docs)
+      .localCheckpoint(true))
+
+  private def spansFrom(pos: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val n = graft.textanalysis.TextAnalysis.FpN
     val win = graft.textanalysis.TextAnalysis.FpWin
-    // checkpoint before the fan-out (df aggregate + both join sides)
-    val pos = graft.textanalysis.TextAnalysis.fingerprintPositions(docs)
-      .localCheckpoint(true)
     val rare = pos.join(
       pos.groupBy(col("h")).agg(countDistinct(col("doc_id")).as("df"))
         .filter(col("df") <= WinnowDfCap),

@@ -53,6 +53,21 @@ object SimilarityQueries {
       .repartition(col("vec_id"))
   }
 
+  private val nearCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  /** [[nearPrepared]] materialized once per (session, sfDir) — the
+    * banded corpus is a stored index artifact at scale (vectors are
+    * signed against the hyperplanes at ingest, like PQ codes and the
+    * blocker TF table), and three queries (embed-near, q8-near, fused
+    * dedup) would otherwise each re-sign the corpus.
+    */
+  def nearPreparedCk(s: SparkSession, d: String): DataFrame =
+    nearCache.getOrElseUpdate((s, d), nearPrepared(s, d).localCheckpoint(true))
+
+  /** Drop cached banded corpora (see BlockerQueries.clearTfCache). */
+  def clearCache(): Unit = nearCache.clear()
+
   /** Band-equality candidate pairs (a < b, distinct) — never an
     * all-pairs join; shared by the fp and int8 verify paths.
     */
@@ -72,7 +87,7 @@ object SimilarityQueries {
   }
 
   def embedNearPairs(s: SparkSession, d: String): DataFrame = {
-    val p = nearPrepared(s, d)
+    val p = nearPreparedCk(s, d)
     val cand = nearCandidates(p)
     val a = p.select(col("vec_id").as("a"), col("v").as("va"),
       col("nrm").as("na"))
@@ -96,7 +111,7 @@ object SimilarityQueries {
     * bound). The float corpus is only touched once, at index build.
     */
   def nearQ8(s: SparkSession, d: String): DataFrame = {
-    val p = nearPrepared(s, d)
+    val p = nearPreparedCk(s, d)
     val cand = nearCandidates(p)
     val q8 = p
       .withColumn("scale",
@@ -366,7 +381,8 @@ object SimilarityQueries {
     * fraction (≈ nprobe/C) of it, and the per-vector work is M integer
     * table lookups — no float vector is ever read at query time.
     * Composition only: [[ivfAssigned]]/[[ivfProbes]] partition,
-    * [[Pq.encoded]]/[[Pq.distanceTable]] quantize.
+    * [[Pq.indexCk]] serves the stored codes, [[Pq.distanceTable]]
+    * quantizes the query side.
     */
   def ivfPqQ(s: SparkSession, d: String): DataFrame = {
     val p = Similarity.prepared(s, d)
@@ -375,8 +391,7 @@ object SimilarityQueries {
       .select(col("vec_id"), col("cid").as("ivf_cid"))
     val probeIds = broadcast(ivfProbes(p, cent)
       .select(col("qid"), col("cid").as("ivf_cid")))
-    val codebook = Pq.codebookOf(p)
-    val enc = Pq.encoded(p, codebook)
+    val (codebook, enc) = Pq.indexCk(s, d)
     val dtab = Pq.distanceTable(p, codebook)
     val cand = enc.join(lists, Seq("vec_id"))
       .join(probeIds, Seq("ivf_cid"))
