@@ -127,6 +127,20 @@ object Bpe {
     out.toSeq
   }
 
+  private val mergeCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Seq[(String, String)]]
+
+  /** [[trainMerges]] once per (session, sfDir) — a tokenizer is trained
+    * once per corpus and then applied everywhere (the stored-index
+    * pattern of the PQ codes / trained IVF centroids).
+    */
+  def trainedMergesCk(s: SparkSession, d: String): Seq[(String, String)] =
+    mergeCache.getOrElseUpdate((s, d),
+      trainMerges(vocabulary(Tables.documents(s, d)), TopMerges))
+
+  /** Drop cached merge lists (see BlockerQueries.clearTfCache). */
+  def clearCache(): Unit = mergeCache.clear()
+
   // --------------------------------------------------------------- encode
 
   /** Merge table for the ORACLE-gated encoder: the top
@@ -177,11 +191,66 @@ object Bpe {
   def encodeQ(s: SparkSession, d: String): DataFrame =
     encodeOf(Tables.documents(s, d))
 
+  /** Corpus token counts under the SEQUENTIALLY-trained tokenizer —
+    * the artifact a pipeline actually ships (q_text_bpe_encode keeps
+    * the one-shot first-round variant; this one folds the
+    * [[trainMerges]] chain, where each merge was selected against the
+    * segmentation its predecessors produced). Training is driver-looped
+    * and cached per corpus ([[trainedMergesCk]]); the merges arrive
+    * here as literals, so the encode itself is the same
+    * vocabulary-sized fold as [[encodeOf]]. The oracle re-derives the
+    * identical chain in SQL: [[TopMerges]] unrolled rounds of
+    * pair-count → argmax → replace over the vocabulary — sequential
+    * selection is expressible, just not as one relational expression.
+    */
+  def seqEncodeQ(s: SparkSession, d: String): DataFrame = {
+    val wc = TextAnalysis.withWords(Tables.documents(s, d))
+      .select(col("doc_id"), explode(col("w")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val vocab = wc.groupBy(col("w")).agg(sum(col("c")).as("freq"))
+    val merges = trainedMergesCk(s, d)
+    val enc = merges.foldLeft(toSeq0(col("w"))) { case (acc, (a, b)) =>
+      replace(acc, mergeSearch(lit(a), lit(b)), mergeRepl(lit(a), lit(b)))
+    }
+    val vt = vocab.select(col("w"), size(symsOf(enc)).cast("long").as("ntok"))
+    wc.join(vt, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_words"),
+        sum(col("c") * col("ntok")).as("n_bpe_tokens"))
+  }
+
   // ---------------------------------------------------------------- oracle
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_bpe" -> (bpeQ _),
-    "q_text_bpe_encode" -> (encodeQ _))
+    "q_text_bpe_encode" -> (encodeQ _),
+    "q_text_bpe_seq" -> (seqEncodeQ _))
+
+  /** One sequential training round as SQL: pair-count the current
+    * segmentation, pick the argmax (full tiebreak), apply it. The '§'
+    * sentinel makes an exhausted round a no-op instead of a NULL wipe
+    * (mirrors trainMerges' dry stop).
+    */
+  private def seqChainSql: String = (1 to TopMerges).map { k =>
+    s"""sb$k AS MATERIALIZED (
+        SELECT a, b FROM (
+          SELECT p.a, p.b, CAST(sum(p.freq) AS BIGINT) AS cnt
+          FROM (
+            SELECT freq, syms[i+1] AS a, syms[i+2] AS b
+            FROM (SELECT freq,
+                         list_filter(string_split(s, '_'),
+                           x -> length(x) > 0) AS syms
+                  FROM seg${k - 1}),
+                 unnest(range(len(syms) - 1)) t(i)) p
+          GROUP BY p.a, p.b
+          ORDER BY cnt DESC, a ASC, b ASC LIMIT 1)),
+      seg$k AS MATERIALIZED (
+        SELECT w, freq, replace(s,
+          coalesce((SELECT '_' || a || '__' || b || '_' FROM sb$k), '§'),
+          coalesce((SELECT '_' || a || b || '_' FROM sb$k), '§')) AS s
+        FROM seg${k - 1})"""
+  }.mkString(",\n      ")
 
   /** The merge chain as [[TopMerges]] generated CTEs — each applies one
     * ranked merge with an exact-string replace on the boundary-anchored
@@ -200,6 +269,22 @@ object Bpe {
   }.mkString(",\n      ")
 
   val oracles: Map[String, String] = Map(
+    "q_text_bpe_seq" -> s"""
+      WITH words AS (
+        SELECT doc_id, unnest(${TextAnalysis.wSql}) AS w FROM documents),
+      wc AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w),
+      vocab AS (SELECT w, CAST(sum(c) AS BIGINT) AS freq FROM wc GROUP BY w),
+      seg0 AS MATERIALIZED (
+        SELECT w, freq, '__' || regexp_replace(w, '(.)', '\\1__', 'g') AS s
+        FROM vocab),
+      $seqChainSql,
+      vt AS (
+        SELECT w, CAST(len(list_filter(string_split(s, '_'),
+          x -> length(x) > 0)) AS BIGINT) AS ntok
+        FROM seg$TopMerges)
+      SELECT wc.doc_id, CAST(sum(wc.c) AS BIGINT) AS n_words,
+             CAST(sum(wc.c * vt.ntok) AS BIGINT) AS n_bpe_tokens
+      FROM wc JOIN vt USING (w) GROUP BY wc.doc_id""",
     "q_text_bpe_encode" -> s"""
       WITH words AS (
         SELECT doc_id, unnest(${TextAnalysis.wSql}) AS w FROM documents),
