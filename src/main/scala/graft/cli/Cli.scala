@@ -540,3 +540,66 @@ object ReconcileMain {
     println(s"[reconcile] wrote $out/decisions, $out/edges, $out/batch.qs")
   }
 }
+
+/** `nk bench` (`cli.py:353-358`; harness `matching/bench.py:15-33`):
+  * time N pair comparisons per scoring algorithm, cycling a fixed pair
+  * list like the reference's `itertools.cycle`, and report total wall
+  * time plus μs/call. Pairs come from a `(lid, rid)` Parquet when a
+  * second positional is given, else consecutive views are paired
+  * round-robin. Deliberately driver-side and single-threaded: this is
+  * the per-pair comparator micro-bench (the irreducible inner loop the
+  * distributed scorer runs per row), not a cluster job.
+  *
+  * {{{
+  *   spark-submit --class graft.cli.BenchMatchersMain graft.jar \
+  *     donations.ijson --algorithm logic-v1 --number 1000
+  * }}}
+  */
+object BenchMatchersMain {
+  def main(args: Array[String]): Unit = {
+    val (pos, flags) = CliArgs.parse(args)
+    val in = pos.head
+    val n = flags.get("number").map(_.toInt).getOrElse(1000)
+    val s = CliArgs.session("bench-matchers")
+    import graft.matching.{Algorithms, EntityMatch, EntityView}
+    val stmts = CliArgs.readStatements(s, in,
+      flags.getOrElse("dataset", "default"))
+    val views = EntityMatch.views(EntityStore.assemble(stmts), stmts)
+    val vs = EntityMatch.collectViews(views,
+      flags.get("limit").map(_.toInt).getOrElse(1000))
+    require(vs.nonEmpty, s"no entities in $in")
+    val pairs: IndexedSeq[(EntityView, EntityView)] = pos.lift(1) match {
+      case Some(pairsPath) =>
+        val byId = vs.map(v => v.id -> v).toMap
+        s.read.parquet(pairsPath).select("lid", "rid").collect()
+          .toIndexedSeq.flatMap { r =>
+            for {
+              a <- byId.get(r.getString(0))
+              b <- byId.get(r.getString(1))
+            } yield (a, b)
+          }
+      case None =>
+        vs.indices.map(i => (vs(i), vs((i + 1) % vs.size))).toIndexedSeq
+    }
+    require(pairs.nonEmpty, "no comparable pairs")
+    val algos = flags.get("algorithm") match {
+      case Some(a) => Seq(Algorithms.registry.getOrElse(a,
+        sys.error(s"no matcher named $a")))
+      case None => Algorithms.registry.toSeq.sortBy(_._1).map(_._2)
+    }
+    for (algo <- algos) {
+      var w = 0 // JIT warmup outside the timed window
+      while (w < math.min(n, 200)) {
+        val p = pairs(w % pairs.size); algo.score(p._1, p._2); w += 1
+      }
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < n) {
+        val p = pairs(i % pairs.size); algo.score(p._1, p._2); i += 1
+      }
+      val dt = System.nanoTime() - t0
+      println(f"[bench] ${algo.name}%-16s n=$n%-6d " +
+        f"total=${dt / 1e9}%.3f s  ${dt / 1e3 / n}%.1f us/call")
+    }
+  }
+}

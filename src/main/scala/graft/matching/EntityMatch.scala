@@ -78,6 +78,15 @@ object EntityMatch {
     r.getSeq[String](11), r.getSeq[String](12), r.getSeq[String](13),
     r.getSeq[String](14))
 
+  /** Driver-side view objects for the matcher micro-bench (the `nk
+    * bench` path, `matching/bench.py:15-33`): up to `limit` views in
+    * deterministic id order. Bounded collect by design — the bench
+    * times the per-pair comparator on one core, like the reference.
+    */
+  def collectViews(views: DataFrame, limit: Int): Seq[EntityView] =
+    views.orderBy(col("id")).limit(limit)
+      .select(col("view.*")).collect().toSeq.map(rowToView)
+
   /** Candidate pairs (`lid`, `rid`, …) × views → one score column per
     * algorithm in [[Algorithms.registry]].
     */
