@@ -105,6 +105,59 @@ class TrainingSpec extends AnyFunSuite {
     assert(extAlgo.name === "er-unstable+json")
   }
 
+  test("reference regression-v1 coefficients import to score parity") {
+    // the reference's SHIPPED trained model (`nomenklatura/data/
+    // regression-v1.pkl`, transcribed to the ModelIO JSON interchange:
+    // StandardScaler means/scales + LR weights/intercept over the
+    // published 18-feature order, `matching/regression_v1/model.py:
+    // 36-58`) — imported and evaluated over real donations views.
+    val in = getClass.getResourceAsStream(
+      "/graft/matching/regression-v1-reference.json")
+    val json = scala.io.Source.fromInputStream(in).mkString
+    in.close()
+    val m = ModelIO.fromJson(json)
+    assert(m.algorithm === "regression-v1")
+    assert(m.features.size === 18)
+    assert(m.features.head === "name_match")
+    assert(math.abs(m.intercept - 2.14487341) < 1e-6)
+
+    val base = Algorithms.RegressionV1
+    val ext = ModelIO.algoFor(base, m)
+    val fnByName = base.features.map(f => f.name -> f.fn).toMap
+
+    val stmts = EntityStore.statements(
+      EntityStore.readIjson(spark, fixture), "donations")
+    val views = EntityMatch.collectViews(
+      EntityMatch.views(EntityStore.assemble(stmts), stmts), 200)
+      .filter(v => v.names.nonEmpty &&
+        Set("Person", "Company", "Organization")(v.schema))
+    val pairs = (views.indices.take(10).map(i =>
+      (views(i), views(i))) ++ // self pairs: strongest evidence
+      views.indices.take(10).map(i =>
+        (views(i), views((i + 7) % views.size)))).take(20)
+    assert(pairs.size === 20)
+
+    def sigmoid(z: Double) = 1.0 / (1.0 + math.exp(-z))
+    val got = pairs.map { case (q, r) =>
+      // expected: the sklearn pipeline semantics — scale each raw
+      // feature with (x−μ)/σ, then the logistic over raw weights
+      val z = m.intercept + m.features.indices.map { i =>
+        val x = fnByName(m.features(i))(q, r)
+        m.weights(i) * (x - m.means(i)) / m.scales(i)
+      }.sum
+      val expected = sigmoid(z)
+      val actual = ext.score(q, r)
+      assert(math.abs(actual - expected) < 1e-9,
+        s"pair (${q.id}, ${r.id}): $actual vs $expected")
+      actual
+    }
+    // the imported model behaves like a matcher: every self pair must
+    // outscore every cross pair
+    val (self, cross) = got.splitAt(10)
+    assert(self.min > cross.max,
+      s"self ${self.min} should exceed cross ${cross.max}")
+  }
+
   test("quarantine drops contradictory digests") {
     val f = Seq((1.0, 1), (1.0, 0), (0.5, 1), (0.5, 1))
       .toDF("f_x", "label")
