@@ -35,10 +35,12 @@ import graft.textanalysis.{Curation, LangModel, TextAnalysis}
   */
 object CurateMain {
 
-  final case class Report(input: Long, afterExact: Long, afterQuality: Long,
+  final case class Report(input: Long, afterExact: Long,
+      unscoreable: Long, afterQuality: Long,
       afterLm: Long, afterNearDup: Long, shards: Int) {
     def json: String =
       s"""{"input": $input, "after_exact_dedup": $afterExact,
+         | "unscoreable_no_tokens": $unscoreable,
          | "after_quality": $afterQuality, "after_lm": $afterLm,
          | "after_near_dup": $afterNearDup, "shards": $shards}"""
         .stripMargin.replace("\n", "")
@@ -59,16 +61,24 @@ object CurateMain {
       .drop("h").localCheckpoint(true)
     val nExact = exact.count()
 
-    // 2. heuristic quality gate
+    // 2. heuristic quality gate. Token-less documents score NULL and
+    //    are dropped here regardless of --min-quality — reported
+    //    separately (`unscoreable_no_tokens`) so "failed the gate"
+    //    and "had nothing to score" stay distinguishable downstream.
     val withQ = TextAnalysis.withWords(exact)
       .select(col("doc_id"), TextAnalysis.qualityExpr(col("w")).as("quality"))
+      .localCheckpoint(true)
+    val nUnscoreable = withQ.filter(col("quality").isNull).count()
     val qual = exact.join(withQ.filter(col("quality") >= minQuality),
       Seq("doc_id")).localCheckpoint(true)
     val nQual = qual.count()
 
     // 3. LM gate — the bigram LM trains on the gated corpus's own
     //    held-out hash split (CCNet trains on a reference corpus; pass
-    //    one via a second input path if you have one)
+    //    one via a second input path if you have one). lmScoreOf's
+    //    inner join only emits docs with words — vacuous here, since
+    //    the quality gate already dropped every token-less doc (same
+    //    tokenizer), so this stage drops on --min-logp alone.
     val lm = LangModel.lmScoreOf(qual)
       .select(col("doc_id"), col("avg_logp"))
     val lmKept = qual.join(lm.filter(col("avg_logp") >= minLogp),
@@ -91,7 +101,7 @@ object CurateMain {
     //    q_doc_shuffle scheme, same key expression)
     val curated = nearKept.withColumn("shard",
       pmod(Curation.shuffleKey(lit(0)), lit(Curation.ShuffleShards.toLong)))
-    (curated, Report(input, nExact, nQual, nLm, nNear,
+    (curated, Report(input, nExact, nUnscoreable, nQual, nLm, nNear,
       Curation.ShuffleShards))
   }
 
@@ -105,9 +115,12 @@ object CurateMain {
       run(spark, spark.read.parquet(pos.head), minQuality, minLogp)
     curated.write.mode("overwrite").partitionBy("shard")
       .parquet(s"${pos(1)}/corpus")
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(pos(1)))
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"${pos(1)}/report.json"), report.json)
+    // Hadoop FS, not java.nio: outDir may be hdfs:// or s3:// under
+    // spark-submit — both outputs must honor the same scheme
+    val reportPath = new org.apache.hadoop.fs.Path(pos(1), "report.json")
+    val fs = reportPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(reportPath, true)
+    try os.write(report.json.getBytes("UTF-8")) finally os.close()
     // NO spark.stop(): the CLI convention here (and what keeps these
     // mains drivable from the shared test session) — spark-submit
     // tears the JVM down anyway

@@ -44,13 +44,30 @@ object LangModel {
   /** md5 buckets below this (of 65536) train the LM — a 50% split. */
   val TrainBuckets = 32768
 
+  /** Vocabulary cap before the broadcast joins: unique-bigram counts
+    * grow with the corpus (not the vocabulary), so an uncapped table
+    * would eventually blow the broadcast/driver limits. When the
+    * trained vocabulary exceeds this, only the top-|V| terms (count
+    * desc, term asc) keep their counts; pruned terms degrade to the
+    * OOV pseudocount and their bigrams to backoff — the CCNet-style
+    * top-|V| approximation. Under the cap (every test SF) scoring is
+    * bit-identical to the unpruned model. 1M terms ≈ tens of MB
+    * broadcast; both tables stay bounded by construction, so the
+    * plan-pinned broadcast shape (PlanShapeSpec) is safe at any
+    * corpus size.
+    */
+  val LmTopV = 1000000L
+
   private def bucket = conv(substring(
     md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("long")
 
   def lmScoreQ(s: SparkSession, d: String): DataFrame =
     lmScoreOf(Tables.documents(s, d))
 
-  def lmScoreOf(docs: DataFrame): DataFrame = {
+  def lmScoreOf(docs: DataFrame): DataFrame =
+    lmScoreOf(docs, LmTopV)
+
+  def lmScoreOf(docs: DataFrame, topV: Long): DataFrame = {
     val base = TextAnalysis.withWords(docs)
       .filter(size(col("w")) > 0)
       .select(col("doc_id"), col("w"))
@@ -71,10 +88,29 @@ object LangModel {
     val biAll = rows.filter(bucket < TrainBuckets)
       .groupBy(col("prev"), col("term")).agg(count(lit(1)).as("bc"))
       .localCheckpoint(true)
-    val uni = biAll.groupBy(col("term")).agg(sum(col("bc")).as("un"))
-    val bi = biAll.filter(col("prev").isNotNull)
-      .select(col("prev"), col("term"), col("bc"))
-    val tot = uni.agg(sum(col("un")).as("t"))
+    val uniAll = biAll.groupBy(col("term")).agg(sum(col("bc")).as("un"))
+    // token total over the FULL corpus (pruned mass becomes OOV mass,
+    // it does not vanish) — computed before any cap
+    val tot = uniAll.agg(sum(col("un")).as("t"))
+    // top-|V| cap (see LmTopV): the count runs on the checkpointed
+    // vocabulary table, never the corpus. Both prune sides key on the
+    // same kept-term set, so a surviving bigram always finds its
+    // context count (bc non-null ⇒ un_prev non-null).
+    val (uni, bi) =
+      if (uniAll.count() <= topV)
+        (uniAll, biAll.filter(col("prev").isNotNull)
+          .select(col("prev"), col("term"), col("bc")))
+      else {
+        val keep = uniAll
+          .orderBy(col("un").desc, col("term").asc).limit(topV.toInt)
+          .select(col("term")).localCheckpoint(true)
+        (uniAll.join(keep, Seq("term"), "left_semi"),
+          biAll.filter(col("prev").isNotNull)
+            .select(col("prev"), col("term"), col("bc"))
+            .join(keep, Seq("term"), "left_semi")
+            .join(keep.select(col("term").as("prev")), Seq("prev"),
+              "left_semi"))
+      }
     val unPrev = uni.select(col("term").as("prev"), col("un").as("un_prev"))
     val pUni = coalesce(col("un").cast("double"), lit(OovCount)) /
       col("t").cast("double")
@@ -82,9 +118,10 @@ object LangModel {
       .when(col("bc").isNotNull,
         col("bc").cast("double") / col("un_prev").cast("double"))
       .otherwise(lit(Backoff) * pUni)
-    // LM tables broadcast (vocabulary-sized; a 100 TB run prunes to
-    // top-|V| first) — the corpus token stream is never shuffled on a
-    // term key, only hash-aggregated by doc at the end
+    // LM tables broadcast — bounded by the LmTopV cap above, so the
+    // hint is safe at any corpus size; the corpus token stream is
+    // never shuffled on a term key, only hash-aggregated by doc at
+    // the end
     val scored = rows
       .join(broadcast(uni), Seq("term"), "left")
       .join(broadcast(unPrev), Seq("prev"), "left")

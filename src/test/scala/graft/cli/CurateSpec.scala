@@ -22,9 +22,11 @@ class CurateSpec extends AnyFunSuite {
     val report = Files.readString(Paths.get(s"$out/report.json"))
     val corpus = spark.read.parquet(s"$out/corpus")
     val counts = "\\d+".r.findAllIn(report).map(_.toLong).toSeq
-    val Seq(input, exact, qual, lm, near, _) = counts
+    val Seq(input, exact, unscoreable, qual, lm, near, _) = counts
     assert(input >= exact && exact >= qual && qual >= lm && lm >= near,
       s"stage counts must be monotone: $report")
+    // unscoreable docs are a subset of what the quality stage dropped
+    assert(unscoreable <= exact - qual, s"unscoreable bound: $report")
     assert(near === corpus.count(), "corpus size matches the report")
     assert(near > 0, "pipeline kept something")
     // output schema carries the gating evidence + shard

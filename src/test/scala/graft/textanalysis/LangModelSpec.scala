@@ -46,6 +46,34 @@ class LangModelSpec extends AnyFunSuite {
     assert(out(heldId) === ((3L, expHeld)))
   }
 
+  test("top-|V| pruning degrades cut terms to OOV/backoff, exactly") {
+    val trainId = (1L to 200L).find(bucketOf(_) < LangModel.TrainBuckets).get
+    val heldId = (1L to 200L).find(bucketOf(_) >= LangModel.TrainBuckets).get
+    val docs = Seq(
+      (trainId, "a b a b", "en", "unit", 7L),
+      (heldId, "a b c", "en", "unit", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // a cap above the vocabulary is bit-identical to the default path
+    val full = LangModel.lmScoreOf(docs).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    val capped = LangModel.lmScoreOf(docs, topV = 100L).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    assert(capped === full)
+    // topV=1 keeps only "a" (count tie, term asc): "b" becomes OOV
+    // (pseudocount over the FULL token total) and every bigram backs
+    // off — the hand-solved stupid-backoff arithmetic
+    val out = LangModel.lmScoreOf(docs, topV = 1L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    def avg(ps: Seq[Double]) = BigDecimal(
+      ps.map(e6).sum.toDouble / (ps.size * 1e6))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val oov = 0.5 / 4
+    assert(out(trainId) ===
+      ((4L, avg(Seq(0.5, 0.4 * oov, 0.4 * 0.5, 0.4 * oov)))))
+    assert(out(heldId) === ((3L, avg(Seq(0.5, 0.4 * oov, 0.4 * oov)))))
+  }
+
   test("corpus invariants at sf0.001") {
     val out = LangModel.lmScoreQ(spark, "/root/testdata/sf0.001")
     val rows = out.collect()
