@@ -603,3 +603,44 @@ object BenchMatchersMain {
     }
   }
 }
+
+/** The name-comparator scoreboard (`contrib/name_bench/perf.py`):
+  * accuracy + timing per comparator over the published cases.csv —
+  * mean / p50 / p95 μs per call (median-of-N per case, warmup pass
+  * first), precision / recall / F1 at the decision threshold, and the
+  * slowest cases (long ORG names dominate — the alignment matrix is
+  * parts²).
+  *
+  * {{{
+  *   spark-submit --class graft.cli.NameBenchMain graft.jar \
+  *     cases.csv --runs 10 --threshold 0.7 --comparator logic-v2
+  * }}}
+  */
+object NameBenchMain {
+  def main(args: Array[String]): Unit = {
+    val (pos, flags) = CliArgs.parse(args)
+    require(pos.nonEmpty, "usage: name-bench <cases.csv>")
+    import graft.matching.NameBench
+    val cases = NameBench.loadCases(pos.head)
+    require(cases.nonEmpty, s"no cases in ${pos.head}")
+    val runs = flags.get("runs").map(_.toInt).getOrElse(10)
+    val threshold = flags.get("threshold").map(_.toDouble).getOrElse(0.7)
+    val comps = flags.get("comparator") match {
+      case Some(c) => NameBench.comparators.filter(_._1 == c)
+      case None => NameBench.comparators
+    }
+    require(comps.nonEmpty, "unknown comparator")
+    println(f"[name-bench] ${cases.size} cases, runs=$runs, " +
+      f"threshold=$threshold")
+    for (st <- NameBench.run(cases, comps, runs, threshold)) {
+      println(f"[name-bench] ${st.name}%-14s mean=${st.meanUs}%8.1f us  " +
+        f"p50=${st.p50Us}%7.1f  p95=${st.p95Us}%8.1f  " +
+        f"total=${st.totalMs}%7.1f ms  P=${st.precision}%.3f " +
+        f"R=${st.recall}%.3f F1=${st.f1}%.3f")
+      st.slowest.foreach { case (c, us) =>
+        println(f"[name-bench]   slow ${us}%9.1f us  [${c.schema}] " +
+          s"'${c.name1}' vs '${c.name2}'")
+      }
+    }
+  }
+}

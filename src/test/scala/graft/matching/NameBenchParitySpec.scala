@@ -15,46 +15,16 @@ class NameBenchParitySpec extends AnyFunSuite {
     "/root/reference/contrib/name_bench/run_data/logicv2-frozen.csv"
   val Threshold = 0.7
 
-  private def parseCsv(line: String): Array[String] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    var i = 0
-    val sb = new StringBuilder
-    var inQ = false
-    while (i < line.length) {
-      val c = line(i)
-      if (inQ) {
-        if (c == '"') inQ = false else sb += c
-      } else c match {
-        case '"' => inQ = true
-        case ',' => out += sb.toString; sb.clear()
-        case _ => sb += c
-      }
-      i += 1
-    }
-    out += sb.toString
-    out.toArray
-  }
-
   final case class Case(schema: String, name1: String, name2: String,
       isMatch: Boolean, frozenScore: Double, frozenPred: Boolean)
 
-  lazy val cases: Seq[Case] = {
-    val bytes = java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(fixture))
-    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
-      .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
-      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
-    val text = dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
-    val lines = text.linesIterator.toList
-    val header = parseCsv(lines.head).zipWithIndex.toMap
-    lines.tail.filter(_.nonEmpty).map(parseCsv).flatMap { a =>
-      try Some(Case(a(header("schema")), a(header("name1")),
-        a(header("name2")), a(header("is_match")).toBoolean,
-        a(header("score")).toDouble,
-        a(header("predicted_match")).toBoolean))
+  lazy val cases: Seq[Case] =
+    NameBench.readCsv(fixture).flatMap { r =>
+      try Some(Case(r("schema"), r("name1"), r("name2"),
+        r("is_match").toBoolean, r("score").toDouble,
+        r("predicted_match").toBoolean))
       catch { case _: Exception => None }
     }
-  }
 
   def view(schema: String, name: String): EntityView =
     EntityView("x", schema, Seq(name), Nil, Nil, Nil, Nil, Nil, Nil, Nil,
