@@ -61,6 +61,36 @@ class PlanShapeSpec extends AnyFunSuite {
       s"q_text_lm shuffles the token stream:\n$p")
   }
 
+  test("the dedup band joins carry the hot-bucket anti-join") {
+    // the r6 skew guard: candidate generation must drop capped buckets
+    // via a left-anti join before the self-join (Dedup.dropHotBuckets)
+    for (name <- Seq("q_dedup_lsh_pairs", "q_dedup_simhash_pairs",
+        "q_dedup_incremental")) {
+      val p = plan(dedup.DedupQueries.queries(name)(spark, dir))
+      assert(p.contains("LeftAnti"), s"$name lost the bucket cap:\n$p")
+    }
+  }
+
+  test("q8 near-dup scans only the stored banded corpus") {
+    // nearPreparedCk is the stored index: once built, the int8 verify
+    // path derives everything from the checkpoint — no parquet rescan
+    similarity.SimilarityQueries.nearPreparedCk(spark, dir).count()
+    val p = plan(
+      similarity.SimilarityQueries.queries("q_sim_near_q8")(spark, dir))
+    assert(!p.contains("FileScan") && !p.contains("Scan parquet"),
+      s"q_sim_near_q8 re-reads the corpus instead of the index:\n$p")
+    assert(p.contains("ExistingRDD"),
+      s"q_sim_near_q8 lost the checkpointed index scan:\n$p")
+  }
+
+  test("trained IVF keeps the broadcast n-by-C assignment product") {
+    val p = plan(
+      similarity.SimilarityQueries.queries("q_sim_ivf")(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"q_sim_ivf lost its broadcast assignment:\n$p")
+  }
+
   test("wsample plans TakeOrderedAndProject, not a global sort") {
     val p = plan(textanalysis.Curation.queries("q_doc_wsample")(spark, dir))
     assert(p.contains("TakeOrderedAndProject"),
