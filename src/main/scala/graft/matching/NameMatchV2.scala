@@ -67,7 +67,11 @@ object NameMatchV2 {
     * with the English class (OAO ~ OJSC scores as a symbol pair, not a
     * literal one).
     */
-  private val orgClass: Map[String, String] = Symbols.OrgClasses
+  // "company"/"co" demoted from org-class pairing to SYMBOL-generic
+  // (see Symbols.GenericOrgWords) — the blocker's sy: tokens keep the
+  // full table, only the matcher's pairing stage narrows
+  private val orgClass: Map[String, String] =
+    Symbols.OrgClasses -- Seq("company", "co")
 
   /** Org-class shorts that appear glued to the name in sloppy data
     * ("ОООБАЗО"); longest-first so "ojsc" wins over "o…". "pao" is
@@ -282,7 +286,7 @@ object NameMatchV2 {
     * alignment with the v2 weight policy.
     */
   def scoreNamePair(qParts0: List[String], rParts0: List[String],
-      person: Boolean): Double = {
+      person: Boolean, acronyms: Set[String] = Set.empty): Double = {
     if (qParts0.isEmpty || rParts0.isEmpty) return 0.0
     var qRem = qParts0
     var rRem = rParts0
@@ -373,6 +377,10 @@ object NameMatchV2 {
     val cand = (for {
       qp <- qRem.distinct
       rp <- rRem.distinct
+      // collapsed initialisms align exactly or not at all (the
+      // collapseInitialRunsTagged contract) — "nabc" is the initials
+      // n-a-b-c, and initials have no fuzzy neighbours
+      if qp == rp || (!acronyms(qp) && !acronyms(rp))
       s = strictSim(qp, rp, person)
       if s > 0.0
     } yield (qp, rp, s)).sortBy(t => (-t._3, t._1, t._2))
@@ -545,10 +553,25 @@ object NameMatchV2 {
     * "A.B.C."), and the glued form matches its spelled-out sibling
     * ("S.A.R.L." ~ "SARL").
     */
-  def collapseInitialRuns(parts: List[String]): List[String] = {
+  def collapseInitialRuns(parts: List[String]): List[String] =
+    collapseInitialRunsTagged(parts)._1
+
+  /** [[collapseInitialRuns]] plus the set of glued tokens it produced —
+    * the alignment treats those as ordered initialisms that must match
+    * EXACTLY: the frozen run scores "N.A.B.C. Company" vs "A.B.C.
+    * Company" at 0.23, i.e. nabc~abc is a mismatch, never a 1-edit
+    * fuzzy neighbour (fuzzy on acronyms compares initials, not names).
+    */
+  def collapseInitialRunsTagged(
+      parts: List[String]): (List[String], Set[String]) = {
+    val tagged = Set.newBuilder[String]
     def go(xs: List[String]): List[String] = {
       val (run, rest) = xs.span(p => p.length == 1 && p.head.isLetter)
-      if (run.size >= 2) run.mkString :: goTail(rest)
+      if (run.size >= 2) {
+        val glued = run.mkString
+        tagged += glued
+        glued :: goTail(rest)
+      }
       else if (run.size == 1) run.head :: goTail(rest)
       else goTail(rest)
     }
@@ -557,7 +580,8 @@ object NameMatchV2 {
       case h :: t if h.length == 1 && h.head.isLetter => go(xs)
       case h :: t => h :: go(t)
     }
-    go(parts)
+    val out = go(parts)
+    (out, tagged.result())
   }
 
   /** Merge adjacent parts whose glued form appears verbatim — or as a
@@ -675,6 +699,7 @@ object NameMatchV2 {
           case h :: t => h :: collapseOrgPhrases(t)
           case Nil => Nil
         }
+      val acroTags = scala.collection.mutable.Set.empty[String]
       def prep(names: Seq[String]): Seq[List[String]] =
         consolidateNames(names.map { n =>
           val parts = numberizeParts(n.split(' ').toList, roman = !person)
@@ -683,9 +708,12 @@ object NameMatchV2 {
           // conjunction tokens — "H&M" fingerprints to "h m" while the
           // long form spells "H and M"; the "and" would bleed extras.
           if (person) parts
-          else collapseOrgPhrases(
-            collapseInitialRuns(parts.filterNot(OrgConjunctions))
-              .flatMap(splitOrgPrefix))
+          else {
+            val (collapsed, tagged) = collapseInitialRunsTagged(
+              parts.filterNot(OrgConjunctions))
+            acroTags ++= tagged
+            collapseOrgPhrases(collapsed.flatMap(splitOrgPrefix))
+          }
         })
       val qParts = prep(qn)
       val rParts = prep(rn)
@@ -702,7 +730,7 @@ object NameMatchV2 {
         // "Patrushev")
         val a = mergeAdjacent(a0, b0.toSet)
         val b = mergeAdjacent(b0, a.toSet)
-        best = math.max(best, scoreNamePair(a, b, person))
+        best = math.max(best, scoreNamePair(a, b, person, acroTags.toSet))
         // clustering: a single-part name vs the other side glued
         // without spaces ("PolPot"~"Pol Pot"; rigour compare_parts
         // merges adjacent parts into clusters)

@@ -127,6 +127,11 @@ object Symbols {
     * here; see NameBenchParitySpec).
     */
   val GenericOrgWords: Set[String] = Set(
+    // "co" (the fingerprint replacement of "company") is SYMBOL-class
+    // generic, not an org-class legal form: the frozen run scores a
+    // matched "Company" at weight 0.3 ("CDE Company" ~ "A.B.C. Company"
+    // = 0.3/1.3 = 0.23), not the 0.7 legal-form weight
+    "co", "company",
     "group", "trust", "foundation", "fund", "government", "ministry",
     "state", "holding", "holdings", "association", "institute",
     "society", "committee", "council", "organization", "organisation",
