@@ -279,6 +279,50 @@ object Curation {
   def shuffleQ(s: SparkSession, d: String): DataFrame =
     shuffleOf(Tables.documents(s, d))
 
+  /** Context-window token budget for [[packOf]]. */
+  val PackContext = 256L
+
+  /** Sequence packing — the pretraining batch-prep step: concatenate
+    * each shard's token stream in the epoch-0 shuffle order
+    * ([[shuffleKey]], so packing follows the same deterministic
+    * permutation the loader reads) and slice it into fixed
+    * [[PackContext]]-token context windows — the GPT-style
+    * concat-and-chunk packing: documents may straddle a window
+    * boundary and no padding is ever emitted inside a shard. Emits per
+    * document its interval in the shard stream (`start_tok`) and the
+    * windows it lands in (`first_window`, `window_offset`,
+    * `n_windows`).
+    *
+    * Relational shape: "bin state" never exists — it is integer
+    * arithmetic on a running token sum, so the whole operator is one
+    * window per shard over the deterministic order: one shuffle on
+    * shard at any scale, no sequential fold, no driver loop. Integer
+    * `div` (not double floor) keeps the window ids exact past 2^53
+    * tokens.
+    */
+  def packOf(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"),
+        size(TextAnalysis.words(col("text"))).cast("long").as("n"))
+      .filter(col("n") > 0)
+      .withColumn("k", shuffleKey(lit(0)))
+      .withColumn("shard", pmod(col("k"), lit(ShuffleShards.toLong)))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("k").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .withColumn("start_tok", coalesce(sum(col("n")).over(w), lit(0L)))
+      .select(col("shard"), col("doc_id"), col("n").as("n_tokens"),
+        col("start_tok"),
+        expr(s"start_tok div $PackContext").as("first_window"),
+        pmod(col("start_tok"), lit(PackContext)).as("window_offset"),
+        (expr(s"(start_tok + n - 1) div $PackContext") -
+          expr(s"start_tok div $PackContext") + lit(1L)).as("n_windows"))
+  }
+
+  def packQ(s: SparkSession, d: String): DataFrame =
+    packOf(Tables.documents(s, d))
+
   /** Weighted sample size for [[wsampleOf]]. */
   val WSampleN = 100
 
@@ -363,6 +407,7 @@ object Curation {
     "q_doc_chunks" -> (chunksQ _),
     "q_doc_shards" -> (shardsQ _),
     "q_doc_shuffle" -> (shuffleQ _),
+    "q_doc_pack" -> (packQ _),
     "q_doc_fim" -> (fimQ _),
     "q_doc_wsample" -> (wsampleQ _))
 
@@ -486,6 +531,29 @@ object Curation {
                ORDER BY k ASC, doc_id ASC) AS INTEGER) AS pos,
              doc_id
       FROM keyed""",
+    "q_doc_pack" -> s"""
+      WITH toks AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':0'),
+                 1, 15) AS BIGINT) AS k,
+               CAST(len($wSql) AS BIGINT) AS n
+        FROM documents),
+      sh AS (
+        SELECT doc_id, k, n, k % $ShuffleShards AS shard
+        FROM toks WHERE n > 0),
+      c AS (
+        SELECT shard, doc_id, n AS n_tokens,
+               CAST(coalesce(sum(n) OVER (
+                 PARTITION BY shard ORDER BY k ASC, doc_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS start_tok
+        FROM sh)
+      SELECT shard, doc_id, n_tokens, start_tok,
+             start_tok // $PackContext AS first_window,
+             start_tok % $PackContext AS window_offset,
+             (start_tok + n_tokens - 1) // $PackContext
+               - start_tok // $PackContext + 1 AS n_windows
+      FROM c""",
     "q_doc_fim" -> s"""
       WITH c AS (
         SELECT doc_id, text, length(text) AS l,

@@ -99,6 +99,39 @@ class CurationSpec extends AnyFunSuite {
     assert(seq0 !== seq1)
   }
 
+  test("pack: shard streams are gapless and window math is exact") {
+    // varying lengths so docs straddle window boundaries
+    val docs = (1L to 300L)
+      .map(i => (i, (1L to (i % 37 + 1)).map(j => s"w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Curation.packOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.length === 300)
+    val ctx = Curation.PackContext
+    for ((_, g) <- out.groupBy(_._1)) {
+      // intervals are contiguous from 0: each doc starts where the
+      // previous ended — concat-and-chunk never pads inside a shard
+      val sorted = g.sortBy(_._4)
+      assert(sorted.head._4 === 0L)
+      sorted.sliding(2).foreach {
+        case Array((_, _, n, s, _, _, _), (_, _, _, s2, _, _, _)) =>
+          assert(s2 === s + n)
+        case _ =>
+      }
+      for ((_, _, n, start, fw, off, nw) <- g) {
+        assert(fw === start / ctx && off === start % ctx)
+        assert(nw === (start + n - 1) / ctx - start / ctx + 1)
+        assert(nw >= 1)
+      }
+      // shard packing follows the epoch-0 shuffle read order
+      val order = Curation.shuffleOf(docs).filter(col("epoch") === 0)
+        .collect().map(r => (r.getLong(1), r.getInt(2), r.getLong(3)))
+        .filter(_._1 == g.head._1).sortBy(_._2).map(_._3).toSeq
+      assert(sorted.map(_._2).toSeq === order)
+    }
+  }
+
   test("fim: PSM reorder is lossless and the rate is hash-keyed") {
     val docs = (1L to 100L)
       .map(i => (i, s"abcdefghijklmnopqrstuvwxyz $i")).toDF("doc_id", "text")
