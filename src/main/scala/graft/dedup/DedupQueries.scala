@@ -531,7 +531,73 @@ object DedupQueries {
         max(col("span_grams")).as("longest_span_grams"))
   }
 
+  /** Gram width for [[substrQ]] — a duplicated substring must span at
+    * least this many tokens to be reported (Lee et al. use 50 BPE
+    * tokens at web scale; the synthetic corpus is short-doc).
+    */
+  val SubstrK = 8
+
+  /** EXACT duplicated-substring detection (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better" — the
+    * ExactSubstr pass, relationally): every [[SubstrK]]-token gram
+    * occurring ≥2 times in the corpus marks its positions duplicated;
+    * maximal runs of consecutive duplicated positions in a document
+    * are exactly its substrings of ≥ SubstrK tokens that appear
+    * elsewhere (either corpus-wide or repeated within the doc). Emits
+    * per affected document: span count, duplicated-gram count and
+    * fraction, and the longest duplicated extent in tokens.
+    *
+    * Complements the sampled channels: winnowing sees ~1/FpWin of
+    * grams, minhash sees none positionally — this pass is exact, and
+    * unlike every pair channel it is LINEAR by construction: the hot
+    * set is a grouped aggregate and the duplicate marking is a
+    * position-row left-semi join against it — no pair fan-out exists
+    * to cap, so boilerplate cannot blow it up (a gram shared by a
+    * million docs still marks each position exactly once).
+    */
+  def substrQ(s: SparkSession, d: String): DataFrame =
+    substrOf(Tables.documents(s, d))
+
+  def substrOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = SubstrK
+    val gramArr = transform(sequence(lit(0), size(col("w")) - n),
+      i => Hashing.hash60(concat_ws(" ",
+        (0 until n).map(k => element_at(col("w"), i + k + 1)): _*)))
+    // checkpoint before the fan-out (df aggregate + the semi join side)
+    val pos = graft.textanalysis.TextAnalysis.withWords(docs)
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), col("w"))
+      .select(col("doc_id"), gramArr.as("g"),
+        (size(col("w")) - (n - 1)).cast("long").as("total_grams"))
+      .select(col("doc_id"), col("total_grams"),
+        posexplode(col("g")).as(Seq("gpos", "h")))
+      .localCheckpoint(true)
+    val hot = pos.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select(col("h"))
+    val dup = pos.join(hot, Seq("h"), "left_semi")
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("gpos"))
+    val spans = dup
+      .withColumn("prev", lag(col("gpos"), 1).over(wOrd))
+      .withColumn("brk", when(col("prev").isNull ||
+        col("gpos") - col("prev") > 1, 1).otherwise(0))
+      .withColumn("span", sum(col("brk")).over(wOrd))
+      .groupBy(col("doc_id"), col("total_grams"), col("span"))
+      .agg(count(lit(1)).as("ng"),
+        (max(col("gpos")) - min(col("gpos")) + n).cast("long")
+          .as("span_tokens"))
+    spans.groupBy(col("doc_id"), col("total_grams"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("ng")).as("dup_grams"),
+        max(col("span_tokens")).as("longest_span_tokens"))
+      .select(col("doc_id"), col("n_spans"), col("dup_grams"),
+        col("longest_span_tokens"),
+        (floor(col("dup_grams").cast("double") /
+          col("total_grams").cast("double") * 10000 + 0.5) / 10000)
+          .as("dup_frac"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_substr" -> (substrQ _),
     "q_dedup_spans" -> (spansQ _),
     "q_dedup_winnow" -> (winnowPairsQ _),
     "q_dedup_fused" -> (fusedQ _),
@@ -564,7 +630,55 @@ object DedupQueries {
     (0 until n).map(k => s"w[i+${k + 1}]").mkString(" || ' ' || ")
   }
 
+  private val substrGramSql: String =
+    (0 until SubstrK).map(k => s"w[i+${k + 1}]").mkString(" || ' ' || ")
+
   val oracles: Map[String, String] = Map(
+    "q_dedup_substr" -> s"""
+      WITH wd AS (
+        SELECT doc_id, ${graft.textanalysis.TextAnalysis.wSql} AS w
+        FROM documents),
+      base AS (
+        SELECT doc_id, w, CAST(len(w) - ${SubstrK - 1} AS BIGINT)
+                 AS total_grams
+        FROM wd WHERE len(w) >= $SubstrK),
+      g AS (
+        SELECT doc_id, total_grams,
+               list_transform(range(len(w) - ${SubstrK - 1}),
+                 i -> $substrGramSql) AS g
+        FROM base),
+      hs AS (
+        SELECT doc_id, total_grams,
+               list_transform(g, x -> ${graft.functions.Hashing
+                 .hash60Sql("x")}) AS hs
+        FROM g),
+      pos AS (
+        SELECT doc_id, total_grams, i AS gpos, hs[i+1] AS h
+        FROM hs, unnest(range(len(hs))) t(i)),
+      hot AS (SELECT h FROM pos GROUP BY h HAVING count(*) >= 2),
+      dup AS (SELECT pos.* FROM pos JOIN hot USING (h)),
+      flagged AS (
+        SELECT doc_id, total_grams, gpos,
+               CASE WHEN lag(gpos) OVER w IS NULL
+                      OR gpos - lag(gpos) OVER w > 1
+                    THEN 1 ELSE 0 END AS brk
+        FROM dup
+        WINDOW w AS (PARTITION BY doc_id ORDER BY gpos)),
+      numbered AS (
+        SELECT doc_id, total_grams, gpos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY gpos) AS span
+        FROM flagged),
+      spans AS (
+        SELECT doc_id, total_grams, span, count(*) AS ng,
+               CAST(max(gpos) - min(gpos) + $SubstrK AS BIGINT)
+                 AS span_tokens
+        FROM numbered GROUP BY doc_id, total_grams, span)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+             CAST(sum(ng) AS BIGINT) AS dup_grams,
+             CAST(max(span_tokens) AS BIGINT) AS longest_span_tokens,
+             floor(CAST(sum(ng) AS DOUBLE) / CAST(total_grams AS DOUBLE)
+               * 10000 + CAST(0.5 AS DOUBLE)) / 10000 AS dup_frac
+      FROM spans GROUP BY doc_id, total_grams""",
     "q_dedup_spans" -> {
       val n = graft.textanalysis.TextAnalysis.FpN
       val win = graft.textanalysis.TextAnalysis.FpWin

@@ -120,6 +120,33 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(pairs.toSeq === Seq((200L, 201L, 1)))
   }
 
+  test("exact substring dedup: cross-doc and within-doc spans, exactly") {
+    // docs 1/2 share a 12-word block at different offsets; doc 3 is
+    // unrelated; doc 4 repeats its own 10-word half verbatim
+    val block = (0 until 12).map(i => s"bl$i").mkString(" ")
+    val half = (0 until 10).map(i => s"xx$i").mkString(" ")
+    val docs = Seq(
+      (1L, (0 until 9).map(i => s"pa$i").mkString(" ") + " " + block),
+      (2L, block + " " + (0 until 7).map(i => s"sb$i").mkString(" ")),
+      (3L, (0 until 30).map(i => s"zz$i").mkString(" ")),
+      (4L, half + " " + half))
+      .toDF("doc_id", "text")
+    val out = DedupQueries.substrOf(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    val k = DedupQueries.SubstrK // 8
+    // the shared 12-word block holds 12-8+1 = 5 duplicated grams in
+    // one run → one span of (4-0)+8 = 12 tokens, in both docs
+    val blockGrams = 12L - k + 1
+    assert(out(1L) === ((1L, blockGrams, 12L, 0.3571))) // 5/14 grams
+    assert(out(2L) === ((1L, blockGrams, 12L, 0.4167))) // 5/12 grams
+    assert(!out.contains(3L))
+    // "half half": grams 0-2 repeat at 10-12, boundary grams unique →
+    // two 3-gram runs of (2-0)+8 = 10 tokens each
+    assert(out(4L) === ((2L, 6L, 10L, 0.4615))) // 6/13 grams
+  }
+
   test("clone spans: a shared span is found with a faithful extent") {
     // doc 1 and 2 share a 30-word clone at DIFFERENT offsets, inside
     // unrelated surrounding text; doc 3 is unrelated entirely
