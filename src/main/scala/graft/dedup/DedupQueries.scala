@@ -561,17 +561,21 @@ object DedupQueries {
   def substrOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val n = SubstrK
-    val gramArr = transform(sequence(lit(0), size(col("w")) - n),
-      i => Hashing.hash60(concat_ws(" ",
-        (0 until n).map(k => element_at(col("w"), i + k + 1)): _*)))
-    // checkpoint before the fan-out (df aggregate + the semi join side)
+    // positions exploded FIRST, gram hash as a plain per-row projection
+    // after the Generate — an array-HOF building the gram hashes was
+    // measured 8× slower here (the generator re-evaluated the lambda
+    // per output row: 32.5 s vs 4.7 s at sf0.1). Checkpoint before the
+    // fan-out (df aggregate + the semi-join side).
     val pos = graft.textanalysis.TextAnalysis.withWords(docs)
       .filter(size(col("w")) >= n)
-      .select(col("doc_id"), col("w"))
-      .select(col("doc_id"), gramArr.as("g"),
+      .select(col("doc_id"), col("w"),
         (size(col("w")) - (n - 1)).cast("long").as("total_grams"))
-      .select(col("doc_id"), col("total_grams"),
-        posexplode(col("g")).as(Seq("gpos", "h")))
+      .select(col("doc_id"), col("total_grams"), col("w"),
+        explode(sequence(lit(0), size(col("w")) - n)).as("gpos"))
+      .select(col("doc_id"), col("total_grams"), col("gpos"),
+        Hashing.hash60(concat_ws(" ",
+          (0 until n).map(k =>
+            element_at(col("w"), col("gpos") + k + 1)): _*)).as("h"))
       .localCheckpoint(true)
     val hot = pos.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2).select(col("h"))
