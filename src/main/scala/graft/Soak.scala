@@ -21,7 +21,17 @@ import graft.xref.Xref
   * the exact-dedup stage must collapse the corpus back to ~1× before
   * the quadratic-ish near-dup stage ever sees it.
   *
-  * Usage: runMain graft.Soak [sfDir] [replicas] [xref|curate]
+  * A third mode soaks the batch near-dup screen under worst-case
+  * boilerplate: `runMain graft.Soak <sfDir> <replicas> dedup`
+  * replicates the corpus N× with a per-replica marker token appended —
+  * texts are near-identical but NOT byte-identical, so exact-dedup
+  * cannot collapse them and most replicas share minhash band keys.
+  * Without the r6 hot-bucket cap each shared bucket would emit k²/2
+  * pairs (12.5M+ from one signature at 10×); the soak reports how many
+  * buckets the cap dropped and that the capped pipeline's pair volume
+  * and wall time stay bounded.
+  *
+  * Usage: runMain graft.Soak [sfDir] [replicas] [xref|curate|dedup]
   */
 object Soak {
   def main(args: Array[String]): Unit = {
@@ -66,6 +76,43 @@ object Soak {
       return
     }
 
+    if (mode == "dedup") {
+      import graft.dedup.{Dedup, DedupQueries}
+      val docs = nearDupCorpus(spark, sfDir, replicas)
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val nDocs = docs.count()
+      val t0 = System.nanoTime()
+      val sh = DedupQueries.hashedShinglesOf(docs)
+        .repartition(col("doc_id"))
+      val sigs = sh.select(col("doc_id"), Dedup.minhashSigFromHashes(
+        col("hs"), DedupQueries.MinhashK).as("sig"))
+      val buckets = Dedup.lshBuckets(sigs, "doc_id",
+        DedupQueries.Bands, DedupQueries.RowsPerBand)
+      val hotAgg = buckets.groupBy(col("band"), col("key"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") > Dedup.LshBucketCap)
+        .agg(count(lit(1)).as("buckets"),
+          sum(expr("n * (n - 1) div 2")).as("pairs")).head
+      val hotBuckets = hotAgg.getLong(0)
+      // the pair volume those buckets would have emitted uncapped —
+      // what the cap prevented (upper bound; candidate distinct would
+      // collapse some across bands)
+      val preventedPairs = if (hotAgg.isNullAt(1)) 0L else hotAgg.getLong(1)
+      val cand = Dedup.lshCandidates(sigs, "doc_id",
+        DedupQueries.Bands, DedupQueries.RowsPerBand).count()
+      val verified = DedupQueries.lshPairsOf(docs).count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"""{"soak":"dedup","sf":"$sfDir","replicas":$replicas,""" +
+        f""""docs":$nDocs,"hot_buckets":$hotBuckets,""" +
+        f""""prevented_pairs":$preventedPairs,""" +
+        f""""cand_pairs":$cand,"verified_pairs":$verified,""" +
+        f""""wall_sec":$wall%.1f,""" +
+        f""""shuffle_write_mb":${shuffleWrite / 1e6}%.1f,""" +
+        f""""peak_stage_shuffle_mb":${peakStageWrite / 1e6}%.1f}""")
+      spark.stop()
+      return
+    }
+
     val stmts = corpus(spark, sfDir, replicas)
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val nStmts = stmts.count()
@@ -99,6 +146,23 @@ object Soak {
     val span = if (maxRow.isNullAt(0)) 1L else maxRow.getLong(0) + 1L
     (0 until replicas).map { i =>
       base.withColumn("doc_id", col("doc_id") + lit(i * span))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** N replicas with a per-replica marker token appended to every text:
+    * near-identical (most band signatures collide) but never
+    * byte-identical (exact dedup cannot collapse them) — the
+    * boilerplate worst case the hot-bucket cap exists for.
+    */
+  def nearDupCorpus(s: SparkSession, sfDir: String,
+      replicas: Int): DataFrame = {
+    val base = Tables.documents(s, sfDir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val maxRow = base.agg(max(col("doc_id"))).head
+    val span = if (maxRow.isNullAt(0)) 1L else maxRow.getLong(0) + 1L
+    (0 until replicas).map { i =>
+      base.withColumn("doc_id", col("doc_id") + lit(i * span))
+        .withColumn("text", concat(col("text"), lit(s" soakmarker$i")))
     }.reduce(_.unionByName(_))
   }
 
