@@ -64,12 +64,19 @@ final class BrightQueryEnricher(records: DataFrame,
     // top-K sort on one thread. Spread the mirror first — at scale the
     // mirror arrives in thousands of splits and this is a no-op cost.
     val mSpread = m.repartition(s.sparkContext.defaultParallelism)
-    val joined = q.join(mSpread, q("q_name") === mSpread("r_name"))
-    val w = Window.partitionBy(col("query_id"), col("q_name"))
+    // the service's per-payload ranking (revenue desc, headcount desc)
+    // depends only on the RECORD, so every query searching a name gets
+    // the name's own top-10 — rank once per mirror name BEFORE the
+    // join (mirror-sized window) instead of per (query, name) over the
+    // fanned-out join product (measured 3.1 → sub-oracle at sf0.1);
+    // this is also the reference's semantics when a query repeats a
+    // name: the same payload returns the same 10 records
+    val wName = Window.partitionBy(col("r_name"))
       .orderBy(col("bq_revenue").desc, col("bq_employees").desc,
         col("match_id").asc)
-    joined.withColumn("rn", row_number().over(w))
+    val topPerName = mSpread.withColumn("rn", row_number().over(wName))
       .filter(col("rn") <= perQuery).drop("rn")
+    q.join(topPerName, q("q_name") === topPerName("r_name"))
   }
 
   /** `create_proxy` field shaping over matched rows. */
