@@ -199,6 +199,9 @@ object WikidataQueries {
     scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String), DataFrame]
 
+  /** Drop cached snak tables (see graft.Caches). */
+  def clearCache(): Unit = snakCache.clear()
+
   /** Parsed snak table, materialized once per (session, dir) and shared
     * by the statement and relationship transforms — the "keep the
     * parsed dump" table both read.

@@ -32,6 +32,9 @@ object ResolverQueries {
     scoreCache.getOrElseUpdate((s, d),
       BlockerQueries.pairsAll(s, d).localCheckpoint(true))
 
+  /** Drop cached score tables (see graft.Caches). */
+  def clearCache(): Unit = scoreCache.clear()
+
   private def edges(s: SparkSession, d: String): DataFrame =
     pairScores(s, d).filter(col("score") >= PositiveThreshold)
       .select(col("lid").as("src"), col("rid").as("dst"))
