@@ -192,38 +192,49 @@ object Algorithms {
   }
 
   /** er-unstable (`matching/erun/model.py:45-126`): the dedupe
-    * regression. The reference loads trained scaler+LR coefficients from
-    * a pickle; here the coefficients are an exported constant vector
-    * over the same feature set (sign structure mirrors the trained
-    * model: name evidence positive, mismatch features negative).
+    * regression, scoring with the reference's SHIPPED trained model —
+    * the `er-unstable.pkl` scaler + LogisticRegressionCV coefficients
+    * transcribed to the [[ModelIO]] JSON interchange and folded at
+    * class-load (`w' = w/σ`, `b' = b − Σ w·μ/σ`), over the exact
+    * 21-feature roster in its published order (`erun/model.py:50-72`).
     */
   object ErUnstable extends Algo {
     val name = "er-unstable"
-    // the reference's full 21-feature roster (`erun/model.py:50-72`),
-    // in its order
-    val features: Seq[Feat] = Seq(
-      Feat("name_token_overlap", nameTokenOverlap, 2.0),
-      Feat("name_numbers", nameNumbers, 1.5),
-      Feat("legal_name_levenshtein", legalNameLevenshtein, 1.2),
-      Feat("person_name_levenshtein", personNameLevenshtein, 2.2),
-      Feat("org_name_levenshtein", orgNameLevenshtein, 2.0),
-      Feat("strong_identifier_match", strongIdentifierMatch, 2.5),
-      Feat("weak_identifier_match", weakIdentifierMatch, 1.2),
-      Feat("dob_match", dobMatch, 1.5),
-      Feat("dob_year_match", dobYearMatch, 0.8),
-      Feat("contact_match", contactMatch, 1.0),
-      Feat("family_name_match", familyNameMatch, 0.9),
-      Feat("birth_place", birthPlaceErun, 0.6),
-      Feat("gender_mismatch", genderMismatch, -1.0),
-      Feat("per_country_mismatch", perCountryMismatch, -0.7),
-      Feat("position_country_match", positionCountryMatch, 0.3),
-      Feat("org_country_mismatch", orgCountryMismatch, -0.7),
-      Feat("security_isin_mismatch", securityIsinMismatch, -1.5),
-      Feat("obj_name_levenshtein", objNameLevenshtein, 1.8),
-      Feat("address_match", addressOverlapMatch, 0.7),
-      Feat("address_number_overlap", addressNumberOverlap, 0.5),
-      Feat("address_number_disagreement", addressNumberDisagreement, -0.6))
-    val intercept: Double = -3.0
+    private val fns: Map[String, Features.Feature] = Map(
+      "name_token_overlap" -> nameTokenOverlap,
+      "name_numbers" -> nameNumbers,
+      "legal_name_levenshtein" -> legalNameLevenshtein,
+      "person_name_levenshtein" -> personNameLevenshtein,
+      "org_name_levenshtein" -> orgNameLevenshtein,
+      "strong_identifier_match" -> strongIdentifierMatch,
+      "weak_identifier_match" -> weakIdentifierMatch,
+      "dob_match" -> dobMatch,
+      "dob_year_match" -> dobYearMatch,
+      "contact_match" -> contactMatch,
+      "family_name_match" -> familyNameMatch,
+      "birth_place" -> birthPlaceErun,
+      "gender_mismatch" -> genderMismatch,
+      "per_country_mismatch" -> perCountryMismatch,
+      "position_country_match" -> positionCountryMatch,
+      "org_country_mismatch" -> orgCountryMismatch,
+      "security_isin_mismatch" -> securityIsinMismatch,
+      "obj_name_levenshtein" -> objNameLevenshtein,
+      "address_match" -> addressOverlapMatch,
+      "address_number_overlap" -> addressNumberOverlap,
+      "address_number_disagreement" -> addressNumberDisagreement)
+    private val model: ModelIO.ScaledModel = {
+      val in = getClass.getResourceAsStream(
+        "/graft/matching/er-unstable-reference.json")
+      require(in != null, "er-unstable-reference.json resource missing")
+      val json = try scala.io.Source.fromInputStream(in).mkString
+        finally in.close()
+      ModelIO.fromJson(json)
+    }
+    private val flat = model.flat
+    val features: Seq[Feat] = model.features.zip(flat.weights).map {
+      case (n, w) => Feat(n, fns(n), w)
+    }
+    val intercept: Double = flat.intercept
     def compute(scores: Map[String, Double]): Double = {
       val z = intercept + features
         .map(f => scores.getOrElse(f.name, 0.0) * f.weight).sum
