@@ -102,11 +102,18 @@ object Soak {
         DedupQueries.Bands, DedupQueries.RowsPerBand).count()
       val verified = DedupQueries.lshPairsOf(docs).count()
       val wall = (System.nanoTime() - t0) / 1e9
+      // the exact-substring pass under the same boilerplate: nearly
+      // every gram is duplicated 10×, but marking is a semi join —
+      // rows stay corpus-linear no matter the duplication factor
+      val t1 = System.nanoTime()
+      val substrDocs = DedupQueries.substrOf(docs).count()
+      val substrWall = (System.nanoTime() - t1) / 1e9
       println(f"""{"soak":"dedup","sf":"$sfDir","replicas":$replicas,""" +
         f""""docs":$nDocs,"hot_buckets":$hotBuckets,""" +
         f""""prevented_pairs":$preventedPairs,""" +
         f""""cand_pairs":$cand,"verified_pairs":$verified,""" +
         f""""wall_sec":$wall%.1f,""" +
+        f""""substr_docs":$substrDocs,"substr_wall_sec":$substrWall%.1f,""" +
         f""""shuffle_write_mb":${shuffleWrite / 1e6}%.1f,""" +
         f""""peak_stage_shuffle_mb":${peakStageWrite / 1e6}%.1f}""")
       spark.stop()
