@@ -58,6 +58,16 @@ object LangModel {
     */
   val LmTopV = 1000000L
 
+  /** Bigram rows kept per context term once the vocabulary cap has
+    * engaged: the term cap alone bounds bigrams only by |V|², so the
+    * pruned path also keeps the top-N continuations per context
+    * (count desc, term asc) — the table is then ≤ |V|·N rows BY
+    * CONSTRUCTION (1M × 64 worst case, far below real corpora's
+    * concentration; dropped bigrams back off like any unseen pair).
+    * Under the vocabulary cap nothing is pruned at all.
+    */
+  val LmBigramsPerContext = 64
+
   private def bucket = conv(substring(
     md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("long")
 
@@ -65,9 +75,13 @@ object LangModel {
     lmScoreOf(Tables.documents(s, d))
 
   def lmScoreOf(docs: DataFrame): DataFrame =
-    lmScoreOf(docs, LmTopV)
+    lmScoreOf(docs, LmTopV, LmBigramsPerContext)
 
-  def lmScoreOf(docs: DataFrame, topV: Long): DataFrame = {
+  def lmScoreOf(docs: DataFrame, topV: Long): DataFrame =
+    lmScoreOf(docs, topV, LmBigramsPerContext)
+
+  def lmScoreOf(docs: DataFrame, topV: Long,
+      bigramsPerContext: Int): DataFrame = {
     val base = TextAnalysis.withWords(docs)
       .filter(size(col("w")) > 0)
       .select(col("doc_id"), col("w"))
@@ -104,12 +118,19 @@ object LangModel {
         val keep = uniAll
           .orderBy(col("un").desc, col("term").asc).limit(topV.toInt)
           .select(col("term")).localCheckpoint(true)
+        val biKept = biAll.filter(col("prev").isNotNull)
+          .select(col("prev"), col("term"), col("bc"))
+          .join(keep, Seq("term"), "left_semi")
+          .join(keep.select(col("term").as("prev")), Seq("prev"),
+            "left_semi")
+        // |V|·N bound: top continuations per context (see
+        // LmBigramsPerContext) — a per-context window, never global
+        val wCtx = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("prev"))
+          .orderBy(col("bc").desc, col("term").asc)
         (uniAll.join(keep, Seq("term"), "left_semi"),
-          biAll.filter(col("prev").isNotNull)
-            .select(col("prev"), col("term"), col("bc"))
-            .join(keep, Seq("term"), "left_semi")
-            .join(keep.select(col("term").as("prev")), Seq("prev"),
-              "left_semi"))
+          biKept.withColumn("brn", row_number().over(wCtx))
+            .filter(col("brn") <= bigramsPerContext).drop("brn"))
       }
     val unPrev = uni.select(col("term").as("prev"), col("un").as("un_prev"))
     val pUni = coalesce(col("un").cast("double"), lit(OovCount)) /

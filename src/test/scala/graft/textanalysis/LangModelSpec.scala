@@ -74,6 +74,36 @@ class LangModelSpec extends AnyFunSuite {
     assert(out(heldId) === ((3L, avg(Seq(0.5, 0.4 * oov, 0.4 * oov)))))
   }
 
+  test("per-context bigram cap drops the weakest continuations only") {
+    val trainId = (1L to 200L).find(bucketOf(_) < LangModel.TrainBuckets).get
+    val heldId = (1L to 200L).find(bucketOf(_) >= LangModel.TrainBuckets).get
+    // train "a a a b a b c": un(a)=4 un(b)=2 un(c)=1 T=7; vocab 3 >
+    // topV=2 engages pruning (keeps a, b). Kept bigrams (a,a)=2,
+    // (a,b)=2, (b,a)=1; with 1 continuation per context, context 'a'
+    // keeps (a,a) (count tie, term asc) and drops (a,b) → backoff;
+    // context 'b' keeps its only (b,a).
+    val docs = Seq(
+      (trainId, "a a a b a b c", "en", "unit", 13L),
+      (heldId, "a b a", "en", "unit", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    def avg(ps: Seq[Double]) = BigDecimal(
+      ps.map(e6).sum.toDouble / (ps.size * 1e6))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val capped = LangModel.lmScoreOf(docs, topV = 2L, bigramsPerContext = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // held "a b a": p(a)=4/7, p(b|a) backs off (capped away) =
+    // .4·(2/7), p(a|b) = 1/2 (kept)
+    assert(capped(heldId) ===
+      ((3L, avg(Seq(4 / 7.0, 0.4 * 2 / 7.0, 0.5)))))
+    // same pruned vocabulary without the context cap: (a,b) scores 2/4
+    val uncapped = LangModel.lmScoreOf(docs, topV = 2L,
+      bigramsPerContext = 64)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(uncapped(heldId) === ((3L, avg(Seq(4 / 7.0, 2 / 4.0, 0.5)))))
+  }
+
   test("corpus invariants at sf0.001") {
     val out = LangModel.lmScoreQ(spark, "/root/testdata/sf0.001")
     val rows = out.collect()
