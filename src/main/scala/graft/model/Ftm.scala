@@ -74,7 +74,8 @@ object Ftm {
         }
       name -> Schema(name,
         isA = strings(s.get("extends")),
-        matchable = s.get("matchable").asBoolean(),
+        // absent flag = not matchable (the upstream model's default)
+        matchable = Option(s.get("matchable")).exists(_.asBoolean()),
         caption = strings(s.get("caption")),
         props = props,
         isAbstract = Option(s.get("abstract")).exists(_.asBoolean()),
