@@ -332,44 +332,56 @@ object NameMatchV2 {
       }
     }
     // Stage 1b — initials pairing: a single-letter part pairs with a
-    // part starting with that letter on the other side, but carries NO
-    // positive evidence (frozen run: "V. Putin" ~ "Vladimir Putin" →
-    // 0.50 — the initial consumes both parts at score 0, full weight,
-    // rather than rewarding or double-penalizing them as extras).
-    // An initial only consumes a full part that has no exact twin
-    // waiting on the other side, and only when the initial itself can't
-    // exact-match ("Frost, William W." ~ "William W Frost" must align
-    // w~w and william~william, not w~william).
-    // Lead initials ("V. Putin") consume at full weight (frozen 0.50 =
-    // 1/2 exact); mid-name initials ("Ali A. Velayati") at 0.7 (frozen
-    // 0.7407 = 2/2.7 exact).
-    def initWeight(p: String, parts: List[String]): Double =
-      if (parts.headOption.contains(p)) 1.0 else 0.7
-    def pairInitials(): Unit = {
+    // leftover part on the other side, but carries NO positive evidence
+    // (frozen run: "V. Putin" ~ "Vladimir Putin" → 0.50 — the initial
+    // consumes both parts at score 0, full weight, rather than
+    // rewarding or double-penalizing them as extras). Letter-matched
+    // consumption is preferred; a stranded initial then consumes ANY
+    // leftover long part letter-agnostically ("Hans O Friedrich" ~
+    // "Hans Joachim Friedrich" is the frozen 0.6667 = 2/3, identical to
+    // "Hans J" — rigour treats the o/Joachim residue as one conflicted
+    // slot, not two extras). An initial only consumes a full part that
+    // has no exact twin waiting on the other side, and only when the
+    // initial itself can't exact-match ("Frost, William W." ~ "William
+    // W Frost" must align w~w and william~william, not w~william).
+    // Weight 1.0, discounted to 0.7 when the initial is AMBIGUOUS —
+    // its letter also prefixes a part with an exact twin ("Ali A.
+    // Velayati" ~ "Ali Akbar Velayati": 'a' could be ali or akbar →
+    // frozen 0.7407 = 2/2.7; 'j' in "Hans J Friedrich" is unambiguous
+    // → frozen 0.6667 = 2/3).
+    def initWeight(p: String, own: List[String], other: List[String]): Double =
+      if (own.exists(o => o.length > 1 && o.head == p.head &&
+        other.contains(o))) 0.7
+      else 1.0
+    def pairInitials(letterMatched: Boolean): Unit = {
+      def consumes(init: String, full: String): Boolean =
+        full.length > 1 && (!letterMatched || full.head == init.head)
       for (qp <- qRem.distinct
            if qp.length == 1 && qp.head.isLetter && !rRem.contains(qp)) {
-        rRem.find(rp => rp.length > 1 && rp.head == qp.head &&
-            !qRem.contains(rp)).foreach { rp =>
-          if (qRem.contains(qp)) {
-            qRem = Features.remove1(qRem, qp)
-            rRem = Features.remove1(rRem, rp)
-            matches += Aligned(Some(qp), Some(rp), 0.0, initWeight(qp, qParts0))
+        rRem.find(rp => consumes(qp, rp) && !qRem.contains(rp))
+          .foreach { rp =>
+            if (qRem.contains(qp)) {
+              qRem = Features.remove1(qRem, qp)
+              rRem = Features.remove1(rRem, rp)
+              matches += Aligned(Some(qp), Some(rp), 0.0,
+                initWeight(qp, qParts0, rParts0))
+            }
           }
-        }
       }
       for (rp <- rRem.distinct
            if rp.length == 1 && rp.head.isLetter && !qRem.contains(rp)) {
-        qRem.find(qp => qp.length > 1 && qp.head == rp.head &&
-            !rRem.contains(qp)).foreach { qp =>
-          if (rRem.contains(rp)) {
-            qRem = Features.remove1(qRem, qp)
-            rRem = Features.remove1(rRem, rp)
-            matches += Aligned(Some(qp), Some(rp), 0.0, initWeight(rp, rParts0))
+        qRem.find(qp => consumes(rp, qp) && !rRem.contains(qp))
+          .foreach { qp =>
+            if (rRem.contains(rp)) {
+              qRem = Features.remove1(qRem, qp)
+              rRem = Features.remove1(rRem, rp)
+              matches += Aligned(Some(qp), Some(rp), 0.0,
+                initWeight(rp, rParts0, qParts0))
+            }
           }
-        }
       }
     }
-    pairInitials()
+    pairInitials(letterMatched = true)
     // Stage 2 — greedy fuzzy alignment of the residue. (No phonetic
     // credit here: the frozen run scores metaphone-equal-but-distinct
     // names like Tom~Tim at zero; its Husayn~Hussein credit comes from
@@ -392,6 +404,11 @@ object NameMatchV2 {
         matches += Aligned(Some(qp), Some(rp), s, w)
       }
     }
+    // letter-agnostic initial consumption runs AFTER the fuzzy
+    // alignment: only genuinely leftover long parts may be consumed —
+    // before it, the stray 'a' in "Thomas A. Lindeman" would steal
+    // "Lindemann" from its fuzzy twin
+    pairInitials(letterMatched = false)
     // Stage 3 — extras with per-category bias (weight_extra_match):
     // stopwords 0.5, org classes/SYMBOL words 0.7, locations 0.8,
     // numerals 1.3, everything else 1.0.
