@@ -15,6 +15,8 @@ import graft.textanalysis.{Curation, LangModel, TextAnalysis}
   *   3. LM perplexity gate (stupid-backoff bigram LM, `--min-logp`)
   *   4. near-dup removal   (MinHash-LSH pairs → components → survivor)
   *   5. shard assignment   (content-keyed hash shard, no global sort)
+  *   6. sequence packing   (per-shard 256-token context windows — the
+  *                          training-ready layout, Curation.packOf)
   *
   * Order matters and mirrors production pipelines: exact dedup first
   * (cheapest, biggest shrink on crawled data), heuristic gates before
@@ -37,12 +39,14 @@ object CurateMain {
 
   final case class Report(input: Long, afterExact: Long,
       unscoreable: Long, afterQuality: Long,
-      afterLm: Long, afterNearDup: Long, shards: Int) {
+      afterLm: Long, afterNearDup: Long, shards: Int,
+      packWindows: Long) {
     def json: String =
       s"""{"input": $input, "after_exact_dedup": $afterExact,
          | "unscoreable_no_tokens": $unscoreable,
          | "after_quality": $afterQuality, "after_lm": $afterLm,
-         | "after_near_dup": $afterNearDup, "shards": $shards}"""
+         | "after_near_dup": $afterNearDup, "shards": $shards,
+         | "pack_windows": $packWindows}"""
         .stripMargin.replace("\n", "")
   }
 
@@ -97,12 +101,21 @@ object CurateMain {
       .localCheckpoint(true)
     val nNear = nearKept.count()
 
-    // 5. shard assignment — content-keyed, map-only (epoch 0 of the
-    //    q_doc_shuffle scheme, same key expression)
-    val curated = nearKept.withColumn("shard",
-      pmod(Curation.shuffleKey(lit(0)), lit(Curation.ShuffleShards.toLong)))
+    // 5+6. shard assignment + sequence packing — Curation.packOf keys
+    //    its shards on the SAME epoch-0 content hash, so its shard
+    //    column IS stage 5's assignment, and the pack columns lay the
+    //    kept corpus out as per-shard 256-token context windows (the
+    //    training-ready layout). Quality-gated docs always have words,
+    //    so the inner join drops nothing.
+    val packed = Curation.packOf(nearKept)
+    val curated = nearKept.join(packed, Seq("doc_id"))
+    val nWindows = packed
+      .select((expr(s"(start_tok + n_tokens + ${Curation.PackContext - 1}) " +
+        s"div ${Curation.PackContext}")).as("w"), col("shard"))
+      .groupBy(col("shard")).agg(max(col("w")).as("w"))
+      .agg(sum(col("w"))).head.getLong(0)
     (curated, Report(input, nExact, nUnscoreable, nQual, nLm, nNear,
-      Curation.ShuffleShards))
+      Curation.ShuffleShards, nWindows))
   }
 
   def main(args: Array[String]): Unit = {
