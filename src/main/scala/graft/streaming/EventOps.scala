@@ -52,6 +52,45 @@ object EventOps {
         min(col("ts_ns")).as("first_ns"),
         max(col("ts_ns")).as("last_ns"))
 
+  /** Ordered funnel completion (view → click → purchase), the classic
+    * product-analytics sequence query: per user, the EARLIEST view,
+    * the earliest click strictly after that view, and the earliest
+    * purchase strictly after that click — each stage must follow the
+    * previous stage's chosen event, not merely exist. Emits the stage
+    * reached (1–3) and the view→purchase conversion time in whole
+    * seconds for completers.
+    *
+    * Scale shape: three single-type aggregates chained by equi-joins
+    * on user_id — each stage scans only its event type (predicate
+    * pushdown on event_type), every shuffle is user-keyed and
+    * stage-output-sized (≤ one row per user), no window over the raw
+    * stream and no state beyond the per-user minima.
+    */
+  def funnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts_ns"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_ns")).as("view_ns"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("ts_ns") > col("view_ns"))
+      .groupBy(col("user_id")).agg(min(col("ts_ns")).as("click_ns"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("ts_ns") > col("click_ns"))
+      .groupBy(col("user_id")).agg(min(col("ts_ns")).as("purchase_ns"))
+    v.join(c, Seq("user_id"), "left_outer")
+      .join(p, Seq("user_id"), "left_outer")
+      .select(col("user_id"), col("view_ns"), col("click_ns"),
+        col("purchase_ns"),
+        when(col("purchase_ns").isNotNull, 3)
+          .when(col("click_ns").isNotNull, 2)
+          .otherwise(1).as("reached"),
+        when(col("purchase_ns").isNotNull,
+          expr("(purchase_ns - view_ns) div 1000000000"))
+          .as("conv_secs"))
+  }
+
   /** ADD/MOD/DEL change feed between two halves of the event window —
     * the reference's delta semantics (`delta.py:1-4`) computed as one
     * full outer join of per-entity aggregates.
@@ -81,9 +120,36 @@ object EventOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_evt_sessionize" -> (sessionize _),
     "q_evt_user_stats" -> (userStats _),
+    "q_evt_funnel" -> (funnel _),
     "q_evt_delta" -> (deltaOps _))
 
   val oracles: Map[String, String] = Map(
+    "q_evt_funnel" -> """
+      WITH ev AS (
+        SELECT user_id, event_type, epoch_ns(ts) AS ts_ns FROM events),
+      v AS (
+        SELECT user_id, min(ts_ns) AS view_ns FROM ev
+        WHERE event_type = 'view' GROUP BY user_id),
+      c AS (
+        SELECT e.user_id, min(e.ts_ns) AS click_ns
+        FROM ev e JOIN v USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts_ns > v.view_ns
+        GROUP BY e.user_id),
+      p AS (
+        SELECT e.user_id, min(e.ts_ns) AS purchase_ns
+        FROM ev e JOIN c USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts_ns > c.click_ns
+        GROUP BY e.user_id)
+      SELECT v.user_id, v.view_ns, c.click_ns, p.purchase_ns,
+             CAST(CASE WHEN p.purchase_ns IS NOT NULL THEN 3
+                       WHEN c.click_ns IS NOT NULL THEN 2
+                       ELSE 1 END AS INTEGER) AS reached,
+             CASE WHEN p.purchase_ns IS NOT NULL
+                  THEN (p.purchase_ns - v.view_ns) // 1000000000
+                  END AS conv_secs
+      FROM v
+      LEFT JOIN c USING (user_id)
+      LEFT JOIN p USING (user_id)""",
     "q_evt_sessionize" -> s"""
       SELECT user_id, session_no, count(*) AS n_events,
              min(ts_ns) AS start_ns, max(ts_ns) AS end_ns,
