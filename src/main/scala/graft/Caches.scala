@@ -19,5 +19,25 @@ object Caches {
     similarity.SimilarityQueries.clearCache()
     dedup.DedupQueries.clearCache()
     textanalysis.Bpe.clearCache()
+    IndexLake.clearMemo()
+  }
+
+  /** Build and publish every stored-index artifact for a data dir —
+    * the ingest step of the 100 TB pipeline (run once when data lands;
+    * every query session after that reads the artifacts). Each call
+    * below is read-or-build, so re-running on an unchanged dir is a
+    * no-op; a regenerated dir re-keys the fingerprint and rebuilds.
+    */
+  def ensureAll(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    blocker.BlockerQueries.entriesCk(s, d)
+    blocker.BlockerQueries.tfCk(s, d)
+    resolver.ResolverQueries.pairScoresCk(s, d)
+    enrich.WikidataQueries.snakCk(s, d)
+    similarity.KMeans.trainedCentroids(s, d)
+    similarity.Pq.indexCk(s, d)
+    similarity.SimilarityQueries.nearPreparedCk(s, d)
+    dedup.DedupQueries.fpSetsCk(s, d)
+    dedup.DedupQueries.fpPosCk(s, d)
+    textanalysis.Bpe.trainedMergesCk(s, d)
   }
 }

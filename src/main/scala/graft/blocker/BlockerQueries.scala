@@ -26,18 +26,14 @@ object BlockerQueries {
   def entries(s: SparkSession, d: String): DataFrame =
     Blocker.entries(StarStatements(s, d), cfg)
 
-  /** The entries table, materialized once per (session, dir) — the
-    * reference persists `entries` as a DuckDB TABLE before any
-    * frequency work (`blocker/index.py:148-195`); without this every
-    * TF-derived query re-tokenizes the corpus, and the first
-    * alphabetical bench query to touch the TF chain (q_blk_match_topk)
-    * gets billed for the whole tokenize.
+  /** The entries table as a lake artifact — the reference persists
+    * `entries` as a DuckDB TABLE before any frequency work
+    * (`blocker/index.py:148-195`); without this every TF-derived query
+    * re-tokenizes the corpus. Built once per data dir and published via
+    * [[graft.IndexLake]]; every later session reads the parquet.
     */
-  private val entriesCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-
   def entriesCk(s: SparkSession, d: String): DataFrame =
-    entriesCache.getOrElseUpdate((s, d), entries(s, d).localCheckpoint(true))
+    graft.IndexLake.artifact(s, d, "blocker_entries")(entries(s, d))
 
   def tokenStats(s: SparkSession, d: String): DataFrame =
     Blocker.tokenStats(entriesCk(s, d))
@@ -67,23 +63,17 @@ object BlockerQueries {
   def tf(s: SparkSession, d: String): DataFrame =
     Blocker.termFrequencies(entriesCk(s, d), compatDf(s), boostsDf(s), cfg)
 
-  /** The term-frequency index, materialized once per (session, dir) —
-    * the DataFrame analogue of the reference persisting
-    * `term_frequencies` as a DuckDB TABLE (`blocker/index.py:504-531`)
-    * and running every downstream query against it. Without this, each
-    * of the ~14 blocker-derived driver queries re-tokenizes the corpus.
+  /** The term-frequency index as a lake artifact — the DataFrame
+    * analogue of the reference persisting `term_frequencies` as a
+    * DuckDB TABLE (`blocker/index.py:504-531`) and running every
+    * downstream query against it. Without this, each of the ~14
+    * blocker-derived driver queries re-tokenizes the corpus.
     */
-  private val tfCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-
   def tfCk(s: SparkSession, d: String): DataFrame =
-    tfCache.getOrElseUpdate((s, d), tf(s, d).localCheckpoint(true))
+    graft.IndexLake.artifact(s, d, "blocker_tf")(tf(s, d))
 
-  /** Drop cached TF indexes (long-lived sessions iterating many dirs
-    * would otherwise pin every checkpoint for the session's lifetime,
-    * and a regenerated dir would keep serving its stale index).
-    */
-  def clearTfCache(): Unit = { tfCache.clear(); entriesCache.clear() }
+  /** Drop the in-session artifact memo (see graft.IndexLake). */
+  def clearTfCache(): Unit = graft.IndexLake.clearMemo()
 
   def tfRounded(s: SparkSession, d: String): DataFrame =
     tf(s, d).withColumn("weight", round(col("weight"), 6))

@@ -426,32 +426,26 @@ object DedupQueries {
     * pair aggregate; no fingerprint can fan out more than
     * [[WinnowDfCap]]².
     */
-  // localCheckpoint, not repartition, for the fingerprint tables: the
+  // Lake artifacts, not lineage, for the fingerprint tables: the
   // build is a staged HOF pipeline fanned out FIVE ways (explode ×2 via
   // the rare self-join, the df aggregate, both jaccard set sides) —
   // lineage reuse re-inlines the staged projections per consumer and
   // the plan goes quadratic (measured: subset verify 200+ s at sf0.01
-  // vs ~2 s checkpointed). Cached per (session, sfDir) because the
-  // winnow + spans queries share them and at lake scale the fingerprint
-  // table is a materialized ingest artifact anyway (the PQ-codes /
-  // banded-corpus / blocker-TF pattern).
-  private val fpSetsCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), DataFrame]
-  private val fpPosCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), DataFrame]
-
-  private def fpSetsCk(s: SparkSession, d: String): DataFrame =
-    fpSetsCache.getOrElseUpdate((s, d),
+  // vs ~2 s materialized). The winnow + spans queries share them, and
+  // at lake scale the fingerprint table IS a materialized ingest
+  // artifact (the PQ-codes / banded-corpus / blocker-TF pattern).
+  def fpSetsCk(s: SparkSession, d: String): DataFrame =
+    graft.IndexLake.artifact(s, d, "fp_sets")(
       graft.textanalysis.TextAnalysis.fingerprintSets(
-        Tables.documents(s, d)).localCheckpoint(true))
+        Tables.documents(s, d)))
 
-  private def fpPosCk(s: SparkSession, d: String): DataFrame =
-    fpPosCache.getOrElseUpdate((s, d),
+  def fpPosCk(s: SparkSession, d: String): DataFrame =
+    graft.IndexLake.artifact(s, d, "fp_pos")(
       graft.textanalysis.TextAnalysis.fingerprintPositions(
-        Tables.documents(s, d)).localCheckpoint(true))
+        Tables.documents(s, d)))
 
-  /** Drop cached fingerprint tables (see BlockerQueries.clearTfCache). */
-  def clearCache(): Unit = { fpSetsCache.clear(); fpPosCache.clear() }
+  /** Drop the in-session artifact memo (see graft.IndexLake). */
+  def clearCache(): Unit = graft.IndexLake.clearMemo()
 
   def winnowPairsQ(s: SparkSession, d: String): DataFrame = {
     val fps = fpSetsCk(s, d)

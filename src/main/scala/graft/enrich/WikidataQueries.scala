@@ -195,20 +195,16 @@ object WikidataQueries {
     * At scale this is the "parse the dump once, keep the snak table"
     * step — a real pipeline would write it to Parquet.
     */
-  private val snakCache =
-    scala.collection.concurrent.TrieMap
-      .empty[(SparkSession, String), DataFrame]
+  /** Drop the in-session artifact memo (see graft.IndexLake). */
+  def clearCache(): Unit = graft.IndexLake.clearMemo()
 
-  /** Drop cached snak tables (see graft.Caches). */
-  def clearCache(): Unit = snakCache.clear()
-
-  /** Parsed snak table, materialized once per (session, dir) and shared
-    * by the statement and relationship transforms — the "keep the
-    * parsed dump" table both read.
+  /** Parsed snak table as a lake artifact, shared by the statement and
+    * relationship transforms — the "parse the dump once, keep the snak
+    * table" step made literal: one parquet per data dir, parsed JSON
+    * never touched again.
     */
   def snakCk(s: SparkSession, d: String): DataFrame =
-    snakCache.getOrElseUpdate((s, d),
-      Wikidata.parse(docs(s, d)).localCheckpoint(true))
+    graft.IndexLake.artifact(s, d, "wd_snaks")(Wikidata.parse(docs(s, d)))
 
   def statementsQ(s: SparkSession, d: String): DataFrame =
     Wikidata.statements(snakCk(s, d))

@@ -20,20 +20,20 @@ object ResolverQueries {
   val SuggestLo = 10.0
   val NegLo = 5.0
 
-  /** All scored candidate pairs (no top-N cut — the resolver consumes the
-    * full score table, thresholds are the decision rule). Materialized
-    * once per (session, dir): eight resolver queries consume this table,
-    * exactly like the reference's resolver reads one edge/score store.
+  /** All scored candidate pairs (no top-N cut — the resolver consumes
+    * the full score table, thresholds are the decision rule) as a lake
+    * artifact: eight resolver queries consume this table, exactly like
+    * the reference's resolver reads one edge/score store.
     */
-  private val scoreCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  def pairScoresCk(s: SparkSession, d: String): DataFrame =
+    graft.IndexLake.artifact(s, d, "resolver_scores")(
+      BlockerQueries.pairsAll(s, d))
 
   private def pairScores(s: SparkSession, d: String): DataFrame =
-    scoreCache.getOrElseUpdate((s, d),
-      BlockerQueries.pairsAll(s, d).localCheckpoint(true))
+    pairScoresCk(s, d)
 
-  /** Drop cached score tables (see graft.Caches). */
-  def clearCache(): Unit = scoreCache.clear()
+  /** Drop the in-session artifact memo (see graft.IndexLake). */
+  def clearCache(): Unit = graft.IndexLake.clearMemo()
 
   private def edges(s: SparkSession, d: String): DataFrame =
     pairScores(s, d).filter(col("score") >= PositiveThreshold)

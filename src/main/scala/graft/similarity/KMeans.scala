@@ -85,20 +85,17 @@ object KMeans {
         round(Similarity.norm(col("nv")), 5).as("norm"))
   }
 
-  private val centCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), DataFrame]
-
   /** Trained IVF centroids: [[IvfIterations]] Lloyd steps from the
     * seeded positions, driver-looped with a checkpoint per step (the
     * BPE pattern — lineage would otherwise stack an n×C product per
-    * iteration), cached per (session, sfDir) like the blocker's TF
+    * iteration), published as a lake artifact like the blocker's TF
     * index: an IVF index is trained once per corpus, then every query
     * probes it. Fixed-point sums make the result bit-identical on any
     * partitioning — which is what lets the DuckDB oracle re-derive the
     * same centroids by unrolling the same [[IvfIterations]] steps.
     */
   def trainedCentroids(s: SparkSession, d: String): DataFrame =
-    centCache.getOrElseUpdate((s, d), {
+    graft.IndexLake.artifact(s, d, "ivf_centroids") {
       val p = Similarity.prepared(s, d)
       var cent = seededCentroids(p)
       for (_ <- 0 until IvfIterations)
@@ -107,10 +104,10 @@ object KMeans {
             Similarity.norm(col("nv")).as("cnrm"))
           .localCheckpoint(true)
       cent
-    })
+    }
 
-  /** Drop cached trained centroids (see BlockerQueries.clearTfCache). */
-  def clearCache(): Unit = centCache.clear()
+  /** Drop the in-session artifact memo (see graft.IndexLake). */
+  def clearCache(): Unit = graft.IndexLake.clearMemo()
 
   // ---------------------------------------------------------------- oracle
 

@@ -107,25 +107,23 @@ object Pq {
         floor(sqDist(col("sv"), col("cv")) * lit(1e6) + lit(0.5))
           .cast("long").as("pd6"))
 
-  private val codesCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), (DataFrame, DataFrame)]
-
   /** The stored PQ index: (codebook, per-vector codes), built once per
-    * (session, sfDir) and checkpointed — the lake pattern (the blocker
-    * TF index, KMeans.trainedCentroids): a production corpus encodes
-    * its vectors once at ingest and every query scans the stored
-    * codes; re-deriving the n×M subvector explode per query was the
-    * whole measured cost of the PQ family (2.7× its oracle at sf0.1).
+    * data dir and published as two lake artifacts — the production
+    * pattern: a corpus encodes its vectors once at ingest and every
+    * query scans the stored codes; re-deriving the n×M subvector
+    * explode per query was the whole measured cost of the PQ family
+    * (2.7× its oracle at sf0.1).
     */
-  def indexCk(s: SparkSession, d: String): (DataFrame, DataFrame) =
-    codesCache.getOrElseUpdate((s, d), {
-      val p = Similarity.prepared(s, d)
-      val codebook = codebookOf(p).localCheckpoint(true)
-      (codebook, encoded(p, codebook).localCheckpoint(true))
-    })
+  def indexCk(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val codebook = graft.IndexLake.artifact(s, d, "pq_codebook")(
+      codebookOf(Similarity.prepared(s, d)))
+    val codes = graft.IndexLake.artifact(s, d, "pq_codes")(
+      encoded(Similarity.prepared(s, d), codebook))
+    (codebook, codes)
+  }
 
-  /** Drop cached PQ indexes (see BlockerQueries.clearTfCache). */
-  def clearCache(): Unit = codesCache.clear()
+  /** Drop the in-session artifact memo (see graft.IndexLake). */
+  def clearCache(): Unit = graft.IndexLake.clearMemo()
 
   /** ADC top-k: sum of fixed-point table lookups, ranked ascending. */
   def pqTopK(s: SparkSession, d: String): DataFrame = {

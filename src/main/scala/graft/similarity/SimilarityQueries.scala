@@ -53,20 +53,20 @@ object SimilarityQueries {
       .repartition(col("vec_id"))
   }
 
-  private val nearCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), DataFrame]
-
-  /** [[nearPrepared]] materialized once per (session, sfDir) — the
-    * banded corpus is a stored index artifact at scale (vectors are
-    * signed against the hyperplanes at ingest, like PQ codes and the
-    * blocker TF table), and three queries (embed-near, q8-near, fused
-    * dedup) would otherwise each re-sign the corpus.
+  /** [[nearPrepared]] as a lake artifact — the banded corpus is a
+    * stored index at scale (vectors are signed against the hyperplanes
+    * at ingest, like PQ codes and the blocker TF table), and three
+    * queries (embed-near, q8-near, fused dedup) would otherwise each
+    * re-sign the corpus. The read re-applies the `vec_id` repartition
+    * so each consuming plan still pins ONE Exchange that ReuseExchange
+    * shares across the banding branch and both verify sides.
     */
   def nearPreparedCk(s: SparkSession, d: String): DataFrame =
-    nearCache.getOrElseUpdate((s, d), nearPrepared(s, d).localCheckpoint(true))
+    graft.IndexLake.artifact(s, d, "near_banded")(nearPrepared(s, d))
+      .repartition(col("vec_id"))
 
-  /** Drop cached banded corpora (see BlockerQueries.clearTfCache). */
-  def clearCache(): Unit = nearCache.clear()
+  /** Drop the in-session artifact memo (see graft.IndexLake). */
+  def clearCache(): Unit = graft.IndexLake.clearMemo()
 
   /** Band-equality candidate pairs (a < b, distinct) — never an
     * all-pairs join; shared by the fp and int8 verify paths.

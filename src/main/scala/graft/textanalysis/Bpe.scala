@@ -130,16 +130,26 @@ object Bpe {
   private val mergeCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), Seq[(String, String)]]
 
-  /** [[trainMerges]] once per (session, sfDir) — a tokenizer is trained
-    * once per corpus and then applied everywhere (the stored-index
-    * pattern of the PQ codes / trained IVF centroids).
+  /** [[trainMerges]] once per corpus, the ordered merge list published
+    * as a tiny `(rnk, a, b)` lake artifact — a tokenizer is trained
+    * once and then applied everywhere (the stored-index pattern of the
+    * PQ codes / trained IVF centroids); a later session folds the
+    * stored chain without re-running the sequential trainer.
     */
   def trainedMergesCk(s: SparkSession, d: String): Seq[(String, String)] =
-    mergeCache.getOrElseUpdate((s, d),
-      trainMerges(vocabulary(Tables.documents(s, d)), TopMerges))
+    mergeCache.getOrElseUpdate((s, d), {
+      val df = graft.IndexLake.artifact(s, d, "bpe_merges") {
+        import s.implicits._
+        trainMerges(vocabulary(Tables.documents(s, d)), TopMerges)
+          .zipWithIndex.map { case ((a, b), i) => (i, a, b) }
+          .toDF("rnk", "a", "b")
+      }
+      df.orderBy(col("rnk")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+    })
 
-  /** Drop cached merge lists (see BlockerQueries.clearTfCache). */
-  def clearCache(): Unit = mergeCache.clear()
+  /** Drop cached merge lists (see graft.IndexLake). */
+  def clearCache(): Unit = { mergeCache.clear(); graft.IndexLake.clearMemo() }
 
   // --------------------------------------------------------------- encode
 

@@ -1,20 +1,71 @@
 package graft
 
+import java.nio.file.{Files, Paths}
+
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The central cache switch: clearing must be safe mid-session — every
-  * cached index rebuilds on next use with identical results.
+/** The stored-index lake: artifacts publish to disk once, later
+  * sessions read them, clearing/invalidation is safe mid-session —
+  * every index rebuilds on next use with identical results.
   */
 class CachesSpec extends AnyFunSuite {
   import SparkSpec.spark
 
+  val dir = "/root/testdata/sf0.001"
+
   test("clearAll drops and rebuilds every stored-index cache") {
-    val dir = "/root/testdata/sf0.001"
     val ivf = similarity.SimilarityQueries.queries("q_sim_ivf")
     val pairs = dedup.DedupQueries.queries("q_dedup_winnow")
     val before = (ivf(spark, dir).count(), pairs(spark, dir).count())
     Caches.clearAll()
     val after = (ivf(spark, dir).count(), pairs(spark, dir).count())
     assert(before === after)
+  }
+
+  test("ensureAll publishes on-disk artifacts; reads match rebuilds") {
+    val tmp = Files.createTempDirectory("graft-index-spec").toString
+    val prev = sys.props.get("graft.index.dir")
+    sys.props.put("graft.index.dir", tmp)
+    Caches.clearAll()
+    try {
+      Caches.ensureAll(spark, dir)
+      val fp = IndexLake.fingerprint(dir)
+      val names = Seq("blocker_entries", "blocker_tf", "resolver_scores",
+        "wd_snaks", "ivf_centroids", "pq_codebook", "pq_codes",
+        "near_banded", "fp_sets", "fp_pos", "bpe_merges")
+      for (n <- names)
+        assert(Files.exists(Paths.get(tmp, fp, n, "_SUCCESS")),
+          s"artifact $n not published")
+      // a fresh memo (new session would do the same) reads the artifact
+      // and the result matches a from-scratch rebuild bit-for-bit
+      val viaDisk = blocker.BlockerQueries.tfCk(spark, dir)
+        .orderBy("field", "token", "id").collect().toSeq
+      IndexLake.clearMemo()
+      val reread = blocker.BlockerQueries.tfCk(spark, dir)
+        .orderBy("field", "token", "id").collect().toSeq
+      assert(viaDisk === reread)
+      val rebuilt = blocker.BlockerQueries.tf(spark, dir)
+        .orderBy("field", "token", "id").collect().toSeq
+      assert(viaDisk === rebuilt)
+      // invalidate wipes the fingerprint dir; next touch republishes
+      IndexLake.invalidate(dir)
+      assert(!Files.exists(Paths.get(tmp, fp, "blocker_tf", "_SUCCESS")))
+      blocker.BlockerQueries.tfCk(spark, dir).count()
+      assert(Files.exists(Paths.get(tmp, fp, "blocker_tf", "_SUCCESS")))
+    } finally {
+      prev match {
+        case Some(v) => sys.props.put("graft.index.dir", v)
+        case None => sys.props.remove("graft.index.dir")
+      }
+      Caches.clearAll()
+      IndexLake.invalidate(dir) // no-op under the restored root
+    }
+  }
+
+  test("fingerprint tracks data-dir content") {
+    val a = IndexLake.fingerprint(dir)
+    assert(a === IndexLake.fingerprint(dir), "fingerprint is stable")
+    assert(a !== IndexLake.fingerprint("/root/testdata/sf0.01"),
+      "different dirs key different artifact sets")
   }
 }
