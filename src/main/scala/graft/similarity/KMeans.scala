@@ -28,18 +28,17 @@ import graft.Tables
   */
 object KMeans {
 
-  val CentroidMod: Int = SimilarityQueries.CentroidMod
-
   /** Lloyd steps folded into [[trainedCentroids]] — the N the IVF index
     * build pays once per corpus (the BPE-style driver loop).
     */
   val IvfIterations = 2
 
-  /** Seeded centroids (every [[CentroidMod]]-th vector) as (cid, cv,
+  /** Seeded centroids (every mod-th vector, mod = n÷⌊√n⌋ →
+    * C ≈ √n lists — [[SimilarityQueries.centroidMod]]) as (cid, cv,
     * cnrm) — iteration 0 of the trainer and the SemDedup partitioner.
     */
-  def seededCentroids(p: DataFrame): DataFrame =
-    p.filter(col("vec_id") % CentroidMod === 0)
+  def seededCentroids(p: DataFrame, mod: Int): DataFrame =
+    p.filter(col("vec_id") % mod === 0)
       .select(col("vec_id").as("cid"), col("v").as("cv"),
         col("nrm").as("cnrm"))
 
@@ -76,7 +75,7 @@ object KMeans {
 
   def lloydQ(s: SparkSession, d: String): DataFrame = {
     val p = Similarity.prepared(s, d)
-    val cent = seededCentroids(p)
+    val cent = seededCentroids(p, SimilarityQueries.centroidMod(s, d))
     // report each centroid's movement: cosine(old, new) and the new norm
     lloydStep(p, cent).join(broadcast(cent), Seq("cid"))
       .select(col("cid"), col("n_members"),
@@ -97,7 +96,7 @@ object KMeans {
   def trainedCentroids(s: SparkSession, d: String): DataFrame =
     graft.IndexLake.artifact(s, d, "ivf_centroids") {
       val p = Similarity.prepared(s, d)
-      var cent = seededCentroids(p)
+      var cent = seededCentroids(p, SimilarityQueries.centroidMod(s, d))
       for (_ <- 0 until IvfIterations)
         cent = lloydStep(p, cent)
           .select(col("cid"), col("nv").as("cv"),
@@ -118,7 +117,7 @@ object KMeans {
     "q_sim_kmeans" -> (SimilarityQueries.ctePrefix + s"""
       , cents AS (
         SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM normed
-        WHERE vec_id % $CentroidMod = 0
+        WHERE vec_id % ${SimilarityQueries.CentroidModSql} = 0
       ),
       asg AS (
         SELECT n.vec_id, n.v, c.cid,

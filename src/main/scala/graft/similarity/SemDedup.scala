@@ -41,7 +41,8 @@ object SemDedup {
 
   def semdedupQ(s: SparkSession, d: String): DataFrame = {
     val p = Similarity.prepared(s, d)
-    val cent = SimilarityQueries.ivfCentroids(p)
+    val cent = SimilarityQueries.ivfCentroids(p,
+      SimilarityQueries.centroidMod(s, d))
     // nearest-centroid argmax keeping the winning cosine (ties → min cid)
     val asg = p.crossJoin(cent)
       .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
@@ -89,7 +90,7 @@ object SemDedup {
     "q_sim_semdedup" -> (SimilarityQueries.ctePrefix + s"""
       , cents AS (
         SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM normed
-        WHERE vec_id % ${SimilarityQueries.CentroidMod} = 0),
+        WHERE vec_id % ${SimilarityQueries.CentroidModSql} = 0),
       csims AS (
         SELECT n.vec_id, n.v, n.nrm, c.cid,
                list_sum(list_transform(list_zip(n.v, c.cv),

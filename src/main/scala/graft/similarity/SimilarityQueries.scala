@@ -136,23 +136,43 @@ object SimilarityQueries {
       .filter(col("cos8") >= NearThreshold)
   }
 
-  // IVF: every ~37th vector seeds a centroid (C ≈ n/37 at test SF,
-  // ~sqrt(n) in production), then KMeans.trainedCentroids adapts the
-  // seeds with Lloyd iterations. Measured top-10 recall at sf0.01
-  // (iters × nprobe sweep, PLANS.md): seeds@2probe 0.27 → trained(2)
-  // @2probe 0.37 → trained(2)@3probe 0.47; training plateaus at 2
-  // iterations (3rd buys ≤0.02), probes dominate after that. 3 of ~14
-  // lists ≈ 21% of the corpus scanned here; C grows ~sqrt(n) in
-  // production so the probed fraction shrinks with scale.
-  val CentroidMod = 37
-  val NProbe = 3
+  // IVF: C ≈ √n corpus-scaled coarse lists ([[centroidMod]], r7 —
+  // replaced the fixed mod-37 seeding whose ~14 lists capped the
+  // sf0.01 sweep), then KMeans.trainedCentroids adapts the seeds with
+  // Lloyd iterations. The probed fraction is nprobe/√n, shrinking
+  // with corpus size. NProbe re-swept at C≈23/sf0.01 (PLANS.md r7).
+  val NProbe = 5
+
+  /** Corpus-scaled coarse-list modulus: mod = n ÷ ⌊√n⌋, giving C ≈ √n
+    * seed lists (the IVF design point — probed fraction nprobe/√n
+    * shrinks with corpus size instead of staying a fixed ~20%). The
+    * DuckDB oracle computes the identical value via [[CentroidModSql]]
+    * (same IEEE sqrt, same integer division), so the seed set is
+    * engine-independent. Memoized per (session, dir): one count job.
+    */
+  private val modCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Int]
+
+  def centroidMod(s: SparkSession, d: String): Int =
+    modCache.getOrElseUpdate((s, d), {
+      val n = graft.Tables.embeddings(s, d).count()
+      val c = math.max(1L, math.floor(math.sqrt(n.toDouble)).toLong)
+      math.max(2L, n / c).toInt
+    })
+
+  /** SQL twin of [[centroidMod]] for the oracles (DuckDB `//` is
+    * integer division).
+    */
+  val CentroidModSql: String =
+    "(SELECT GREATEST(2, COUNT(*) // GREATEST(1, " +
+      "CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT))) FROM embeddings)"
 
   /** Seeded (untrained) centroids — iteration 0 of the trainer; still
     * the SemDedup partitioner, where any fixed partition works and the
     * per-cluster pairwise step dominates.
     */
-  def ivfCentroids(p: DataFrame): DataFrame =
-    broadcast(p.filter(col("vec_id") % CentroidMod === 0)
+  def ivfCentroids(p: DataFrame, mod: Int): DataFrame =
+    broadcast(p.filter(col("vec_id") % mod === 0)
       .select(col("vec_id").as("cid"), col("v").as("cv"),
         col("nrm").as("cnrm")))
 
@@ -676,7 +696,7 @@ object SimilarityQueries {
     val seed = s"""
       , tcents0 AS (
         SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM normed
-        WHERE vec_id % $CentroidMod = 0
+        WHERE vec_id % $CentroidModSql = 0
       )"""
     val steps = (0 until KMeans.IvfIterations).map { t =>
       s""",

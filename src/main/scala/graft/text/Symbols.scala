@@ -139,7 +139,16 @@ object Symbols {
     "national", "general", "industries", "industrial", "technologies",
     "technology", "services", "enterprises", "enterprise", "partners",
     "international", "intl", "resources", "logistics", "trading",
-    "management", "consulting")
+    "management", "consulting",
+    // frozen-run fits (r7): "China Railroad/Railway Engineering
+    // Corporation" = 1.8/2.8 = 0.6429 and "China State Construction
+    // Equipment/Engineering Corporation" = 2.1/3.1 = 0.6774 pin
+    // engineering/construction at matched weight 0.3; "Bowne Business
+    // Solutions/Enterprises" (0.4815) pins business; "Citigroup
+    // Capital Trust I/II" (0.6154 = 1.6/2.6) pins capital; Blackstone
+    // Real Estate Partners IV/V (0.7297) pins real/estate
+    "business", "engineering", "construction", "capital", "real",
+    "estate")
 
   /** Geographic words (LOCATION category) — local-subsidiary qualifiers
     * in org names. ISO short names + common adjectival forms.
@@ -168,7 +177,7 @@ object Symbols {
     "bahrain", "oman", "jordan", "lebanon", "libya", "tunisia",
     "algeria", "morocco", "nigeria", "kenya", "ghana", "chile", "peru",
     "colombia", "venezuela", "ecuador", "bolivia", "uruguay", "panama",
-    "cuba", "norge", "deutschland", "espana", "italia", "polska",
+    "cuba", "deutschland", "espana", "italia", "polska",
     // major cities — subsidiary qualifiers ("Bowne of Atlanta")
     "london", "paris", "moscow", "beijing", "shanghai", "tokyo",
     "berlin", "munich", "frankfurt", "hamburg", "vienna", "madrid",
@@ -197,7 +206,7 @@ object Symbols {
         "ao" -> "ao", "ojsc" -> "ojsc", "cjsc" -> "cjsc", "pjsc" -> "pjsc",
         "jsc" -> "jsc", "bvba" -> "bvba", "sprl" -> "bvba",
         "spzoo" -> "spzoo", "lp" -> "lp", "llp" -> "llp", "ab" -> "ab",
-        "sas" -> "sas", "spa" -> "spa", "oy" -> "oy")
+        "sas" -> "sas", "spa" -> "spa", "oy" -> "oy", "as" -> "as")
   }
 
   /** Cross-language equivalence groups over canonical classes: the

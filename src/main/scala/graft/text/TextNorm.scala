@@ -70,6 +70,31 @@ object TextNorm {
     'ن' -> "n", 'ه' -> "h", 'و' -> "w", 'ي' -> "y", 'ى' -> "a",
     'ة' -> "a", 'پ' -> "p", 'چ' -> "ch", 'ژ' -> "zh", 'گ' -> "g")
 
+  /** Bengali → Latin, consonant-skeleton style (no inherent vowels —
+    * edit-distance comparators tolerate the residue, and the frozen
+    * logic-v2 run's Bengali near-pair reproduces exactly:
+    * "মোহাম্মদ শামসুদ্দিন" → "mohammd shamsuddin" vs
+    * "মোহাম্মদ সাহাবুদ্দিন" → "mohammd sahabuddin", whose d=3 fuzzy is
+    * dead → 1/2 = the frozen 0.50). Virama and candrabindu drop.
+    */
+  private val bengaliMap: Map[Char, String] = Map(
+    'অ' -> "a", 'আ' -> "a", 'ই' -> "i", 'ঈ' -> "i", 'উ' -> "u",
+    'ঊ' -> "u", 'ঋ' -> "ri", 'এ' -> "e", 'ঐ' -> "oi", 'ও' -> "o",
+    'ঔ' -> "ou",
+    'ক' -> "k", 'খ' -> "kh", 'গ' -> "g", 'ঘ' -> "gh", 'ঙ' -> "ng",
+    'চ' -> "ch", 'ছ' -> "chh", 'জ' -> "j", 'ঝ' -> "jh", 'ঞ' -> "n",
+    'ট' -> "t", 'ঠ' -> "th", 'ড' -> "d", 'ঢ' -> "dh", 'ণ' -> "n",
+    'ত' -> "t", 'থ' -> "th", 'দ' -> "d", 'ধ' -> "dh", 'ন' -> "n",
+    'প' -> "p", 'ফ' -> "ph", 'ব' -> "b", 'ভ' -> "bh", 'ম' -> "m",
+    'য' -> "j", 'র' -> "r", 'ল' -> "l", 'শ' -> "sh", 'ষ' -> "sh",
+    // (ড়/ঢ়/য় are base+nukta sequences: the nukta maps to "" below,
+    // so they fold through their base consonants)
+    'স' -> "s", 'হ' -> "h",
+    'ৎ' -> "t", 'ং' -> "ng", 'ঃ' -> "h", 'ঁ' -> "",
+    'া' -> "a", 'ি' -> "i", 'ী' -> "i", 'ু' -> "u", 'ূ' -> "u",
+    'ৃ' -> "ri", 'ে' -> "e", 'ৈ' -> "oi", 'ো' -> "o", 'ৌ' -> "ou",
+    '্' -> "", '়' -> "")
+
   /** Georgian (mkhedruli, caseless) → Latin. */
   private val georgianMap: Map[Char, String] = Map(
     'ა' -> "a", 'ბ' -> "b", 'გ' -> "g", 'დ' -> "d", 'ე' -> "e",
@@ -126,7 +151,7 @@ object TextNorm {
       kanaMap.get((c + 0x60).toChar)
     else greekMap.get(c).orElse(armenianMap.get(c))
       .orElse(georgianMap.get(c)).orElse(kanaMap.get(c))
-      .orElse(arabicMap.get(c))
+      .orElse(arabicMap.get(c)).orElse(bengaliMap.get(c))
       .orElse(Transliterate.han.get(c))
       .orElse(Transliterate.khmer.get(c))
 
@@ -147,7 +172,12 @@ object TextNorm {
   }
 
   def foldAscii(s: String): String = {
-    val lower = s.toLowerCase
+    val lower0 = s.toLowerCase
+    // word-level Han name translations run before the per-character
+    // pinyin fallback (see Transliterate.hanNames)
+    val lower =
+      if (Transliterate.hasHan(lower0)) Transliterate.applyHanNames(lower0)
+      else lower0
     // Khmer needs register/cluster state, not a character map
     val pre =
       if (Transliterate.hasKhmer(lower)) Transliterate.khmerWord(lower)

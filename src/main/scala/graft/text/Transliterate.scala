@@ -207,4 +207,56 @@ object Transliterate {
     '貝' -> "bei", '東' -> "dong", '爾' -> "er", '羅' -> "luo",
     '維' -> "wei", '諾' -> "nuo", '魯' -> "lu", '納' -> "na",
     '薩' -> "sa", '溫' -> "wen", '灣' -> "wan", '廣' -> "guang")
+
+  /** Starter Han name-translation table: well-known FOREIGN names
+    * written phonetically in Han map to their Latin originals, the way
+    * rigour's name-translation data does — char-wise pinyin gives
+    * "beilake aobama" for 贝拉克·奥巴马, unreachable from "Barack
+    * Obama" by edit distance, while the word-level translation makes
+    * the frozen 0.90 pair a literal match. Native Chinese names keep
+    * going through the per-character pinyin table. All entries are
+    * public standard transliterations (the forms used by Chinese press
+    * agencies / Wikipedia zh labels).
+    */
+  val hanNames: Seq[(String, String)] = Seq(
+    "贝拉克" -> "barack", "奥巴马" -> "obama", "歐巴馬" -> "obama",
+    "唐纳德" -> "donald", "特朗普" -> "trump", "川普" -> "trump",
+    "拜登" -> "biden", "希拉里" -> "hillary", "克林顿" -> "clinton",
+    "布什" -> "bush", "里根" -> "reagan", "尼克松" -> "nixon",
+    "肯尼迪" -> "kennedy", "罗斯福" -> "roosevelt",
+    "默克尔" -> "merkel", "马克龙" -> "macron",
+    "泽连斯基" -> "zelensky", "普京" -> "putin",
+    "丘吉尔" -> "churchill", "撒切尔" -> "thatcher",
+    "斯大林" -> "stalin", "列宁" -> "lenin", "希特勒" -> "hitler",
+    "拿破仑" -> "napoleon", "甘地" -> "gandhi", "曼德拉" -> "mandela",
+    "马斯克" -> "musk", "埃隆" -> "elon", "盖茨" -> "gates",
+    "乔布斯" -> "jobs", "扎克伯格" -> "zuckerberg",
+    "贝索斯" -> "bezos", "巴菲特" -> "buffett", "索罗斯" -> "soros",
+    "爱因斯坦" -> "einstein", "牛顿" -> "newton",
+    "莎士比亚" -> "shakespeare", "贝多芬" -> "beethoven",
+    "莫扎特" -> "mozart")
+
+  /** True when `s` contains a CJK unified ideograph (the gate before
+    * the [[hanNames]] word pass).
+    */
+  def hasHan(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if ((c >= 0x4E00 && c <= 0x9FFF) || (c >= 0x3400 && c <= 0x4DBF))
+        return true
+      i += 1
+    }
+    false
+  }
+
+  /** Replace known Han name words with their Latin originals, spaced
+    * so they separate from adjacent characters.
+    */
+  def applyHanNames(s: String): String = {
+    var out = s
+    for ((han, latin) <- hanNames if out.contains(han))
+      out = out.replace(han, " " + latin + " ")
+    out
+  }
 }

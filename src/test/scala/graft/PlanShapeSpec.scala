@@ -72,15 +72,16 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("q8 near-dup scans only the stored banded corpus") {
-    // nearPreparedCk is the stored index: once built, the int8 verify
-    // path derives everything from the checkpoint — no parquet rescan
+    // nearPreparedCk is the stored index — since r7 a lake parquet
+    // artifact: the int8 verify path must read ONLY the artifact, never
+    // the raw embeddings table
     similarity.SimilarityQueries.nearPreparedCk(spark, dir).count()
     val p = plan(
       similarity.SimilarityQueries.queries("q_sim_near_q8")(spark, dir))
-    assert(!p.contains("FileScan") && !p.contains("Scan parquet"),
+    assert(!p.contains("embeddings.parquet"),
       s"q_sim_near_q8 re-reads the corpus instead of the index:\n$p")
-    assert(p.contains("ExistingRDD"),
-      s"q_sim_near_q8 lost the checkpointed index scan:\n$p")
+    assert(p.contains("near_banded"),
+      s"q_sim_near_q8 lost the stored-index scan:\n$p")
   }
 
   test("trained IVF keeps the broadcast n-by-C assignment product") {

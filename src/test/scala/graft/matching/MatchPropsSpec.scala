@@ -31,9 +31,12 @@ class MatchPropsSpec extends AnyFunSuite {
         assert(t.length >= 2)
         assert(out.contains(t))
       }
-      // no two adjacent single-letter tokens survive
-      out.sliding(2).foreach {
-        case Seq(a, b) => assert(!(a.length == 1 && b.length == 1))
+      // no THREE adjacent single-letter tokens survive (r7: a 2-run
+      // stays split unless it spells a legal form — "L & H" keeps l, h
+      // as full-weight parts, "B.V." glues to bv)
+      out.sliding(3).foreach {
+        case Seq(a, b, c) =>
+          assert(!(a.length == 1 && b.length == 1 && c.length == 1))
         case _ =>
       }
     }

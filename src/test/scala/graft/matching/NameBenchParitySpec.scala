@@ -49,15 +49,16 @@ class NameBenchParitySpec extends AnyFunSuite {
     info(f"n=$n agreeFrozen=${agreeFrozen.toDouble / n}%.3f " +
       f"agreeTruth=${agreeTruth.toDouble / n}%.3f " +
       f"precision=$precision%.3f recall=$recall%.3f MAE=$mae%.3f")
-    // measured (round 4): agreeFrozen 0.967, MAE 0.033 — after the
-    // NAME/NICK variant groups, fitted fuzzy shape (indel linear, sub
-    // squared, phonetic-class gates), initials/extras weights, and the
-    // honorific/romanization normalizations. Remaining disagreements
-    // are the Han/Khmer transliteration dataset (out of scope) and a
-    // tail of borderline ±0.05-at-threshold org cases.
+    // measured (round 7): agreeFrozen 0.988, MAE 0.021 — after the
+    // round-7 decode of the frozen weight model (generic org words at
+    // 0.3 matched / 0.7-or-1.0 extras, Arabic particles full-weight
+    // matched / 0.7 extras, roman ordinals as tagged letters, matcher
+    // org-class families, Bengali romanization, Han name translations,
+    // distinct-name pairs). Remaining ±0.05-at-threshold tail: Bowne
+    // parenthesized-subsidiary rows and a few borderline org typos.
     assert(n > 100)
-    assert(agreeFrozen.toDouble / n >= 0.95)
-    assert(agreeTruth.toDouble / n >= 0.72)
-    assert(mae <= 0.04)
+    assert(agreeFrozen.toDouble / n >= 0.985)
+    assert(agreeTruth.toDouble / n >= 0.75)
+    assert(mae <= 0.025)
   }
 }

@@ -12,7 +12,11 @@ import org.scalatest.funsuite.AnyFunSuite
 class FtmSpec extends AnyFunSuite {
 
   test("the model carries the full published surface, not a subset") {
-    assert(Ftm.schemata.size >= 60)
+    assert(Ftm.schemata.size >= 74)
+    // round-7 tail additions are present
+    for (n <- Seq("Trip", "Assessment", "Program", "Post", "Taxation",
+      "Court", "CallForProposals", "Value"))
+      assert(Ftm.schemata.contains(n), s"missing tail schema $n")
     // every extends edge resolves inside the model
     for ((n, s) <- Ftm.schemata; p <- s.isA)
       assert(Ftm.schemata.contains(p), s"$n extends unknown $p")
@@ -56,7 +60,14 @@ class FtmSpec extends AnyFunSuite {
       // non-matchable partner kills the pair even when related
       ("Vessel", "Vehicle") -> false,
       ("Sanction", "Sanction") -> false,
-      ("Payment", "Payment") -> false)
+      ("Payment", "Payment") -> false,
+      // round-7 tail schemata
+      ("Court", "PublicBody") -> true,
+      ("Court", "Organization") -> true,
+      ("Court", "Person") -> false,
+      ("Trip", "Trip") -> false,
+      ("Program", "Sanction") -> false,
+      ("Assessment", "Taxation") -> false)
     for (((a, b), want) <- cases) {
       assert(Ftm.canMatch(a, b) === want, s"can_match($a, $b)")
       assert(Ftm.canMatch(b, a) === want, s"can_match($b, $a) symmetry")
@@ -67,7 +78,7 @@ class FtmSpec extends AnyFunSuite {
     val matchable = Ftm.schemata.keys.filter(Ftm.isMatchable).toSet
     assert(matchable === Set("LegalEntity", "Person", "Organization",
       "Company", "PublicBody", "Vessel", "Airplane", "Security",
-      "CryptoWallet", "BankAccount", "Position", "Address"))
+      "CryptoWallet", "BankAccount", "Position", "Address", "Court"))
   }
 
   test("invariants the fixture suites rely on are unchanged") {

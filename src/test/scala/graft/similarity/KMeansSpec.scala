@@ -16,7 +16,8 @@ class KMeansSpec extends AnyFunSuite {
 
   test("every centroid survives (its own vector is its member)") {
     val nCent = Tables.embeddings(spark, sfDir)
-      .filter(col("vec_id") % KMeans.CentroidMod === 0).count()
+      .filter(col("vec_id") %
+        SimilarityQueries.centroidMod(spark, sfDir) === 0).count()
     assert(out.length.toLong === nCent)
   }
 
