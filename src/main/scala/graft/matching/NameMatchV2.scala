@@ -320,8 +320,12 @@ object NameMatchV2 {
           if (d * 3 <= maxLen && (d < 3 || maxLen <= 11)) s * s else 0.0
         }
         // consonant-changing substitutions die at the budget edge or
-        // at ≥3 edits (Guchkov~Guchaev, Sancho~Sanchez → 0 frozen)
+        // at ≥3 edits (Guchkov~Guchaev, Sancho~Sanchez → 0 frozen);
+        // long tokens soften to squared ("Ali Vellabati" ~ "Ali Akbar
+        // Velayati" is the frozen 0.7609 with vellabati~velayati ≈ s²;
+        // McKenton~McKesson at len 8 stays cubed, frozen 0.6635)
         else if (d >= budget || d >= 3) 0.0
+        else if (maxLen >= 9) s * s
         else s * s * s
       }
     }

@@ -136,8 +136,11 @@ object Symbols {
     "state", "holding", "holdings", "association", "institute",
     "society", "committee", "council", "organization", "organisation",
     "agency", "bureau", "office", "systems", "solutions", "global",
-    "national", "general", "industries", "industrial", "technologies",
-    "technology", "services", "enterprises", "enterprise", "partners",
+    "national", "general", "industries", "industrial",
+    // technology/technologies deliberately NOT generic: "Bowne
+    // Enterprise Solutions" ~ "Bowne Technology Enterprise" is the
+    // frozen 0.7246 = 2/2.76 with the technology extra at full 0.2
+    "services", "enterprises", "enterprise", "partners",
     "international", "intl", "resources", "logistics", "trading",
     "management", "consulting",
     // frozen-run fits (r7): "China Railroad/Railway Engineering
@@ -160,7 +163,7 @@ object Symbols {
     "netherlands", "dutch", "belgium", "belgian", "austria", "austrian",
     "switzerland", "swiss", "italy", "italian", "portugal", "portuguese",
     "poland", "polish", "russia", "russian", "ukraine", "ukrainian",
-    "china", "chinese", "india", "indian", "america", "american",
+    "chinese", "india", "indian", "america", "american",
     "usa", "uk", "britain", "british", "england", "english", "scotland",
     "canada", "canadian", "australia", "australian", "mexico", "mexican",
     "brazil", "brazilian", "argentina", "turkey", "turkish", "iran",
@@ -175,7 +178,7 @@ object Symbols {
     "moldova", "georgia", "armenia", "armenian", "azerbaijan", "cyprus",
     "malta", "luxembourg", "monaco", "emirates", "qatar", "kuwait",
     "bahrain", "oman", "jordan", "lebanon", "libya", "tunisia",
-    "algeria", "morocco", "nigeria", "kenya", "ghana", "chile", "peru",
+    "algeria", "morocco", "nigeria", "kenya", "ghana", "peru",
     "colombia", "venezuela", "ecuador", "bolivia", "uruguay", "panama",
     "cuba", "deutschland", "espana", "italia", "polska",
     // major cities — subsidiary qualifiers ("Bowne of Atlanta")
@@ -206,7 +209,8 @@ object Symbols {
         "ao" -> "ao", "ojsc" -> "ojsc", "cjsc" -> "cjsc", "pjsc" -> "pjsc",
         "jsc" -> "jsc", "bvba" -> "bvba", "sprl" -> "bvba",
         "spzoo" -> "spzoo", "lp" -> "lp", "llp" -> "llp", "ab" -> "ab",
-        "sas" -> "sas", "spa" -> "spa", "oy" -> "oy", "as" -> "as")
+        "sas" -> "sas", "spa" -> "spa", "oy" -> "oy", "as" -> "as",
+        "sl" -> "sl")
   }
 
   /** Cross-language equivalence groups over canonical classes: the
