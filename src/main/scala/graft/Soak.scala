@@ -127,9 +127,20 @@ object Soak {
 
     import spark.implicits._
     val decided = Seq.empty[(String, String)].toDF("src", "dst")
+    // Optional 4th arg: maxPairCost override. Under N× duplication
+    // every token's document frequency is N× the base corpus, so the
+    // reference cap (1770) correctly marks EVERY token a stopword and
+    // yields zero pairs — the designed fail-safe. Scaling the cap
+    // linearly with N (the "Knobs that must scale" rule) restores the
+    // intended blocking behavior and exercises the real pair volume.
+    val blkCfg = args.lift(3).map(_.toLong) match {
+      case Some(cap) => graft.blocker.Blocker.Config.reference
+        .copy(maxPairCost = cap)
+      case None => graft.blocker.Blocker.Config.reference
+    }
     val t0 = System.nanoTime()
     val (merges, suggestions) = Xref.run(spark, stmts, decided,
-      Xref.Config(autoThreshold = Some(0.7)))
+      Xref.Config(autoThreshold = Some(0.7), blocker = blkCfg))
     val nMerges = merges.count()
     val nSuggest = suggestions.count()
     val wall = (System.nanoTime() - t0) / 1e9

@@ -151,7 +151,7 @@ object Symbols {
     // Capital Trust I/II" (0.6154 = 1.6/2.6) pins capital; Blackstone
     // Real Estate Partners IV/V (0.7297) pins real/estate
     "business", "engineering", "construction", "capital", "real",
-    "estate")
+    "estate", "equipment")
 
   /** Geographic words (LOCATION category) — local-subsidiary qualifiers
     * in org names. ISO short names + common adjectival forms.

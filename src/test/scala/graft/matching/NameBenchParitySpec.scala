@@ -49,7 +49,7 @@ class NameBenchParitySpec extends AnyFunSuite {
     info(f"n=$n agreeFrozen=${agreeFrozen.toDouble / n}%.3f " +
       f"agreeTruth=${agreeTruth.toDouble / n}%.3f " +
       f"precision=$precision%.3f recall=$recall%.3f MAE=$mae%.3f")
-    // measured (round 7): agreeFrozen 0.988, MAE 0.021 — after the
+    // measured (round 7): agreeFrozen 0.993, MAE 0.020 — after the
     // round-7 decode of the frozen weight model (generic org words at
     // 0.3 matched / 0.7-or-1.0 extras, Arabic particles full-weight
     // matched / 0.7 extras, roman ordinals as tagged letters, matcher
@@ -57,8 +57,8 @@ class NameBenchParitySpec extends AnyFunSuite {
     // distinct-name pairs). Remaining ±0.05-at-threshold tail: Bowne
     // parenthesized-subsidiary rows and a few borderline org typos.
     assert(n > 100)
-    assert(agreeFrozen.toDouble / n >= 0.985)
+    assert(agreeFrozen.toDouble / n >= 0.99)
     assert(agreeTruth.toDouble / n >= 0.75)
-    assert(mae <= 0.025)
+    assert(mae <= 0.022)
   }
 }
