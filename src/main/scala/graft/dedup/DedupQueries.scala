@@ -434,18 +434,29 @@ object DedupQueries {
   // vs ~2 s materialized). The winnow + spans queries share them, and
   // at lake scale the fingerprint table IS a materialized ingest
   // artifact (the PQ-codes / banded-corpus / blocker-TF pattern).
+  // read-once-then-cache on top of the lake artifact (the near_banded
+  // pattern): the winnow/spans queries fan each table out several ways
+  // and the arrays decode expensively from parquet per consumer
+  private val fpCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), DataFrame]
+
   def fpSetsCk(s: SparkSession, d: String): DataFrame =
-    graft.IndexLake.artifact(s, d, "fp_sets")(
-      graft.textanalysis.TextAnalysis.fingerprintSets(
-        Tables.documents(s, d)))
+    fpCache.getOrElseUpdate((s, d, "sets"),
+      graft.IndexLake.artifact(s, d, "fp_sets")(
+        graft.textanalysis.TextAnalysis.fingerprintSets(
+          Tables.documents(s, d))).localCheckpoint(true))
 
   def fpPosCk(s: SparkSession, d: String): DataFrame =
-    graft.IndexLake.artifact(s, d, "fp_pos")(
-      graft.textanalysis.TextAnalysis.fingerprintPositions(
-        Tables.documents(s, d)))
+    fpCache.getOrElseUpdate((s, d, "pos"),
+      graft.IndexLake.artifact(s, d, "fp_pos")(
+        graft.textanalysis.TextAnalysis.fingerprintPositions(
+          Tables.documents(s, d))).localCheckpoint(true))
 
   /** Drop the in-session artifact memo (see graft.IndexLake). */
-  def clearCache(): Unit = graft.IndexLake.clearMemo()
+  def clearCache(): Unit = {
+    fpCache.clear()
+    graft.IndexLake.clearMemo()
+  }
 
   def winnowPairsQ(s: SparkSession, d: String): DataFrame = {
     val fps = fpSetsCk(s, d)

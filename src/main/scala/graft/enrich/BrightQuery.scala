@@ -58,25 +58,22 @@ final class BrightQueryEnricher(records: DataFrame,
         (col("match_id").startsWith("bq-") ||
           col("match_id").startsWith("bqo-")))
 
-    // The name join fans out (few distinct names × many records); a
-    // broadcast join preserves the probe side's input partitioning, so
-    // a single-split mirror file would serialize the window's map-side
-    // top-K sort on one thread. Spread the mirror first — at scale the
-    // mirror arrives in thousands of splits and this is a no-op cost.
-    val mSpread = m.repartition(s.sparkContext.defaultParallelism)
     // the service's per-payload ranking (revenue desc, headcount desc)
     // depends only on the RECORD, so every query searching a name gets
     // the name's own top-10 — rank once per mirror name BEFORE the
-    // join (mirror-sized window) instead of per (query, name) over the
-    // fanned-out join product (measured 3.1 → sub-oracle at sf0.1);
-    // this is also the reference's semantics when a query repeats a
-    // name: the same payload returns the same 10 records
+    // join (mirror-sized window; the rn<=K filter plans as
+    // WindowGroupLimit, so the top-K is taken map-side before the name
+    // exchange) instead of per (query, name) over the fanned-out join
+    // product. The ranked table is names×K rows — broadcast it so the
+    // query side never shuffles. This is also the reference's
+    // semantics when a query repeats a name: the same payload returns
+    // the same 10 records.
     val wName = Window.partitionBy(col("r_name"))
       .orderBy(col("bq_revenue").desc, col("bq_employees").desc,
         col("match_id").asc)
-    val topPerName = mSpread.withColumn("rn", row_number().over(wName))
+    val topPerName = m.withColumn("rn", row_number().over(wName))
       .filter(col("rn") <= perQuery).drop("rn")
-    q.join(topPerName, q("q_name") === topPerName("r_name"))
+    q.join(broadcast(topPerName), q("q_name") === topPerName("r_name"))
   }
 
   /** `create_proxy` field shaping over matched rows. */

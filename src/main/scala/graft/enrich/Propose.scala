@@ -102,23 +102,23 @@ object Propose {
     * table ([[WikidataModel]] rows).
     */
   def knownOf(snaks: DataFrame): DataFrame = {
-    val main = snaks.filter(col("role") === "main")
-    val names = snaks.filter(col("role").isin("label", "alias") &&
-      col("vString").isNotNull)
-      .groupBy(col("qid"))
-      .agg(collect_set(nameFold(col("vString"))).as("name_texts"))
-    main.groupBy(col("qid")).agg(
-      max(col("prop") === "P31" && col("vEntity") === "Q5")
-        .as("is_human"),
-      max(col("prop") === "P569").as("has_birth_date"),
-      max(col("prop") === "P21").as("has_gender"),
-      sort_array(collect_set(when(col("prop") === "P27",
-        col("vEntity")))).as("citizenship_qids"),
-      sort_array(collect_set(when(col("prop") === "P39",
-        col("vEntity")))).as("position_qids"))
-      .join(names, Seq("qid"), "left_outer")
-      .withColumn("name_texts",
-        coalesce(col("name_texts"), typedLit(Seq.empty[String])))
+    // ONE aggregate over the filtered snak rows — the label/alias name
+    // set rides along as a conditional collect instead of a second
+    // aggregate + join (collect_set skips the nulls the `when` leaves
+    // on main rows), halving the stage count of the dump-side diff
+    val isMain = col("role") === "main"
+    snaks.filter(isMain || col("role").isin("label", "alias"))
+      .groupBy(col("qid")).agg(
+        max(isMain && col("prop") === "P31" && col("vEntity") === "Q5")
+          .as("is_human"),
+        max(isMain && col("prop") === "P569").as("has_birth_date"),
+        max(isMain && col("prop") === "P21").as("has_gender"),
+        sort_array(collect_set(when(isMain && col("prop") === "P27",
+          col("vEntity")))).as("citizenship_qids"),
+        sort_array(collect_set(when(isMain && col("prop") === "P39",
+          col("vEntity")))).as("position_qids"),
+        collect_set(when(!isMain && col("vString").isNotNull,
+          nameFold(col("vString")))).as("name_texts"))
   }
 
   // ------------------------------------------------- entity-side prep

@@ -129,10 +129,15 @@ object Curation {
     * 100 TB it is two shuffles of the gram stream and nothing else.
     */
   def crossdocOf(docs: DataFrame): DataFrame = {
+    // repartition(g) pins ONE Exchange under both consumers (the df
+    // aggregate and the join side both need g-partitioning), so
+    // ReuseExchange runs the tokenize+gram explode once — the
+    // q_dedup_lsh_pairs exchange-reuse pattern
     val g = TextAnalysis.withWords(docs)
       .filter(size(col("w")) >= CrossdocN)
       .select(col("doc_id"),
         explode(array_distinct(grams(CrossdocN))).as("g"))
+      .repartition(col("g"))
     val df = g.groupBy(col("g")).agg(count(lit(1)).as("df"))
     g.join(df, Seq("g"))
       .groupBy(col("doc_id"))

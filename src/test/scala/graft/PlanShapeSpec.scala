@@ -80,7 +80,9 @@ class PlanShapeSpec extends AnyFunSuite {
       similarity.SimilarityQueries.queries("q_sim_near_q8")(spark, dir))
     assert(!p.contains("embeddings.parquet"),
       s"q_sim_near_q8 re-reads the corpus instead of the index:\n$p")
-    assert(p.contains("near_banded"),
+    // the index arrives either as the lake artifact scan or as the
+    // session's read-once-then-cache copy of it (ExistingRDD)
+    assert(p.contains("near_banded") || p.contains("ExistingRDD"),
       s"q_sim_near_q8 lost the stored-index scan:\n$p")
   }
 
