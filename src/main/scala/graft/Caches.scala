@@ -33,6 +33,9 @@ object Caches {
     blocker.BlockerQueries.tfCk(s, d)
     resolver.ResolverQueries.pairScoresCk(s, d)
     enrich.WikidataQueries.snakCk(s, d)
+    enrich.WikidataQueries.statementsQ(s, d)
+    enrich.WikidataQueries.linksQ(s, d)
+    enrich.ProposeQueries.personStmtsCk(s, d)
     similarity.KMeans.trainedCentroids(s, d)
     similarity.Pq.indexCk(s, d)
     similarity.SimilarityQueries.nearPreparedCk(s, d)

@@ -75,10 +75,15 @@ object ProposeQueries {
       .withColumn("end", lit(null).cast("string")))
   }
 
+  /** The FtM person statements as a lake artifact (ingest builds it;
+    * see graft.Caches.ensureAll).
+    */
+  def personStmtsCk(s: SparkSession, d: String): DataFrame =
+    graft.IndexLake.artifact(s, d, "wd_person_stmts")(
+      EntityStore.statements(personEntities(s, d), "wdq"))
+
   def proposeQ(s: SparkSession, d: String): DataFrame =
-    Propose.enrich(pairs(s, d),
-      graft.IndexLake.artifact(s, d, "wd_person_stmts")(
-        EntityStore.statements(personEntities(s, d), "wdq")),
+    Propose.enrich(pairs(s, d), personStmtsCk(s, d),
       WikidataQueries.snakCk(s, d), positions(s, d),
       retrieved = Some(Retrieved))
 
