@@ -182,6 +182,123 @@ object Multimodal {
     graft.dedup.Dedup.simhashPairs(ahashSigs(Tables.documents(s, d)),
       "doc_id", AHashBands, AHashBandBits, AHashMaxDist)
 
+
+  // ---------------------------------------------- real container decode
+
+  /** Decoded-image feature row (see [[decodeMedia]]). */
+  final case class DecodedMedia(doc_id: Long, width: Int, height: Int,
+      mean_gray: Long, ahash_lo: Long, ahash_hi: Long)
+
+  val DecW = 16
+  val DecH = 16
+
+  /** A 16×16 24-bit BMP whose pixel payload is the content bytes
+    * repeated cyclically. Pure byte assembly (a BMP container needs no
+    * codec to WRITE: 14-byte file header + 40-byte BITMAPINFOHEADER +
+    * bottom-up BGR rows; a 16-pixel row is 48 bytes, already 4-byte
+    * aligned) — but DECODING it in [[decodeMedia]] exercises the JDK's
+    * real BMP reader end to end: header parse, row order, channel
+    * order.
+    */
+  def toBmp(payload: Array[Byte]): Array[Byte] = {
+    val rowBytes = DecW * 3
+    val dataSize = rowBytes * DecH
+    val out = new Array[Byte](54 + dataSize)
+    def le32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xFF).toByte
+      out(off + 1) = ((v >> 8) & 0xFF).toByte
+      out(off + 2) = ((v >> 16) & 0xFF).toByte
+      out(off + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    def le16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xFF).toByte
+      out(off + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    out(0) = 'B'.toByte
+    out(1) = 'M'.toByte
+    le32(2, out.length) // file size
+    le32(10, 54) // pixel data offset
+    le32(14, 40) // BITMAPINFOHEADER size
+    le32(18, DecW)
+    le32(22, DecH)
+    le16(26, 1) // planes
+    le16(28, 24) // bpp
+    le32(30, 0) // BI_RGB, uncompressed
+    le32(34, dataSize)
+    le32(38, 2835) // 72 dpi
+    le32(42, 2835)
+    var i = 0
+    while (i < dataSize) {
+      out(54 + i) = payload(i % payload.length)
+      i += 1
+    }
+    out
+  }
+
+  /** REAL decode: run the synthesized BMP through `javax.imageio`'s
+    * actual BMP reader (shipped with the JDK — no external codec) and
+    * compute pixel features from the decoded raster: dimensions from
+    * the parsed header, the mean gray level, and an 8×8 average-hash
+    * whose value depends on pixel COORDINATES — a decoder that got the
+    * bottom-up row order or the BGR channel packing wrong produces a
+    * different hash, which is exactly what the DuckDB oracle (which
+    * re-derives the expected raster arithmetically from the content
+    * bytes) would catch. Integer-only math end to end, so the features
+    * are bit-identical across engines.
+    */
+  def decodeMedia(docId: Long, content: Array[Byte]): DecodedMedia = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(toBmp(content)))
+    require(img != null, s"BMP decode failed for doc $docId")
+    val w = img.getWidth
+    val h = img.getHeight
+    val gray = Array.ofDim[Int](h, w)
+    var graySum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val g3 = (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) +
+          (rgb & 0xFF)) / 3
+        gray(y)(x) = g3
+        graySum += g3
+        x += 1
+      }
+      y += 1
+    }
+    val blocks = Array.tabulate(64) { q =>
+      val by = 2 * (q / 8)
+      val bx = 2 * (q % 8)
+      (gray(by)(bx) + gray(by)(bx + 1) +
+        gray(by + 1)(bx) + gray(by + 1)(bx + 1)) / 4
+    }
+    val mean = blocks.sum / 64
+    var lo = 0L
+    var hi = 0L
+    var q = 0
+    while (q < 64) {
+      if (blocks(q) >= mean) {
+        if (q < 32) lo |= 1L << q else hi |= 1L << (q - 32)
+      }
+      q += 1
+    }
+    DecodedMedia(docId, w, h, graySum / (w.toLong * h), lo, hi)
+  }
+
+  /** The decode stage as a typed partition-batched Dataset transform —
+    * the same `mapPartitions` shape as [[decodeFrames]], with the stub
+    * replaced by the real ImageIO call. Map-only, no shuffle.
+    */
+  def decodeQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    media(s, d).as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(64).flatMap(_.map {
+        case (id, c) => decodeMedia(id, c)
+      }))
+      .toDF()
+  }
+
   // ---------------------------------------------------------------- oracle
 
   // The oracle mirrors the byte math on VARCHAR: the corpus is verified
@@ -208,7 +325,8 @@ object Multimodal {
     "q_mm_meta" -> (metaQ _),
     "q_mm_frames" -> (framesQ _),
     "q_mm_features" -> (featuresQ _),
-    "q_mm_phash" -> (phashPairsQ _))
+    "q_mm_phash" -> (phashPairsQ _),
+    "q_mm_decode" -> (decodeQ _))
 
   val oracles: Map[String, String] = Map(
     "q_mm_meta" -> s"""
@@ -225,6 +343,47 @@ object Multimodal {
              round(avg(CAST(${Hashing.hash60Sql("frame")}
                % 1000 AS DOUBLE) / 1000.0), 6) AS mean_feature
       FROM frames GROUP BY doc_id"""),
+    "q_mm_decode" -> s"""
+      WITH b AS (
+        SELECT doc_id,
+               list_transform(range(${DecW * DecH * 3}), i ->
+                 unicode(text[CAST(i % length(text) AS INT) + 1])) AS bs
+        FROM documents),
+      g AS (
+        -- decoded gray raster in TOP-DOWN pixel order p = y*16+x:
+        -- the BMP payload stores rows bottom-up (payload row 15-y),
+        -- three bytes per pixel; gray = (sum of the three) // 3
+        SELECT doc_id,
+               list_transform(range(${DecW * DecH}), p ->
+                 (bs[CAST((15 - p // 16) * 48 + (p % 16) * 3 AS INT) + 1]
+                + bs[CAST((15 - p // 16) * 48 + (p % 16) * 3 AS INT) + 2]
+                + bs[CAST((15 - p // 16) * 48 + (p % 16) * 3 AS INT) + 3])
+                  // 3) AS gs
+        FROM b),
+      blk AS (
+        SELECT doc_id, gs,
+               list_transform(range(64), q ->
+                 (gs[CAST((2 * (q // 8)) * 16 + 2 * (q % 8) AS INT) + 1]
+                + gs[CAST((2 * (q // 8)) * 16 + 2 * (q % 8) AS INT) + 2]
+                + gs[CAST((2 * (q // 8) + 1) * 16 + 2 * (q % 8) AS INT) + 1]
+                + gs[CAST((2 * (q // 8) + 1) * 16 + 2 * (q % 8) AS INT) + 2])
+                  // 4) AS ks
+        FROM g),
+      m AS (
+        SELECT doc_id, gs, ks,
+               CAST(list_sum(ks) AS BIGINT) // 64 AS km
+        FROM blk)
+      SELECT doc_id, $DecW AS width, $DecH AS height,
+             CAST(list_sum(gs) AS BIGINT) // ${DecW * DecH} AS mean_gray,
+             CAST(list_sum(list_transform(range(32), q ->
+               CASE WHEN ks[CAST(q AS INT) + 1] >= km
+                 THEN CAST(1 AS BIGINT) << CAST(q AS INT)
+                 ELSE 0 END)) AS BIGINT) AS ahash_lo,
+             CAST(list_sum(list_transform(range(32), q ->
+               CASE WHEN ks[CAST(q AS INT) + 33] >= km
+                 THEN CAST(1 AS BIGINT) << CAST(q AS INT)
+                 ELSE 0 END)) AS BIGINT) AS ahash_hi
+      FROM m""",
     "q_mm_phash" -> s"""
       WITH px AS (
         SELECT doc_id,

@@ -66,4 +66,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs.forall { case (a, b, h) =>
       a < b && h <= Multimodal.AHashMaxDist })
   }
+
+  test("the BMP decode is real: ImageIO parses the container") {
+    val payload = ("The quick brown fox " * 10).getBytes("UTF-8")
+    val bmp = Multimodal.toBmp(payload)
+    // the JDK reader parses dimensions from the header we wrote
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bmp))
+    assert(img !== null)
+    assert(img.getWidth === Multimodal.DecW)
+    assert(img.getHeight === Multimodal.DecH)
+    // channel/row order round-trips: pixel (x, y) top-down maps to
+    // payload row (15 - y), BGR bytes
+    val x = 3; val y = 5
+    val base = (15 - y) * 48 + x * 3
+    val rgb = img.getRGB(x, y)
+    assert((rgb & 0xFF) === (payload(base % payload.length) & 0xFF)) // B
+    assert(((rgb >> 16) & 0xFF) ===
+      (payload((base + 2) % payload.length) & 0xFF)) // R
+    // a corrupted magic makes the real reader refuse the container
+    val broken = bmp.clone(); broken(0) = 'X'.toByte
+    assert(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(broken)) === null)
+    // a constant-intensity image hashes to the all-ones aHash
+    // (every block >= mean) and its mean gray equals the byte value
+    val flat = Multimodal.decodeMedia(7L, Array.fill(96)(0x41.toByte))
+    assert(flat.mean_gray === 0x41)
+    assert(flat.ahash_lo === 0xFFFFFFFFL && flat.ahash_hi === 0xFFFFFFFFL)
+  }
 }
