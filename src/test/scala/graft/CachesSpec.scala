@@ -62,6 +62,60 @@ class CachesSpec extends AnyFunSuite {
     }
   }
 
+  test("a partial artifact (no _SUCCESS) is rebuilt, not served") {
+    val tmp = Files.createTempDirectory("graft-index-partial").toString
+    val prev = sys.props.get("graft.index.dir")
+    sys.props.put("graft.index.dir", tmp)
+    IndexLake.clearMemo()
+    try {
+      // plant a garbage directory where the artifact would live,
+      // WITHOUT the _SUCCESS marker — a crashed writer's leftovers
+      val dir = IndexLake.path(this.dir, "blocker_tf")
+      Files.createDirectories(dir)
+      Files.write(dir.resolve("part-garbage.parquet"),
+        Array[Byte](1, 2, 3))
+      val viaLake = blocker.BlockerQueries.tfCk(spark, this.dir).count()
+      val direct = blocker.BlockerQueries.tf(spark, this.dir).count()
+      assert(viaLake === direct, "partial artifact must be rebuilt")
+      assert(Files.exists(dir.resolve("_SUCCESS")))
+    } finally {
+      prev match {
+        case Some(v) => sys.props.put("graft.index.dir", v)
+        case None => sys.props.remove("graft.index.dir")
+      }
+      IndexLake.clearMemo()
+    }
+  }
+
+  test("concurrent first-touch builders publish exactly one artifact") {
+    val tmp = Files.createTempDirectory("graft-index-race").toString
+    val prev = sys.props.get("graft.index.dir")
+    sys.props.put("graft.index.dir", tmp)
+    IndexLake.clearMemo()
+    try {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val counts = Await.result(
+        Future.sequence((1 to 4).map(_ => Future {
+          blocker.BlockerQueries.tfCk(spark, dir).count()
+        })), 120.seconds)
+      assert(counts.distinct.size === 1)
+      val fp = IndexLake.fingerprint(dir)
+      assert(Files.exists(Paths.get(tmp, fp, "blocker_tf", "_SUCCESS")))
+      // no leftover temp dirs from losing racers
+      val leftovers = Files.list(Paths.get(tmp, fp)).toArray
+        .map(_.toString).filter(_.contains(".tmp-"))
+      assert(leftovers.isEmpty, leftovers.mkString(","))
+    } finally {
+      prev match {
+        case Some(v) => sys.props.put("graft.index.dir", v)
+        case None => sys.props.remove("graft.index.dir")
+      }
+      IndexLake.clearMemo()
+    }
+  }
+
   test("fingerprint tracks data-dir content") {
     val a = IndexLake.fingerprint(dir)
     assert(a === IndexLake.fingerprint(dir), "fingerprint is stable")
