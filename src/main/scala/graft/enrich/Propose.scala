@@ -285,8 +285,14 @@ object Propose {
       .withColumn("target", col("qid"))
 
     val refs = referenceTails(stmts, retrieved, fallbackUrl)
+    // lazy persist before the fan-out: withRefs feeds THREE branches
+    // (aliases, property commands, positions); the first branch to run
+    // materializes it once and the others read the cached rows. Lazy
+    // (not an eager checkpoint, which was measured slower — it bills a
+    // separate blocking job) and batch-sized.
     val withRefs = p.join(refs, Seq("entity_id"), "left_outer")
       .withColumn("refs", coalesce(col("refs"), lit("")))
+      .persist()
 
     // missing names → append-only aliases (`propose.py:207-210`)
     val aliases = nameStatements(stmts)
