@@ -527,10 +527,25 @@ object NameMatchV2 {
     // name strings — "Tim Cock" ~ "Tim Cook" is exactly
     // 1/(1+0.8+0.2) = 0.5 — so none is applied here either; rigour
     // reserves the 1.3× for parts carrying explicit FAMILY tags.
+    // a generic org word that is a name's SOLE content token (all its
+    // other parts are legal forms) is distinctive by necessity and
+    // keeps full weight: "construction ltd" ~ "LLC CONSTRUCTION
+    // DREDGING COMPANY" is the frozen 0.7241 with construction at 1.0,
+    // while "State Grid Corporation of Chile" (state + more content)
+    // keeps state at 0.3
+    def soleOf(parts: List[String]): Option[String] =
+      parts.filter(p => !orgClass.contains(p)) match {
+        case one :: Nil => Some(one)
+        case _ => None
+      }
+    val qSole = soleOf(qParts0)
+    val rSole = soleOf(rParts0)
     for (m <- matches if m.q.nonEmpty && m.r.nonEmpty) {
       val qp = m.q.get
       val rp = m.r.get
-      if (!person && Symbols.GenericOrgWords(qp) && Symbols.GenericOrgWords(rp))
+      if (!person && Symbols.GenericOrgWords(qp) &&
+        Symbols.GenericOrgWords(rp) &&
+        !qSole.contains(qp) && !rSole.contains(rp))
         m.weight = GenericMatchWeight
       else if (!person && qp == rp && Symbols.Locations(qp))
         m.weight = LocationWeight
