@@ -1,12 +1,12 @@
 package graft
 
-import java.io.File
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.security.MessageDigest
-import java.util.Comparator
 
 import scala.collection.concurrent.TrieMap
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.hadoop.fs.permission.FsPermission
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Lake-persisted stored-index artifacts — the production shape of the
@@ -20,17 +20,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `resolver/index.py`); a 100 TB Spark lake does the same with
   * write-once parquet next to the data: build on first touch, publish
   * atomically, and every later session — verify, bench, a different
-  * driver — reads the artifact instead of re-deriving it. This replaces
-  * the session-local `localCheckpoint` stand-ins the engine used
-  * before: those were executor-memory-resident and died with the
-  * session; these are restartable and shareable.
+  * driver — reads the artifact instead of re-deriving it.
+  *
+  * All I/O goes through `org.apache.hadoop.fs.FileSystem`, so the
+  * artifact root may be any Hadoop-reachable URI — `file:`, `hdfs://`,
+  * `s3a://` — and in production lives NEXT TO THE DATA, exactly like
+  * the curate report writer. Readers trust an artifact only when its
+  * `_SUCCESS` marker exists, and the marker is written AFTER the
+  * directory publish completes: on filesystems without atomic directory
+  * rename (object stores copy file-by-file) a half-renamed artifact is
+  * never served, merely rebuilt.
   *
   * Artifacts are keyed by a fingerprint of the source directory
   * (name/size/mtime of its parquet entries + [[FormatVersion]]), so a
   * regenerated data dir or a changed builder silently rebuilds instead
-  * of serving a stale index. Publication is write-to-temp + atomic
-  * rename, so concurrent builders race benignly: one wins the rename,
-  * the loser discards its copy and reads the winner's.
+  * of serving a stale index. Concurrent builders race benignly: the
+  * publish loop re-checks the marker after every failed rename, and
+  * because builders are deterministic the rare raced republish costs
+  * work, never correctness.
   */
 object IndexLake {
 
@@ -40,29 +47,64 @@ object IndexLake {
     */
   val FormatVersion = 2
 
-  /** Artifact root — overridable per deployment; defaults to the local
-    * tmp filesystem (the sandbox's stand-in for a lake prefix; the data
-    * dir itself is read-only here, in production this would live next
-    * to the data).
+  /** Artifact root — overridable per deployment (`GRAFT_INDEX_DIR` /
+    * `graft.index.dir`; any Hadoop URI). The default is a USER-SCOPED
+    * local directory (created 0700, ownership-checked below): a shared
+    * world-writable path would let any local user pre-plant a
+    * fingerprint dir with a `_SUCCESS` marker and have the engine serve
+    * poisoned index data. In production point this next to the data
+    * (`hdfs://…/graft-index`, `s3a://bucket/graft-index`).
     */
   def root: String = sys.env.getOrElse("GRAFT_INDEX_DIR",
-    sys.props.getOrElse("graft.index.dir", "/tmp/graft-index"))
+    sys.props.getOrElse("graft.index.dir",
+      s"/tmp/graft-index-${sys.props.getOrElse("user.name", "anon")}"))
+
+  private def hadoopConf: Configuration =
+    SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+
+  private def fsOf(p: Path): FileSystem = p.getFileSystem(hadoopConf)
+
+  /** Roots already created-or-ownership-checked this session. */
+  private val checkedRoots = TrieMap.empty[String, Unit]
+
+  /** Create the root 0700 if absent; if present, refuse roots owned by
+    * another user (when the filesystem reports ownership at all —
+    * object stores return the connecting identity, which passes).
+    */
+  private def ensureRoot(rootPath: Path, fs: FileSystem): Unit =
+    checkedRoots.getOrElseUpdate(rootPath.toString, {
+      if (!fs.exists(rootPath)) {
+        fs.mkdirs(rootPath)
+        fs.setPermission(rootPath, new FsPermission("700"))
+      } else {
+        val owner = fs.getFileStatus(rootPath).getOwner
+        val user = org.apache.hadoop.security.UserGroupInformation
+          .getCurrentUser.getShortUserName
+        require(owner == null || owner.isEmpty || owner == user,
+          s"index root $rootPath is owned by '$owner', not '$user' — " +
+            "refusing to trust its artifacts (set GRAFT_INDEX_DIR)")
+      }
+    })
 
   /** Fingerprint of a source dir: sorted `name:size:mtime` of its
     * parquet entries (recursing into directory-shaped parquet), hashed
     * with [[FormatVersion]]. Regenerated data ⇒ new fingerprint ⇒
-    * rebuild; stale fingerprints age out with the tmp dir.
+    * rebuild; stale fingerprints age out with their root.
     */
   def fingerprint(sfDir: String): String = {
-    def walk(f: File): Seq[String] = {
-      val kids = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
-      if (f.isDirectory) kids.sortBy(_.getName).flatMap(walk)
-      else Seq(s"${f.getName}:${f.length}:${f.lastModified}")
-    }
-    val entries = Option(new File(sfDir).listFiles())
-      .map(_.toSeq).getOrElse(Seq.empty)
-      .filter(_.getName.endsWith(".parquet"))
-      .sortBy(_.getName).flatMap(walk)
+    val p = new Path(sfDir)
+    val fs = fsOf(p)
+    def walk(st: FileStatus): Seq[String] =
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).sortBy(_.getPath.getName)
+          .flatMap(walk).toSeq
+      else Seq(s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+    val entries =
+      (if (fs.exists(p)) fs.listStatus(p).toSeq else Seq.empty)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getPath.getName).flatMap(walk)
     val md = MessageDigest.getInstance("SHA-256")
     md.update(s"graft-index-v$FormatVersion\n$sfDir\n".getBytes("UTF-8"))
     entries.foreach(e => md.update((e + "\n").getBytes("UTF-8")))
@@ -70,10 +112,12 @@ object IndexLake {
   }
 
   def path(sfDir: String, name: String): Path =
-    Paths.get(root, fingerprint(sfDir), name)
+    new Path(new Path(root, fingerprint(sfDir)), name)
 
-  private def ready(dir: Path): Boolean =
-    Files.exists(dir.resolve("_SUCCESS"))
+  private def marker(dir: Path): Path = new Path(dir, "_SUCCESS")
+
+  private def ready(fs: FileSystem, dir: Path): Boolean =
+    fs.exists(marker(dir))
 
   private val memo = TrieMap.empty[(SparkSession, String, String), DataFrame]
 
@@ -86,36 +130,57 @@ object IndexLake {
       (build: => DataFrame): DataFrame =
     memo.getOrElseUpdate((s, sfDir, name), {
       val dir = path(sfDir, name)
-      if (!ready(dir)) publish(dir, build)
+      val fs = fsOf(dir)
+      if (!ready(fs, dir)) publish(fs, dir, build)
       s.read.parquet(dir.toString)
     })
 
-  private def publish(dir: Path, df: DataFrame): Unit = synchronized {
-    if (ready(dir)) return
-    Files.createDirectories(dir.getParent)
-    val tmp = dir.getParent.resolve(
-      s".${dir.getFileName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-    // spread the artifact over the session's parallelism: an
-    // AQE-coalesced single file would scan as ONE task in every
-    // consumer (a 36k-row analysis index cost 1.3 s single-threaded;
-    // 0.3 s spread). At lake scale the same rule sizes files so a
-    // scan saturates the cluster.
-    val parts = math.min(32,
-      df.sparkSession.sparkContext.defaultParallelism)
-    df.repartition(parts).write.mode("overwrite").parquet(tmp.toString)
-    try Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
-    catch {
-      // another process published concurrently: keep the winner
-      case _: java.nio.file.FileSystemException =>
-        if (ready(dir)) deleteRec(tmp)
-        else { deleteRec(dir); Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE) }
+  /** Publish protocol (object-store safe): write to a temp sibling,
+    * strip the committer's own `_SUCCESS` from it, move it into place,
+    * then write OUR marker last. Readers gate on the marker, so a
+    * non-atomic (copy-per-file) rename can expose a partial directory
+    * but never a trusted one. The swap runs in a bounded retry loop:
+    * after any failed move the marker is re-checked — if another
+    * builder won, its copy is kept and ours discarded; a marker-less
+    * leftover (crashed builder) is cleared and the move retried.
+    */
+  private def publish(fs: FileSystem, dir: Path, df: DataFrame): Unit =
+    synchronized {
+      if (ready(fs, dir)) return
+      ensureRoot(new Path(root), fsOf(new Path(root)))
+      fs.mkdirs(dir.getParent)
+      val tmp = new Path(dir.getParent,
+        s".${dir.getName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+      // spread the artifact over the session's parallelism: an
+      // AQE-coalesced single file would scan as ONE task in every
+      // consumer (a 36k-row analysis index cost 1.3 s single-threaded;
+      // 0.3 s spread). At lake scale the same rule sizes files so a
+      // scan saturates the cluster.
+      val parts = math.min(32,
+        df.sparkSession.sparkContext.defaultParallelism)
+      df.repartition(parts).write.mode("overwrite").parquet(tmp.toString)
+      // the committer's marker must not pre-announce the artifact
+      // mid-copy on stores where rename is per-file
+      fs.delete(marker(tmp), false)
+      var attempts = 0
+      var done = false
+      while (!done) {
+        attempts += 1
+        if (ready(fs, dir)) { // a concurrent builder won: keep theirs
+          fs.delete(tmp, true)
+          done = true
+        } else {
+          if (fs.exists(dir)) fs.delete(dir, true) // crashed partial
+          // rename fails (false) if dst reappeared — loop re-checks
+          if (fs.rename(tmp, dir)) {
+            fs.create(marker(dir), true).close()
+            done = true
+          } else if (attempts >= 5) {
+            sys.error(s"index publish failed after $attempts attempts: $dir")
+          } else Thread.sleep(50L * attempts)
+        }
+      }
     }
-  }
-
-  private def deleteRec(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-        .forEach(f => Files.deleteIfExists(f))
 
   /** Drop the in-session memo (regenerated-dir hygiene — the on-disk
     * artifacts key on the data fingerprint and need no clearing).
@@ -124,7 +189,9 @@ object IndexLake {
 
   /** Delete every on-disk artifact for `sfDir` (tests). */
   def invalidate(sfDir: String): Unit = {
-    deleteRec(Paths.get(root, fingerprint(sfDir)))
+    val p = new Path(root, fingerprint(sfDir))
+    val fs = fsOf(p)
+    if (fs.exists(p)) fs.delete(p, true)
     clearMemo()
   }
 }

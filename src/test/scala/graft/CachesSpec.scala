@@ -70,7 +70,8 @@ class CachesSpec extends AnyFunSuite {
     try {
       // plant a garbage directory where the artifact would live,
       // WITHOUT the _SUCCESS marker — a crashed writer's leftovers
-      val dir = IndexLake.path(this.dir, "blocker_tf")
+      val dir = Paths.get(tmp, IndexLake.fingerprint(this.dir),
+        "blocker_tf")
       Files.createDirectories(dir)
       Files.write(dir.resolve("part-garbage.parquet"),
         Array[Byte](1, 2, 3))
@@ -107,6 +108,28 @@ class CachesSpec extends AnyFunSuite {
       val leftovers = Files.list(Paths.get(tmp, fp)).toArray
         .map(_.toString).filter(_.contains(".tmp-"))
       assert(leftovers.isEmpty, leftovers.mkString(","))
+    } finally {
+      prev match {
+        case Some(v) => sys.props.put("graft.index.dir", v)
+        case None => sys.props.remove("graft.index.dir")
+      }
+      IndexLake.clearMemo()
+    }
+  }
+
+  test("artifacts publish and read through a file: URI root") {
+    // the Hadoop-FS port: the root may be any Hadoop URI, not a bare
+    // local path — hdfs://, s3a:// go through the same code path
+    val tmp = Files.createTempDirectory("graft-index-uri").toString
+    val prev = sys.props.get("graft.index.dir")
+    sys.props.put("graft.index.dir", s"file:$tmp")
+    IndexLake.clearMemo()
+    try {
+      val viaLake = blocker.BlockerQueries.tfCk(spark, dir).count()
+      val fp = IndexLake.fingerprint(dir)
+      assert(Files.exists(Paths.get(tmp, fp, "blocker_tf", "_SUCCESS")))
+      IndexLake.clearMemo()
+      assert(blocker.BlockerQueries.tfCk(spark, dir).count() === viaLake)
     } finally {
       prev match {
         case Some(v) => sys.props.put("graft.index.dir", v)
