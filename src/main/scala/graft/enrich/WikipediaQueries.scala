@@ -3,7 +3,7 @@ package graft.enrich
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.store.EntityStore
+
 
 /** Driver-facing wikipedia-summary query: the [[ProposeQueries]]
   * persons/pairs fixture against the synthetic dump's sitelinks
@@ -40,8 +40,9 @@ object WikipediaQueries {
   }
 
   def summariesQ(s: SparkSession, d: String): DataFrame = {
-    val persons = EntityStore.statements(
-      ProposeQueries.personEntities(s, d), "wdq")
+    // the same statement table propose reads — serve it from the lake
+    // artifact instead of re-deriving the entity explode per query
+    val persons = ProposeQueries.personStmtsCk(s, d)
     Wikipedia.summaries(
       ProposeQueries.pairs(s, d), WikidataQueries.snakCk(s, d),
       Wikipedia.preferredLangs(persons), summariesTbl(s, d))
