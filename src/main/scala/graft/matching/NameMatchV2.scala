@@ -134,6 +134,27 @@ object NameMatchV2 {
         .map(orgClass)
     }
 
+  /** Glued-PHRASE variant of [[orgClassOf]]: the fuzzy arm additionally
+    * requires the edit to live in the tail (shared prefix ≥ len−4) — a
+    * truncated "jointstockcompan" still resolves to jsc, but a typo in
+    * an early word ("JOYNT stock company", frozen 0.63) must NOT: the
+    * reference's form lexicon misses it and aligns the tokens fuzzily
+    * instead. Single-token forms keep the unrestricted arm
+    * ("Aktiengeselschaft" has a mid-word edit and still reads as AG).
+    */
+  private def orgClassOfGlued(t: String): Option[String] =
+    orgClass.get(t).orElse {
+      if (t.length < 11) None
+      else orgClass.keysIterator
+        .filter(k => k.length >= 13 && math.abs(k.length - t.length) <= 2)
+        .find { k =>
+          Levenshtein.distance(t, k) <= 2 &&
+            t.zip(k).takeWhile { case (a, b) => a == b }.size >=
+              k.length - 4
+        }
+        .map(orgClass)
+    }
+
   private def isNumeric(t: String): Boolean = t.nonEmpty && t.forall(_.isDigit)
 
   /** True when a string carries logographic/syllabic CJK content —
@@ -567,19 +588,23 @@ object NameMatchV2 {
       }
     }
     val totalWeight = matches.map(_.weight).sum
-    if (traceSink ne null)
-      traceSink.append(matches.toList.map(m =>
+    val sink = traceSink.value
+    if (sink ne null)
+      sink.append(matches.toList.map(m =>
         (m.q, m.r, m.score, m.weight)))
     if (totalWeight <= 0.0) 0.0
     else matches.map(m => m.score * m.weight).sum / totalWeight
   }
 
-  /** Test-only alignment introspection: when non-null, every
-    * scoreNamePair call appends its (q, r, score, weight) edge list.
+  /** Test-only alignment introspection: when bound non-null (use
+    * `traceSink.withValue(buf) { ... }` — scoped, restored on throw,
+    * thread-confined), every scoreNamePair call appends its
+    * (q, r, score, weight) edge list.
     */
-  private[matching] var traceSink:
+  private[matching] val traceSink: scala.util.DynamicVariable[
     scala.collection.mutable.ListBuffer[
-      List[(Option[String], Option[String], Double, Double)]] = null
+      List[(Option[String], Option[String], Double, Double)]]] =
+    new scala.util.DynamicVariable(null)
 
   /** Vessel-style object-name prefixes stripped before comparison
     * (rigour `remove_obj_prefixes`): MV/MT/MS/SS/FV/MY/SY/RV. Names
@@ -719,7 +744,13 @@ object NameMatchV2 {
         tagged += glued.drop(1)
         run.head :: glued.drop(1) :: goTail(rest)
       }
-      else if (run.size >= 3 || (run.size == 2 && orgClass.contains(glued))) {
+      else if (run.size >= 3 || (run.size == 2 &&
+        (orgClass.contains(glued) || Symbols.Locations(glued)))) {
+        // 2-runs also glue when they spell a LOCATION: "(U.K.)" is the
+        // single country token "uk" in the reference's tokenization
+        // (dots strip in-token), not two initials — the frozen
+        // "Bowne ... II (U.K.) Limited" ~ "... II Canada, Inc." 0.8082
+        // needs uk and canada as stranded location extras
         tagged += glued
         glued :: goTail(rest)
       }
@@ -852,7 +883,7 @@ object NameMatchV2 {
       // phrase-glue guard: ≥8 chars for fuzzy resolution, or an exact
       // short-form hit ("sp"+"zoo" → spzoo)
       def phraseClass(g: String): Option[String] =
-        if (g.length >= 8) orgClassOf(g)
+        if (g.length >= 8) orgClassOfGlued(g)
         else if (orgClass.contains(g)) Some(orgClass(g))
         else None
       def collapseOrgPhrases(parts: List[String]): List[String] =

@@ -41,7 +41,9 @@ object Symbols {
     Seq("sergei", "sergey", "sergej", "serguei", "serhiy", "sergiy"),
     Seq("aleksandr", "alexander", "alexandr", "aleksander", "oleksandr",
       "alexandre", "iskandar"),
-    Seq("vladimir", "wladimir", "volodymyr", "uladzimir"),
+    Seq("vladimir", "wladimir", "wolodymyr", "volodymyr", "uladzimir"),
+    Seq("zelensky", "zelenskyy", "zelenskyi", "zelenskiy", "zelenskyj",
+      "selenskyj", "selensky", "zelenskii"),
     Seq("viktor", "victor"),
     Seq("dmitri", "dmitry", "dmitrii", "dmitriy", "dmytro"),
     Seq("yuri", "yury", "yurii", "iurii", "jurij"),

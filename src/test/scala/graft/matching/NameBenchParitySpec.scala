@@ -49,16 +49,17 @@ class NameBenchParitySpec extends AnyFunSuite {
     info(f"n=$n agreeFrozen=${agreeFrozen.toDouble / n}%.3f " +
       f"agreeTruth=${agreeTruth.toDouble / n}%.3f " +
       f"precision=$precision%.3f recall=$recall%.3f MAE=$mae%.3f")
-    // measured (round 7): agreeFrozen 0.993, MAE 0.020 — after the
-    // round-7 decode of the frozen weight model (generic org words at
-    // 0.3 matched / 0.7-or-1.0 extras, Arabic particles full-weight
-    // matched / 0.7 extras, roman ordinals as tagged letters, matcher
-    // org-class families, Bengali romanization, Han name translations,
-    // distinct-name pairs). Remaining ±0.05-at-threshold tail: Bowne
-    // parenthesized-subsidiary rows and a few borderline org typos.
+    // measured (round 8): agreeFrozen 0.995 (4 residual disagreements
+    // of 812), MAE 0.020 — round-7's frozen-weight-model decode plus
+    // the round-8 location 2-run glue ("(U.K.)" is one country token).
+    // Remaining tail: Bowne France/Germany cross-form row, the JOYNT
+    // typo row, the Academy typo-extras row, and AL BEN MAHMOUD —
+    // which the frozen run itself misclassifies (entity_bench pins it
+    // match:false; we score it below threshold, which is CORRECT), so
+    // matching it is deliberately not attempted.
     assert(n > 100)
-    assert(agreeFrozen.toDouble / n >= 0.99)
+    assert(agreeFrozen.toDouble / n >= 0.995)
     assert(agreeTruth.toDouble / n >= 0.75)
-    assert(mae <= 0.022)
+    assert(mae <= 0.021)
   }
 }

@@ -19,13 +19,22 @@ class NameTraceSpec extends AnyFunSuite {
       ("Person", "MOHAMAD IQBAL ABDURRAHIM", "MOHAMAD IQBAL ABDURRAHMAN"),
       ("Company", "L & H Editions, S.A.", "L & H Linguex, S.A."),
       ("Person", "AL BEN MAHMOUD, Isa Ben Tarif",
-        "Shaikh Isa Bin Tarif Al Bin Ali"))
+        "Shaikh Isa Bin Tarif Al Bin Ali"),
+      ("Company", "TACTICAL MISSILES CORPORATION JOINT STOCK COMPANY",
+        "TACTICAL MISSILES CORPORATION JOYNT STOCK COMPANY"),
+      ("Company", "Bowne Global Solutions (France), S.A.R.L.",
+        "Bowne Global Solutions (Germany), G.m.b.H."),
+      ("Company", "Bowne Global Solutions II (U.K.) Limited",
+        "Bowne Global Solutions II Canada, Inc."),
+      ("Organization",
+        "Academy of Military Medical Sciences, Insitute of Medical Equipment",
+        "Academy of Military Medical Sciences, Institute of Micobiology and Epidemiology"))
     for ((schema, a, b) <- pairs) {
       val sink = scala.collection.mutable.ListBuffer
         .empty[List[(Option[String], Option[String], Double, Double)]]
-      NameMatchV2.traceSink = sink
-      val s = Algorithms.LogicV2.score(spec.view(schema, a), spec.view(schema, b))
-      NameMatchV2.traceSink = null
+      val s = NameMatchV2.traceSink.withValue(sink) {
+        Algorithms.LogicV2.score(spec.view(schema, a), spec.view(schema, b))
+      }
       info(f"[$schema] '$a' vs '$b' = $s%.4f")
       // the best-scoring pair's edges (last call usually wins for
       // single-name entities, but print the max-scoring one)
