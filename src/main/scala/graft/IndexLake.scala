@@ -41,11 +41,61 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object IndexLake {
 
-  /** Bump whenever any artifact builder changes its output.
-    * v2: corpus-scaled IVF coarse lists (C ≈ √n) replaced mod-37
-    * seeding; wd statement/link artifacts added.
+  /** Manual escape hatch for semantics changes the builder hash cannot
+    * see (e.g. a bundled RESOURCE changes what an unchanged builder
+    * emits). v2: corpus-scaled IVF coarse lists (C ≈ √n) replaced
+    * mod-37 seeding; wd statement/link artifacts added.
     */
   val FormatVersion = 2
+
+  /** Engine-build hash folded into every fingerprint: SHA-256 over the
+    * graft class files of THIS build (sorted names + bytes, from the
+    * classes dir or jar this class loaded from). A changed builder —
+    * any engine code change — re-keys every artifact automatically
+    * instead of relying on a manual [[FormatVersion]] bump; the cost is
+    * one re-ingest per engine build (reported separately as
+    * index_build_sec by Bench), the payoff is that stale artifacts can
+    * never be served silently.
+    */
+  lazy val builderHash: String = {
+    val md = MessageDigest.getInstance("SHA-256")
+    val src = getClass.getProtectionDomain.getCodeSource
+    val loc = if (src == null) null else src.getLocation
+    if (loc != null) {
+      val p = java.nio.file.Paths.get(loc.toURI)
+      if (java.nio.file.Files.isDirectory(p)) {
+        val root = p.resolve("graft")
+        if (java.nio.file.Files.exists(root)) {
+          val files = java.nio.file.Files.walk(root).iterator()
+          val classes = scala.collection.mutable.ArrayBuffer.empty[
+            java.nio.file.Path]
+          while (files.hasNext) {
+            val f = files.next()
+            if (f.toString.endsWith(".class")) classes += f
+          }
+          classes.sortBy(f => root.relativize(f).toString).foreach { f =>
+            md.update(root.relativize(f).toString.getBytes("UTF-8"))
+            md.update(java.nio.file.Files.readAllBytes(f))
+          }
+        }
+      } else if (p.toString.endsWith(".jar")) {
+        val jar = new java.util.jar.JarFile(p.toFile)
+        try {
+          import scala.jdk.CollectionConverters._
+          val entries = jar.entries().asScala
+            .filter(e => e.getName.startsWith("graft/") &&
+              e.getName.endsWith(".class"))
+            .toSeq.sortBy(_.getName)
+          entries.foreach { e =>
+            md.update(e.getName.getBytes("UTF-8"))
+            val in = jar.getInputStream(e)
+            try md.update(in.readAllBytes()) finally in.close()
+          }
+        } finally jar.close()
+      }
+    }
+    md.digest().take(8).map("%02x".format(_)).mkString
+  }
 
   /** Artifact root — overridable per deployment (`GRAFT_INDEX_DIR` /
     * `graft.index.dir`; any Hadoop URI). The default is a USER-SCOPED
@@ -106,7 +156,8 @@ object IndexLake {
         .filter(_.getPath.getName.endsWith(".parquet"))
         .sortBy(_.getPath.getName).flatMap(walk)
     val md = MessageDigest.getInstance("SHA-256")
-    md.update(s"graft-index-v$FormatVersion\n$sfDir\n".getBytes("UTF-8"))
+    md.update(s"graft-index-v$FormatVersion-$builderHash\n$sfDir\n"
+      .getBytes("UTF-8"))
     entries.foreach(e => md.update((e + "\n").getBytes("UTF-8")))
     md.digest().take(8).map("%02x".format(_)).mkString
   }
