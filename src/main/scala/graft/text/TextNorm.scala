@@ -67,7 +67,7 @@ object TextNorm {
     'ر' -> "r", 'ز' -> "z", 'س' -> "s", 'ش' -> "sh", 'ص' -> "s",
     'ض' -> "d", 'ط' -> "t", 'ظ' -> "z", 'ع' -> "", 'غ' -> "gh",
     'ف' -> "f", 'ق' -> "q", 'ك' -> "k", 'ل' -> "l", 'م' -> "m",
-    'ن' -> "n", 'ه' -> "h", 'و' -> "w", 'ي' -> "y", 'ى' -> "a",
+    'ن' -> "n", 'ه' -> "h", 'و' -> "w", 'ي' -> "i", 'ى' -> "a",
     'ة' -> "a", 'پ' -> "p", 'چ' -> "ch", 'ژ' -> "zh", 'گ' -> "g")
 
   /** Bengali → Latin, consonant-skeleton style (no inherent vowels —

@@ -28,7 +28,9 @@ class NameTraceSpec extends AnyFunSuite {
         "Bowne Global Solutions II Canada, Inc."),
       ("Organization",
         "Academy of Military Medical Sciences, Insitute of Medical Equipment",
-        "Academy of Military Medical Sciences, Institute of Micobiology and Epidemiology"))
+        "Academy of Military Medical Sciences, Institute of Micobiology and Epidemiology"),
+      ("Company", "JSC Murom Instrument-Making Plant",
+        "Акционерное общество “Муромский приборостроительный завод”"))
     for ((schema, a, b) <- pairs) {
       val sink = scala.collection.mutable.ListBuffer
         .empty[List[(Option[String], Option[String], Double, Double)]]
