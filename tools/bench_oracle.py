@@ -1,0 +1,58 @@
+#!/usr/bin/env python3
+"""Time every oracle SQL from oracle_sql.json in DuckDB (threads=32)
+over the given sf dir — the baseline side of the bench comparison,
+measured on the SAME machine state as the Spark run.
+
+usage: bench_oracle.py <sfDir> <oracle_sql.json> [out.json]
+"""
+import json
+import sys
+import time
+import glob
+import os
+
+import duckdb
+
+
+def main() -> None:
+    sf_dir = sys.argv[1]
+    oracle_path = sys.argv[2]
+    out_path = sys.argv[3] if len(sys.argv) > 3 else None
+    with open(oracle_path) as fh:
+        oracles = json.load(fh)
+    con = duckdb.connect()
+    con.execute("SET threads TO 32")
+    for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        name = os.path.basename(p)[: -len(".parquet")]
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}/*.parquet')"
+            if os.path.isdir(p)
+            else f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')"
+        )
+    times = {}
+    failed = []
+    for name in sorted(oracles):
+        t0 = time.time()
+        try:
+            con.execute(oracles[name]).fetchall()
+            times[name] = time.time() - t0
+        except Exception as exc:  # noqa: BLE001
+            failed.append(name)
+            print(f"FAIL {name}: {exc}", file=sys.stderr)
+    doc = {
+        "metric": "oracle_total",
+        "value": sum(times.values()),
+        "unit": "sec",
+        "queries": times,
+        "failed": failed,
+        "sf": sf_dir,
+    }
+    line = json.dumps(doc)
+    print(line)
+    if out_path:
+        with open(out_path, "w") as fh:
+            fh.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()
