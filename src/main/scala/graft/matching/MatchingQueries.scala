@@ -316,6 +316,43 @@ object MatchingQueries {
       .select(col("digest"), col("lmin").as("label"), col("n"))
   }
 
+  /** scoring_loss-style evaluation over the driver fixture (reference
+    * `contrib/scoring_loss.py` shapes; the file-reading form with real
+    * judgements is [[ScoringLoss]]): regression probabilities against
+    * the quarantine's deterministic pseudo-judgement, aggregated to
+    * mean absolute loss + confusion at three thresholds. Loss is summed
+    * in integer micro-units — an integer sum is associative, so the
+    * mean is partitioning-invariant where a raw double sum is not.
+    */
+  def matchLossQ(s: SparkSession, d: String): DataFrame = {
+    val z = RegWeights.foldLeft(lit(RegIntercept)) {
+      case (acc, (f, w)) => acc + col(f) * w
+    }
+    val flip = conv(substring(md5(concat(col("lid"), lit("|"),
+      col("rid"))), 1, 1), 16, 10).cast("int") % 16 === 0
+    val labeled = features(s, d).select(
+      round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("prob"),
+      ((floor(col("jw") * 1000000 + 0.5) >= 900000) =!= flip)
+        .cast("int").as("label"))
+    val lmicro = abs(col("label").cast("long") * 1000000L -
+      round(col("prob") * 1000000).cast("long"))
+    labeled.select(col("prob"), col("label"), lmicro.as("lmicro"),
+        explode(typedLit(Seq(0.5, 0.7, 0.9))).as("threshold"))
+      .groupBy(col("threshold")).agg(
+        count(lit(1)).as("pairs"),
+        round(sum(col("lmicro")).cast("double") / count(lit(1)) / 1e6, 6)
+          .as("mean_loss"),
+        sum(when(col("label") === 1 && col("prob") > col("threshold"), 1L)
+          .otherwise(0L)).as("true_pos"),
+        sum(when(col("label") === 0 && col("prob") <= col("threshold"), 1L)
+          .otherwise(0L)).as("true_neg"),
+        sum(when(col("label") === 0 && col("prob") > col("threshold"), 1L)
+          .otherwise(0L)).as("false_pos"),
+        sum(when(col("label") === 1 && col("prob") <= col("threshold"), 1L)
+          .otherwise(0L)).as("false_neg"))
+      .orderBy(col("threshold"))
+  }
+
   // ---------------------------------------------------------------- oracle
 
   private val featSql: String = s"""
@@ -452,6 +489,7 @@ object MatchingQueries {
     "q_match_name_based" -> (nameBasedScore _),
     "q_match_name_qualified" -> (nameQualifiedScore _),
     "q_match_ofac" -> (ofacScore _),
+    "q_match_loss" -> (matchLossQ _),
     "q_train_quarantine" -> (trainQuarantineQ _),
     "q_xref_suggest" -> (xrefSuggestQ _))
 
@@ -473,6 +511,32 @@ object MatchingQueries {
     "q_match_regression" -> (prefix + s"""
       SELECT lid, rid, round(1.0 / (1.0 + exp(-($regZ))), 6) AS prob
       FROM feat"""),
+    "q_match_loss" -> (prefix + s"""
+      , labeled AS (
+        SELECT round(1.0 / (1.0 + exp(-($regZ))), 6) AS prob,
+               CAST((CAST(floor(jw * 1000000 + 0.5) AS BIGINT) >= 900000)
+                 <> (CAST(('0x' || substr(md5(lid || '|' || rid), 1, 1))
+                      AS INT) % 16 = 0) AS INT) AS label
+        FROM feat),
+      lm AS (
+        SELECT prob, label,
+               abs(CAST(label AS BIGINT) * 1000000 -
+                 CAST(round(prob * 1000000) AS BIGINT)) AS lmicro
+        FROM labeled)
+      SELECT threshold, CAST(count(*) AS BIGINT) AS pairs,
+             round(CAST(sum(lmicro) AS DOUBLE) / count(*) / 1000000, 6)
+               AS mean_loss,
+             CAST(sum(CASE WHEN label = 1 AND prob > threshold
+               THEN 1 ELSE 0 END) AS BIGINT) AS true_pos,
+             CAST(sum(CASE WHEN label = 0 AND prob <= threshold
+               THEN 1 ELSE 0 END) AS BIGINT) AS true_neg,
+             CAST(sum(CASE WHEN label = 0 AND prob > threshold
+               THEN 1 ELSE 0 END) AS BIGINT) AS false_pos,
+             CAST(sum(CASE WHEN label = 1 AND prob <= threshold
+               THEN 1 ELSE 0 END) AS BIGINT) AS false_neg
+      FROM lm, (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.7 AS DOUBLE)),
+                       (CAST(0.9 AS DOUBLE))) t(threshold)
+      GROUP BY threshold ORDER BY threshold"""),
     "q_match_name_based" -> (prefix + ", " + trioCte + s"""
       SELECT lid, rid,
              round(least(greatest(($jaroPartsSql) * 0.5
