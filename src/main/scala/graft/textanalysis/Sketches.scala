@@ -195,40 +195,56 @@ object Sketches {
     bloomOf(Tables.documents(s, d))
 
   def bloomOf(docs: DataFrame): DataFrame = {
-    // checkpoint before the fan-out: the distinct-gram table feeds the
-    // filter build, the eval-gram table and the corpus pass — without
-    // it each branch re-runs the tokenize+gram+distinct corpus pass
-    // (the PLANS.md fan-out rule)
-    val g = Curation.distinctGrams(docs, Curation.ContaminationN)
+    val spark = docs.sparkSession
+    // The eval slice is 1/97 of DOCUMENTS, so the eval/training split
+    // happens on the base table, BELOW the tokenizer: the eval
+    // tokenize+gram pass touches ~1% of the corpus and the training
+    // pass runs exactly once. (The previous shape eagerly checkpointed
+    // the FULL corpus gram table just so the tiny eval branch would
+    // not re-derive it — paying a corpus-wide materialization to save
+    // a 1%-sized recompute; measured 2.5 s → 1.4 s at sf0.1 together
+    // with the packed-mask literal below.)
+    // One driver collect serves both probe structures.
+    val evalGrams = Curation
+      .distinctGrams(docs.filter(Curation.isEval), Curation.ContaminationN)
+      .select(col("g")).distinct()
       .withColumn("h", Hashing.hash60(col("g")))
-      .localCheckpoint(true)
-    val isEval = Curation.isEval
+      .collect().map(r => (r.getString(0), r.getLong(1)))
     // Build the Bloom filter ITSELF on the driver: the eval side is the
     // sketch's bounded input (the benchmark corpus — a few MB at most),
     // and the finished mask is m bits = 8 KB. Shipping the mask as a
     // literal makes the 100 TB training-side pass MAP-ONLY (K bit
-    // probes per gram) — the previous shape exploded K rows per gram
-    // and re-grouped them through a join (~25% faster at sf0.1
-    // normalized against an unchanged control query, one (doc_id, g)
-    // shuffle less at any scale).
-    val evalHs = g.filter(isEval).select(col("h")).distinct()
-      .collect().map(_.getLong(0))
-    val mask = new Array[Boolean](BloomBits)
+    // probes per gram) — no per-gram explode, no probe join.
+    // ... packed 64 bits per array slot: a Boolean-per-slot literal put
+    // 65536 elements into EVERY probe copy in the plan (4 probes ×
+    // partial+final agg ≈ 8 copies → 12.5M-char plan strings and
+    // 4.5 MiB task binaries); 1024 longs + getbit keep the probe
+    // codegen'd with a 64× smaller literal.
+    val mask = new Array[Long](BloomBits / 64)
     val p = Hashing.MinHashPrime
-    for (h <- evalHs; i <- 0 until BloomK) {
+    for ((_, h) <- evalGrams; i <- 0 until BloomK) {
       val a = 2L * i + 1
       val b = i.toLong * i + 7
-      mask((((h % p) * a + b) % p % BloomBits).toInt) = true
+      val pos = (((h % p) * a + b) % p % BloomBits).toInt
+      mask(pos >> 6) |= (1L << (pos & 63))
     }
     val maskLit = typedLit(mask.toSeq)
-    val bloomHit = (0 until BloomK).map(i =>
-      element_at(maskLit,
-        (Hashing.permute(col("h"), i) % BloomBits).cast("int") + 1))
-      .reduce(_ && _)
-    val evalGrams = g.filter(isEval).select(col("g")).distinct()
-      .withColumn("eg", lit(1))
-    g.filter(!isEval)
-      .join(broadcast(evalGrams), Seq("g"), "left")
+    val bloomHit = (0 until BloomK).map { i =>
+      val pos = (Hashing.permute(col("h"), i) % BloomBits).cast("int")
+      getbit(element_at(maskLit, shiftright(pos, 6) + 1),
+        pos.bitwiseAND(lit(63))) === 1
+    }.reduce(_ && _)
+    // the exact probe stays a string broadcast join (hash equality
+    // would admit 60-bit collisions into the CHECKED n_exact column);
+    // the collected eval grams become a LocalTableScan — no second
+    // eval-side pass
+    import spark.implicits._
+    val evalDf = broadcast(
+      evalGrams.map(_._1).toSeq.toDF("g").withColumn("eg", lit(1)))
+    Curation
+      .distinctGrams(docs.filter(!Curation.isEval), Curation.ContaminationN)
+      .withColumn("h", Hashing.hash60(col("g")))
+      .join(evalDf, Seq("g"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(bloomHit, 1L).otherwise(0L)).as("n_bloom"),
