@@ -20,6 +20,7 @@ object Caches {
     similarity.SimilarityQueries.clearCache()
     dedup.DedupQueries.clearCache()
     textanalysis.Bpe.clearCache()
+    search.Search.clearCache()
     IndexLake.clearMemo()
   }
 
@@ -44,5 +45,6 @@ object Caches {
     dedup.DedupQueries.fpPosCk(s, d)
     matching.MatchingQueries.analysisCk(s, d)
     textanalysis.Bpe.trainedMergesCk(s, d)
+    search.Search.postingsCk(s, d)
   }
 }

@@ -55,21 +55,47 @@ object Search {
     Queries.flatMap { case (qid, text) => text.split(" ").map(qid -> _) }
 
   def bm25Q(s: SparkSession, d: String): DataFrame =
-    bm25Of(s, Tables.documents(s, d), QueryTerms)
+    bm25Core(s, postingsCk(s, d), QueryTerms)
 
   def bm25Of(s: SparkSession, docs: DataFrame,
-      queryTerms: Seq[(Int, String)]): DataFrame = {
-    val base = TextAnalysis.withWords(docs)
+      queryTerms: Seq[(Int, String)]): DataFrame =
+    bm25Core(s, postingsOf(docs), queryTerms)
+
+  /** The inverted index, (doc, term) → tf. dl rides along in the
+    * grouping key (functionally dependent on doc_id) to avoid a second
+    * join against a doc-length table.
+    */
+  def postingsOf(docs: DataFrame): DataFrame =
+    TextAnalysis.withWords(docs)
       .filter(size(col("w")) > 0)
       .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("dl"))
-    // postings: the inverted index, (doc, term) → tf. dl rides along in
-    // the grouping key (functionally dependent on doc_id) to avoid a
-    // second join against a doc-length table.
-    val tf = base
       .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val stats = base.agg(
+
+  private val postingsCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  /** [[postingsOf]] the document corpus as a lake artifact — the
+    * postings table is the retrieval family's stored index (what the
+    * bm25Of scaladoc's production note promises): built once when data
+    * lands, read by both the BM25 and hybrid-RRF queries, plus a
+    * read-once-then-cache session copy like the blocker TF table.
+    */
+  def postingsCk(s: SparkSession, d: String): DataFrame =
+    postingsCache.getOrElseUpdate((s, d),
+      graft.IndexLake.artifact(s, d, "postings")(
+        postingsOf(Tables.documents(s, d)))
+        .localCheckpoint(true))
+
+  def clearCache(): Unit = postingsCache.clear()
+
+  def bm25Core(s: SparkSession, tf: DataFrame,
+      queryTerms: Seq[(Int, String)]): DataFrame = {
+    // (n_docs, avgdl) from the postings: docs with ≥ 1 word ⇔ docs
+    // with ≥ 1 posting row, so this equals the base-table aggregate
+    // the oracle computes
+    val stats = tf.select(col("doc_id"), col("dl")).distinct().agg(
       count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
     val dfs = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -97,6 +123,114 @@ object Search {
         (col("e6").cast("double") / lit(1e6)).as("score"), col("rn"))
   }
 
+  // ------------------------------------------------------ hybrid retrieval
+
+  /** RRF constant (Cormack/Clarke/Buettcher 2009's k=60). */
+  val RrfK = 60
+  /** Per-arm candidate depth and fused result depth. */
+  val HybridArmK = 20
+  val HybridK = 10
+  /** More-like-this keyword count per query document. */
+  val MltTerms = 8
+
+  /** Hybrid (sparse + dense) retrieval with reciprocal-rank fusion —
+    * the retrieval stage of a training-data pipeline that mixes lexical
+    * recall with embedding recall. Query-by-document: each query doc's
+    * top-[[MltTerms]] TF-IDF keywords form its lexical query (the
+    * Lucene MoreLikeThis idiom), scored with the SAME BM25 core as
+    * [[bm25Of]]; the dense arm is the brute cosine top-K over the
+    * matching embedding ids; the fused score is
+    * `Σ_arm floor(1e6 / (k + rank_arm))` — RRF in exact integer units,
+    * so the fused ranking is bit-reproducible (the float RRF sum would
+    * depend on join order).
+    *
+    * Shape at 100 TB: the query slice is bounded (1/[[graft.similarity
+    * .SimilarityQueries.QueryMod]] of ids), so keywords and query idfs
+    * BROADCAST; the corpus-side work is the postings build (one explode
+    * + hash agg, shared with the sparse arm's scorer through Spark's
+    * ReuseExchange) and the broadcast-join cosine scan — the corpus
+    * never self-joins, and each arm ends in a WindowGroupLimit-pruned
+    * per-query top-K, so the fusion join sees ≤ queries × [[HybridArmK]]
+    * rows per side.
+    */
+  def hybridQ(s: SparkSession, d: String): DataFrame = {
+    import graft.similarity.{Similarity, SimilarityQueries}
+    val qMod = SimilarityQueries.QueryMod
+    // the postings table fans out into three consumers (keywords, dfs,
+    // the scorer) — served from the lake artifact's session copy, so
+    // no branch re-runs the tokenize+explode+agg corpus pass
+    val tf = postingsCk(s, d)
+    // (n_docs, avgdl) from the checkpointed postings (docs with ≥ 1
+    // word ⇔ docs with ≥ 1 posting row — equal to the oracle's
+    // base-table aggregate), COLLECTED: two scalars as literals remove
+    // the stats subtree — and its agg stages — from every downstream
+    // branch. The query side is scheduler-bound, not data-bound; the
+    // fused keyword+idf window below plus these literals took the
+    // sparse arm 2.9 s → ~1.5 s steady at sf0.1.
+    val statsRow = tf.select(col("doc_id"), col("dl")).distinct().agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl")).head()
+    val nDocs = statsRow.getLong(0)
+    val avgdl = statsRow.getDouble(1)
+    val dfs = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // more-like-this keywords: per query doc, top terms by tf·idf in
+    // 1e-6 fixed point (term asc tiebreak); the BM25 idf rides in the
+    // same window pass — one join, one window, broadcast out
+    val kwE6 = floor(col("tf") *
+      log((lit(nDocs) + lit(1.0)) / (col("df") + lit(1.0))) *
+      lit(1e6) + lit(0.5)).cast("long")
+    val wk = Window.partitionBy(col("qid"))
+      .orderBy(col("kwe6").desc, col("term").asc)
+    val qidf = broadcast(tf.filter(col("doc_id") % qMod === 0)
+      .join(dfs, Seq("term"))
+      .select(col("doc_id").as("qid"), col("term"), kwE6.as("kwe6"),
+        log((lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+          + lit(1.0)).as("idf"))
+      .withColumn("rn", row_number().over(wk))
+      .filter(col("rn") <= MltTerms)
+      .select(col("qid"), col("term"), col("idf")))
+    // sparse arm: the bm25Of scoring core over the keyword queries,
+    // self-match excluded
+    val termE6 = floor(
+      col("idf") * ((col("tf") * lit(K1 + 1)) /
+        (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * (col("dl") / lit(avgdl)))))
+        * lit(1e6) + lit(0.5)).cast("long")
+    val ws = Window.partitionBy(col("qid"))
+      .orderBy(col("e6").desc, col("doc_id").asc)
+    val sparse = tf.join(qidf, Seq("term"))
+      .filter(col("doc_id") =!= col("qid"))
+      .select(col("qid"), col("doc_id"), termE6.as("e6"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("e6")).as("e6"))
+      .withColumn("srn", row_number().over(ws))
+      .filter(col("srn") <= HybridArmK)
+      .select(col("qid"), col("doc_id"), col("srn"))
+    // dense arm: brute cosine top-K (the q_sim_cosine_topk machinery)
+    val p = Similarity.prepared(s, d)
+    val dense = Similarity
+      .bruteTopK(p, p.filter(col("vec_id") % qMod === 0), HybridArmK)
+      .select(col("qid"), col("vec_id").as("doc_id"), col("rn").as("drn"))
+    rrfFuse(sparse, dense)
+  }
+
+  /** Reciprocal-rank fusion of two ranked candidate lists
+    * `(qid, doc_id, srn)` / `(qid, doc_id, drn)`:
+    * `rrf_e6 = Σ_arm floor(1e6 / (RrfK + rank))`, a doc absent from an
+    * arm contributing 0 (full outer join), re-ranked to the top
+    * [[HybridK]] per query (doc_id asc tiebreak).
+    */
+  def rrfFuse(sparse: DataFrame, dense: DataFrame): DataFrame = {
+    val rrfE6 = (coalesce(floor(lit(1e6) / (lit(RrfK) + col("srn"))), lit(0L)) +
+      coalesce(floor(lit(1e6) / (lit(RrfK) + col("drn"))), lit(0L)))
+      .cast("long")
+    val wf = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf_e6").desc, col("doc_id").asc)
+    sparse.join(dense, Seq("qid", "doc_id"), "full")
+      .select(col("qid"), col("doc_id"), rrfE6.as("rrf_e6"))
+      .withColumn("rn", row_number().over(wf))
+      .filter(col("rn") <= HybridK)
+  }
+
   // ---------------------------------------------------------------- oracle
 
   private val wSql = TextAnalysis.wSql
@@ -109,7 +243,8 @@ object Search {
   private def d(x: Double): String = s"CAST($x AS DOUBLE)"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_search_bm25" -> (bm25Q _))
+    "q_search_bm25" -> (bm25Q _),
+    "q_search_hybrid" -> (hybridQ _))
 
   val oracles: Map[String, String] = Map(
     "q_search_bm25" -> s"""
@@ -148,5 +283,80 @@ object Search {
                row_number() OVER (PARTITION BY qid
                                   ORDER BY e6 DESC, doc_id) AS rn
         FROM scored)
-      WHERE rn <= $TopK""")
+      WHERE rn <= $TopK""",
+    "q_search_hybrid" -> s"""
+      WITH wd AS (SELECT doc_id, $wSql AS w FROM documents),
+      base AS (
+        SELECT doc_id, w, CAST(len(w) AS BIGINT) AS dl
+        FROM wd WHERE len(w) > 0),
+      tf AS (
+        SELECT doc_id, dl, term, count(*) AS tf
+        FROM (SELECT doc_id, dl, unnest(w) AS term FROM base)
+        GROUP BY doc_id, dl, term),
+      stats AS (
+        SELECT count(*) AS n_docs,
+               CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+        FROM base),
+      dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      kw AS (
+        SELECT doc_id AS qid, term,
+               CAST(floor(tf * ln((n_docs + ${d(1.0)}) / (df + ${d(1.0)}))
+                 * 1e6 + ${d(0.5)}) AS BIGINT) AS kwe6
+        FROM tf JOIN dfs USING (term) CROSS JOIN stats
+        WHERE doc_id % ${graft.similarity.SimilarityQueries.QueryMod} = 0),
+      qt AS (
+        SELECT qid, term FROM (
+          SELECT qid, term, row_number() OVER (PARTITION BY qid
+            ORDER BY kwe6 DESC, term) AS rn
+          FROM kw)
+        WHERE rn <= $MltTerms),
+      qidf AS (
+        SELECT qid, q.term,
+               ln((n_docs - df + ${d(0.5)}) / (df + ${d(0.5)}) + ${d(1.0)})
+                 AS idf,
+               avgdl
+        FROM qt q JOIN dfs USING (term) CROSS JOIN stats),
+      contrib AS (
+        SELECT qid, doc_id,
+               CAST(floor(idf * ((tf * ${d(K1 + 1)}) /
+                 (tf + ${d(K1)} * (${d(1 - B)} + ${d(B)} * (dl / avgdl))))
+                 * 1e6 + ${d(0.5)}) AS BIGINT) AS e6
+        FROM tf JOIN qidf USING (term)
+        WHERE doc_id <> qid),
+      sparse AS (
+        SELECT qid, doc_id, srn FROM (
+          SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+            ORDER BY e6 DESC, doc_id) AS srn
+          FROM (SELECT qid, doc_id, CAST(sum(e6) AS BIGINT) AS e6
+                FROM contrib GROUP BY qid, doc_id))
+        WHERE srn <= $HybridArmK),
+      prep AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      normed AS (
+        SELECT vec_id, v,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        FROM prep),
+      dense AS (
+        SELECT qid, doc_id, drn FROM (
+          SELECT q.vec_id AS qid, c.vec_id AS doc_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY round(list_sum(list_transform(list_zip(q.v, c.v),
+                     s -> s[1] * s[2])) / (q.nrm * c.nrm), 5) DESC,
+                     c.vec_id ASC) AS drn
+          FROM normed q JOIN normed c ON c.vec_id <> q.vec_id
+          WHERE q.vec_id % ${graft.similarity.SimilarityQueries.QueryMod} = 0)
+        WHERE drn <= $HybridArmK),
+      fused AS (
+        SELECT qid, doc_id,
+               CAST(COALESCE(CAST(floor(1e6 / ($RrfK + srn)) AS BIGINT), 0)
+                  + COALESCE(CAST(floor(1e6 / ($RrfK + drn)) AS BIGINT), 0)
+                 AS BIGINT) AS rrf_e6
+        FROM sparse FULL JOIN dense USING (qid, doc_id))
+      SELECT qid, doc_id, rrf_e6, rn FROM (
+        SELECT qid, doc_id, rrf_e6,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY rrf_e6 DESC, doc_id) AS rn
+        FROM fused)
+      WHERE rn <= $HybridK""")
 }

@@ -57,4 +57,29 @@ class SearchSpec extends AnyFunSuite {
     val b = Search.bm25Of(spark, docs, Search.QueryTerms).collect().toSeq
     assert(a === b)
   }
+
+  test("RRF fusion: both-arm docs outrank single-arm docs at equal rank") {
+    // query 0: doc 10 is rank 1 in BOTH arms; doc 11 rank 2 sparse
+    // only; doc 12 rank 2 dense only; doc 13 rank 3 sparse only
+    val sparse = Seq((0, 10L, 1), (0, 11L, 2), (0, 13L, 3))
+      .toDF("qid", "doc_id", "srn")
+    val dense = Seq((0, 10L, 1), (0, 12L, 2))
+      .toDF("qid", "doc_id", "drn")
+    val out = Search.rrfFuse(sparse, dense).collect().sortBy(_.getInt(3))
+    assert(out.map(_.getLong(1)).toSeq === Seq(10L, 11L, 12L, 13L))
+    // doc 10: 2*floor(1e6/61); docs 11/12: floor(1e6/62) each — the
+    // equal-rank single-arm docs tie on score and break by doc_id
+    assert(out(0).getLong(2) === 2L * (1000000L / 61))
+    assert(out(1).getLong(2) === out(2).getLong(2))
+  }
+
+  test("RRF fusion is per-query and caps at HybridK") {
+    val sparse = (1 to Search.HybridArmK).map(r => (7, 100L + r, r))
+      .toDF("qid", "doc_id", "srn")
+    val dense = (1 to Search.HybridArmK).map(r => (7, 200L + r, r))
+      .toDF("qid", "doc_id", "drn")
+    val out = Search.rrfFuse(sparse, dense).collect()
+    assert(out.length === Search.HybridK)
+    assert(out.forall(_.getInt(0) === 7))
+  }
 }
