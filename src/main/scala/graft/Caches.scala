@@ -31,20 +31,33 @@ object Caches {
     * no-op; a regenerated dir re-keys the fingerprint and rebuilds.
     */
   def ensureAll(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
-    blocker.BlockerQueries.entriesCk(s, d)
-    blocker.BlockerQueries.tfCk(s, d)
-    resolver.ResolverQueries.pairScoresCk(s, d)
-    enrich.WikidataQueries.snakCk(s, d)
-    enrich.WikidataQueries.statementsQ(s, d)
-    enrich.WikidataQueries.linksQ(s, d)
-    enrich.ProposeQueries.personStmtsCk(s, d)
-    similarity.KMeans.trainedCentroids(s, d)
-    similarity.Pq.indexCk(s, d)
-    similarity.SimilarityQueries.nearPreparedCk(s, d)
-    dedup.DedupQueries.fpSetsCk(s, d)
-    dedup.DedupQueries.fpPosCk(s, d)
-    matching.MatchingQueries.analysisCk(s, d)
-    textanalysis.Bpe.trainedMergesCk(s, d)
-    search.Search.postingsCk(s, d)
+    val builds: Seq[() => Any] = Seq(
+      () => blocker.BlockerQueries.entriesCk(s, d),
+      () => blocker.BlockerQueries.tfCk(s, d),
+      () => resolver.ResolverQueries.pairScoresCk(s, d),
+      () => enrich.WikidataQueries.snakCk(s, d),
+      () => enrich.WikidataQueries.statementsQ(s, d),
+      () => enrich.WikidataQueries.linksQ(s, d),
+      () => enrich.ProposeQueries.personStmtsCk(s, d),
+      () => similarity.KMeans.trainedCentroids(s, d),
+      () => similarity.Pq.indexCk(s, d),
+      () => similarity.SimilarityQueries.nearPreparedCk(s, d),
+      () => dedup.DedupQueries.fpSetsCk(s, d),
+      () => dedup.DedupQueries.fpPosCk(s, d),
+      () => matching.MatchingQueries.analysisCk(s, d),
+      () => textanalysis.Bpe.trainedMergesCk(s, d),
+      () => search.Search.postingsCk(s, d))
+    // Concurrent ingest: the artifacts are independent write-once DAGs
+    // (IndexLake publish-locks per artifact), and each build is a small
+    // multi-stage Spark job whose stage boundaries leave most executor
+    // cores idle when run one at a time — submitting from a few driver
+    // threads lets the scheduler interleave their tasks. Failures
+    // propagate through the Future.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futs = builds.map(b => pool.submit(
+        new java.util.concurrent.Callable[Any] { def call(): Any = b() }))
+      futs.foreach(_.get())
+    } finally pool.shutdown()
   }
 }

@@ -143,24 +143,30 @@ object IndexLake {
     * with [[FormatVersion]]. Regenerated data ⇒ new fingerprint ⇒
     * rebuild; stale fingerprints age out with their root.
     */
-  def fingerprint(sfDir: String): String = {
-    val p = new Path(sfDir)
-    val fs = fsOf(p)
-    def walk(st: FileStatus): Seq[String] =
-      if (st.isDirectory)
-        fs.listStatus(st.getPath).sortBy(_.getPath.getName)
-          .flatMap(walk).toSeq
-      else Seq(s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
-    val entries =
-      (if (fs.exists(p)) fs.listStatus(p).toSeq else Seq.empty)
-        .filter(_.getPath.getName.endsWith(".parquet"))
-        .sortBy(_.getPath.getName).flatMap(walk)
-    val md = MessageDigest.getInstance("SHA-256")
-    md.update(s"graft-index-v$FormatVersion-$builderHash\n$sfDir\n"
-      .getBytes("UTF-8"))
-    entries.foreach(e => md.update((e + "\n").getBytes("UTF-8")))
-    md.digest().take(8).map("%02x".format(_)).mkString
-  }
+  private val fpMemo = TrieMap.empty[String, String]
+
+  def fingerprint(sfDir: String): String =
+    // memoized per session: every artifact path re-derives it, and the
+    // listing walk is an RPC storm on object stores. clearMemo drops it
+    // (the regenerated-dir path), so a refreshed dir re-fingerprints.
+    fpMemo.getOrElseUpdate(sfDir, {
+      val p = new Path(sfDir)
+      val fs = fsOf(p)
+      def walk(st: FileStatus): Seq[String] =
+        if (st.isDirectory)
+          fs.listStatus(st.getPath).sortBy(_.getPath.getName)
+            .flatMap(walk).toSeq
+        else Seq(s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      val entries =
+        (if (fs.exists(p)) fs.listStatus(p).toSeq else Seq.empty)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .sortBy(_.getPath.getName).flatMap(walk)
+      val md = MessageDigest.getInstance("SHA-256")
+      md.update(s"graft-index-v$FormatVersion-$builderHash\n$sfDir\n"
+        .getBytes("UTF-8"))
+      entries.foreach(e => md.update((e + "\n").getBytes("UTF-8")))
+      md.digest().take(8).map("%02x".format(_)).mkString
+    })
 
   def path(sfDir: String, name: String): Path =
     new Path(new Path(root, fingerprint(sfDir)), name)
@@ -195,8 +201,17 @@ object IndexLake {
     * builder won, its copy is kept and ours discarded; a marker-less
     * leftover (crashed builder) is cleared and the move retried.
     */
+  /** Per-artifact publish locks: different artifacts build and publish
+    * CONCURRENTLY (the parallel-ingest path in `Caches.ensureAll` —
+    * independent write-once DAGs, so a global lock would serialize the
+    * whole ingest behind each artifact's Spark job); same-artifact
+    * builders in this JVM still serialize, and the loser of the lock
+    * re-checks the marker before doing any work.
+    */
+  private val publishLocks = TrieMap.empty[String, Object]
+
   private def publish(fs: FileSystem, dir: Path, df: DataFrame): Unit =
-    synchronized {
+    publishLocks.getOrElseUpdate(dir.toString, new Object).synchronized {
       if (ready(fs, dir)) return
       ensureRoot(new Path(root), fsOf(new Path(root)))
       fs.mkdirs(dir.getParent)
@@ -236,7 +251,7 @@ object IndexLake {
   /** Drop the in-session memo (regenerated-dir hygiene — the on-disk
     * artifacts key on the data fingerprint and need no clearing).
     */
-  def clearMemo(): Unit = memo.clear()
+  def clearMemo(): Unit = { memo.clear(); fpMemo.clear() }
 
   /** Delete every on-disk artifact for `sfDir` (tests). */
   def invalidate(sfDir: String): Unit = {
