@@ -27,7 +27,11 @@ import graft.text.JaroWinkler
   */
 object MatchingQueries {
 
-  private val jwUdf = udf((a: String, b: String) => JaroWinkler.similarity(a, b))
+  // native Catalyst expression (graft.functions.JaroWinklerSim): stays
+  // inside the WholeStageCodegen span of the feature projection where
+  // the former Scala UDF forced a catalyst→external row conversion
+  private def jw(a: Column, b: Column): Column =
+    graft.functions.TextExpressions.jaroWinkler(a, b)
 
   /** Per-entity name analysis: one row per entity with precomputed
     * fingerprint / token set / number set columns.
@@ -80,7 +84,7 @@ object MatchingQueries {
       (overlap.cast("double") /
         (size(col("ltoks")) + size(col("rtoks")) - overlap))
         .as("tok_jaccard"),
-      jwUdf(col("lname"), col("rname")).as("jw"),
+      jw(col("lname"), col("rname")).as("jw"),
       when(size(col("lnums")) > 0 && size(col("rnums")) > 0 &&
         size(array_intersect(col("lnums"), col("rnums"))) === 0, 1.0)
         .otherwise(0.0).as("num_mismatch"),
