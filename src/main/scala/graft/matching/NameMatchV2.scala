@@ -13,11 +13,18 @@ import graft.text.{Levenshtein, Symbols, TextNorm}
   * alignment, OBJ whole-string strict levenshtein with the asymmetric
   * number-mismatch penalty, UNK scores 0).
   *
-  * NOT ported (SURVEY §7.4 risk 1): rigour's full symbol lexicon
-  * (nicknames, initials, domain/location terms) and script-aware
-  * transliteration — symbols here cover the org-class table and numeric
-  * parts; alignment operates on ascii-folded tokens. Weights/penalties
-  * use the reference's published defaults (`logic_v2/model.py CONFIG`).
+  * NOT ported (SURVEY §7.4 risk 1): rigour's FULL nickname/variant
+  * lexicon — the rigour package is not available offline, so variant
+  * groups here are the bundled data tables in
+  * [[graft.text.Transliterate]] / [[graft.text.Symbols]] (org-class,
+  * numerics, initials, the name-variant groups the frozen bench
+  * exercises). Script-aware romanization IS ported for the scripts the
+  * bench covers (Khmer, pinyin + Han translation table, Greek,
+  * Armenian, Georgian, Hangul, Kana, Bengali, Arabic, Cyrillic).
+  * Weights/penalties use the reference's published defaults
+  * (`logic_v2/model.py CONFIG`); behavioral constants beyond them are
+  * pinned to frozen-run witnesses in the scaladocs below, with
+  * EntityBenchSpec as the independent generalization guard.
   */
 object NameMatchV2 {
 
