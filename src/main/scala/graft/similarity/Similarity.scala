@@ -24,8 +24,13 @@ object Similarity {
   /** Cast a float-array column to double (parity with the oracle math). */
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
+  /** Native codegen dot product ([[graft.functions.DotProduct]]) — the
+    * HOF composition `aggregate(zip_with(a, b, _*_), 0.0, _+_)` is
+    * interpreted per element; the expression generates one fused loop
+    * with identical semantics (sequential left-to-right double sum).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorExpressions.dot(a, b)
 
   def norm(v: Column): Column = sqrt(dot(v, v))
 
