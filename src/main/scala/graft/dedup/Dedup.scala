@@ -69,13 +69,13 @@ object Dedup {
 
   /** MinHash signature from an already-hashed shingle column. The md5
     * hashing must be materialized as its own projection (see
-    * [[DedupQueries.hashedShingles]]) so it runs once per row — inlining
-    * it here would replicate the md5 work into each of the k
-    * `array_min(transform(...))` branches (measured 31× slower).
+    * [[DedupQueries.hashedShingles]]) so it runs once per row (it
+    * previously replicated into each of k `array_min(transform(...))`
+    * branches — measured 31× slower; those k interpreted passes are
+    * now ONE codegen'd pass, [[graft.functions.MinHashSig]]).
     */
   def minhashSigFromHashes(hashedCol: Column, k: Int): Column =
-    array((0 until k).map(j => array_min(transform(hashedCol,
-      h => Hashing.permute(h, j)))): _*)
+    graft.functions.VectorExpressions.minhashSig(hashedCol, k)
 
   /** MinHash signature (k universal hashes over 60-bit shingle hashes). */
   def minhashSig(shingleCol: Column, k: Int): Column =

@@ -57,8 +57,7 @@ object Pq {
     * same left-to-right fold both engines use for dot products.
     */
   def sqDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorExpressions.l2sq(a, b)
 
   /** Explode a (vec_id, v) frame into per-subspace slices. */
   private def subVectors(df: DataFrame, vecCol: String): DataFrame =

@@ -132,15 +132,15 @@ object SimilarityQueries {
         transform(col("v"), x => floor(x / col("scale") + 0.5d)
           .cast("long")).as("q"))
       .withColumn("qq",
-        aggregate(col("q"), lit(0L), (acc, x) => acc + x * x))
+        graft.functions.VectorExpressions.dotL(col("q"), col("q")))
     val a = q8.select(col("vec_id").as("a"), col("q").as("qa"),
       col("qq").as("qqa"))
     val b = q8.select(col("vec_id").as("b"), col("q").as("qb"),
       col("qq").as("qqb"))
     cand.join(a, Seq("a")).join(b, Seq("b"))
       .select(col("a"), col("b"),
-        round(aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
-          lit(0L), (acc, x) => acc + x).cast("double") /
+        round(graft.functions.VectorExpressions.dotL(col("qa"), col("qb"))
+          .cast("double") /
           (sqrt(col("qqa").cast("double")) * sqrt(col("qqb").cast("double"))),
           5).as("cos8"))
       .filter(col("cos8") >= NearThreshold)
