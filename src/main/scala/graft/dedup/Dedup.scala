@@ -127,15 +127,17 @@ object Dedup {
         w => length(w) > 0)).as("word"))
       .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("cnt"))
       .withColumn("whash", Hashing.hash60(col("word")))
-    words
-      .select(col(idCol), col("cnt"), col("whash"),
-        explode(sequence(lit(0), lit(bits - 1))).as("bit"))
-      .groupBy(col(idCol), col("bit"))
-      .agg(sum(expr("cnt * ((shiftright(whash, bit) & 1) * 2 - 1)")).as("vote"))
-      .groupBy(col(idCol))
-      .agg(sum(when(col("vote") > 0,
-        expr("shiftleft(cast(1 as bigint), bit)")).otherwise(0L))
-        .as("simhash"))
+    // one aggregation with `bits` map-side-combined vote columns: the
+    // previous shape exploded `bits` rows per (doc, word) and paid two
+    // more shuffles ((doc, bit) votes, then doc recombine); the vote
+    // sums are integers either way, so the signature is identical
+    val votes = (0 until bits).map(i =>
+      sum(expr(s"cnt * ((shiftright(whash, $i) & 1) * 2 - 1)")).as(s"v$i"))
+    words.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+      .select(col(idCol),
+        (0 until bits).map(i =>
+          when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
   }
 
   /** Hamming-near pairs via banding of the simhash: two signatures
