@@ -120,6 +120,54 @@ object Soak {
       return
     }
 
+    if (mode == "retrieval") {
+      import graft.search.Search
+      import graft.similarity.Similarity
+      // N× corpus, FIXED standing query workload — the serving shape:
+      // retrieval work must be linear in the corpus when the query set
+      // is bounded (the broadcast arms grow with queries, not corpus)
+      val docs = nearDupCorpus(spark, sfDir, replicas)
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val nDocs = docs.count()
+      val t0 = System.nanoTime()
+      val postings = Search.postingsOf(docs).localCheckpoint(true)
+      val nPostings = postings.count()
+      val buildWall = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val sparseRows = Search.bm25Core(spark, postings, Search.QueryTerms)
+        .count()
+      val sparseWall = (System.nanoTime() - t1) / 1e9
+      // dense arm: replicate embeddings alongside, queries stay the
+      // BASE slice (vec_id < span), corpus grows N×
+      val emb = Tables.embeddings(spark, sfDir)
+      val eMax = emb.agg(max(col("vec_id"))).head.getLong(0) + 1L
+      val corpusV = (0 until replicas).map(i =>
+        emb.withColumn("vec_id", col("vec_id") + lit(i * eMax)))
+        .reduce(_.unionByName(_))
+        .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+        .withColumn("nrm", Similarity.norm(col("v")))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val nVecs = corpusV.count()
+      val queries = corpusV.filter(col("vec_id") < eMax &&
+        col("vec_id") % graft.similarity.SimilarityQueries.QueryMod === 0)
+      val t2 = System.nanoTime()
+      val dense = Similarity.bruteTopK(corpusV, queries, Search.HybridArmK)
+        .select(col("qid"), col("vec_id").as("doc_id"), col("rn").as("drn"))
+      val denseRows = dense.count()
+      val denseWall = (System.nanoTime() - t2) / 1e9
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"""{"soak":"retrieval","sf":"$sfDir","replicas":$replicas,""" +
+        f""""docs":$nDocs,"postings":$nPostings,""" +
+        f""""build_wall_sec":$buildWall%.1f,""" +
+        f""""sparse_rows":$sparseRows,"sparse_wall_sec":$sparseWall%.1f,""" +
+        f""""vecs":$nVecs,"dense_rows":$denseRows,""" +
+        f""""dense_wall_sec":$denseWall%.1f,"wall_sec":$wall%.1f,""" +
+        f""""shuffle_write_mb":${shuffleWrite / 1e6}%.1f,""" +
+        f""""peak_stage_shuffle_mb":${peakStageWrite / 1e6}%.1f}""")
+      spark.stop()
+      return
+    }
+
     val stmts = corpus(spark, sfDir, replicas)
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val nStmts = stmts.count()
