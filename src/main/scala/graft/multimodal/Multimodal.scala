@@ -246,9 +246,30 @@ object Multimodal {
     * bytes) would catch. Integer-only math end to end, so the features
     * are bit-identical across engines.
     */
-  def decodeMedia(docId: Long, content: Array[Byte]): DecodedMedia = {
-    val img = javax.imageio.ImageIO.read(
-      new java.io.ByteArrayInputStream(toBmp(content)))
+  /** One reader/writer per PARTITION, not per image: `ImageIO.read`
+    * re-scans the plugin registry and allocates a fresh reader per
+    * call — a real decode pipeline holds one codec instance per task
+    * and resets its input per image (the documented reuse pattern).
+    */
+  def newReader(format: String): javax.imageio.ImageReader =
+    javax.imageio.ImageIO.getImageReadersByFormatName(format).next()
+
+  private def readVia(reader: javax.imageio.ImageReader,
+      bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      reader.setInput(iis, true, true)
+      reader.read(0, reader.getDefaultReadParam)
+    } finally iis.close()
+  }
+
+  def decodeMedia(docId: Long, content: Array[Byte]): DecodedMedia =
+    decodeMedia(docId, content, newReader("bmp"))
+
+  def decodeMedia(docId: Long, content: Array[Byte],
+      reader: javax.imageio.ImageReader): DecodedMedia = {
+    val img = readVia(reader, toBmp(content))
     require(img != null, s"BMP decode failed for doc $docId")
     val w = img.getWidth
     val h = img.getHeight
@@ -296,9 +317,12 @@ object Multimodal {
     // in the cyclic fill) — filtered like the frame path's n_frames gate
     media(s, d).filter(length(col("content")) > 0)
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.grouped(64).flatMap(_.map {
-        case (id, c) => decodeMedia(id, c)
-      }))
+      .mapPartitions { it =>
+        lazy val reader = newReader("bmp")
+        it.grouped(64).flatMap(_.map {
+          case (id, c) => decodeMedia(id, c, reader)
+        })
+      }
       .toDF()
   }
 
@@ -332,7 +356,16 @@ object Multimodal {
     * dequant, IDCT) against an arithmetic oracle, despite JPEG being
     * lossy in general.
     */
+  def newJpegWriter(): javax.imageio.ImageWriter =
+    javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+
   def toJpeg(grays: Array[Int]): Array[Byte] = {
+    val w = newJpegWriter()
+    try toJpeg(grays, w) finally w.dispose()
+  }
+
+  def toJpeg(grays: Array[Int],
+      writer: javax.imageio.ImageWriter): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(DecW, DecH,
       java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
     val raster = img.getRaster
@@ -346,8 +379,6 @@ object Multimodal {
       y += 1
     }
     val out = new java.io.ByteArrayOutputStream()
-    val writer =
-      javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
     val param = writer.getDefaultWriteParam
     param.setCompressionMode(
       javax.imageio.ImageWriteParam.MODE_EXPLICIT)
@@ -355,7 +386,6 @@ object Multimodal {
     val mos = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
     writer.setOutput(mos)
     writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
-    writer.dispose()
     mos.close()
     out.toByteArray
   }
@@ -367,9 +397,13 @@ object Multimodal {
     * the output; the DuckDB oracle re-derives the expected grays
     * arithmetically from the content bytes.
     */
-  def decodeJpeg(docId: Long, content: Array[Byte]): DecodedJpeg = {
-    val img = javax.imageio.ImageIO.read(
-      new java.io.ByteArrayInputStream(toJpeg(quadGrays(content))))
+  def decodeJpeg(docId: Long, content: Array[Byte]): DecodedJpeg =
+    decodeJpeg(docId, content, newReader("jpeg"), newJpegWriter())
+
+  def decodeJpeg(docId: Long, content: Array[Byte],
+      reader: javax.imageio.ImageReader,
+      writer: javax.imageio.ImageWriter): DecodedJpeg = {
+    val img = readVia(reader, toJpeg(quadGrays(content), writer))
     require(img != null, s"JPEG decode failed for doc $docId")
     val r = img.getRaster
     DecodedJpeg(docId, img.getWidth, img.getHeight,
@@ -384,9 +418,13 @@ object Multimodal {
     import s.implicits._
     media(s, d).filter(length(col("content")) > 0)
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.grouped(64).flatMap(_.map {
-        case (id, c) => decodeJpeg(id, c)
-      }))
+      .mapPartitions { it =>
+        lazy val reader = newReader("jpeg")
+        lazy val writer = newJpegWriter()
+        it.grouped(64).flatMap(_.map {
+          case (id, c) => decodeJpeg(id, c, reader, writer)
+        })
+      }
       .toDF()
   }
 
