@@ -43,12 +43,21 @@ final class DatasetEnricher(val name: String, mirror: DataFrame) {
       tfS.filter(col("side") === "q").drop("side"),
       tfS.filter(col("side") === "m").drop("side"), compat, cfg,
       broadcastQuery = false) // bulk path: the query side is a corpus
-    val views = EntityMatch.views(EntityStore.assemble(all), all)
     // The topk subtree embeds the full blocker chain; score/expand plans
     // downstream reference it repeatedly, multiplying the logical plan
     // (multi-MiB task binaries, explainString OOM). The candidate list
     // is bounded (top-K per query), so truncate lineage here.
     val topkCk = topk.localCheckpoint(true)
+    // assemble scoring views ONLY for entities that appear in a
+    // candidate pair — the pair list is bounded (queries × K) while
+    // `all` includes the whole mirror, so assembling everything did
+    // mirror-sized aggregation work for rows scorePairs never reads
+    val pairIds = topkCk.select(col("qid").as("canonical_id"))
+      .unionByName(topkCk.select(col("cid").as("canonical_id")))
+      .distinct()
+    val allCand = all.join(broadcast(pairIds), Seq("canonical_id"),
+      "left_semi")
+    val views = EntityMatch.views(EntityStore.assemble(allCand), allCand)
     EntityMatch.scorePairs(
       topkCk.select(col("qid").as("lid"), col("cid").as("rid"),
         col("score").as("blocker_score")),
