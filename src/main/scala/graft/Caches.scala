@@ -54,10 +54,23 @@ object Caches {
     // threads lets the scheduler interleave their tasks. Failures
     // propagate through the Future.
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    var failed = false
     try {
       val futs = builds.map(b => pool.submit(
         new java.util.concurrent.Callable[Any] { def call(): Any = b() }))
-      futs.foreach(_.get())
-    } finally pool.shutdown()
+      futs.foreach { f =>
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            // Surface the builder's own exception type to callers, and
+            // don't leave the other submitted builds running after we
+            // throw.
+            failed = true
+            throw Option(e.getCause).getOrElse(e)
+        }
+      }
+    } finally {
+      if (failed) pool.shutdownNow() else pool.shutdown()
+    }
   }
 }

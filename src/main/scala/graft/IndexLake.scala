@@ -63,28 +63,31 @@ object IndexLake {
     val loc = if (src == null) null else src.getLocation
     if (loc != null) {
       val p = java.nio.file.Paths.get(loc.toURI)
+      // hash EVERY class file of the build output (not just graft/**):
+      // the org.apache.spark.sql.graftbridge foothold is part of the
+      // same build and feeds every native expression — a change there
+      // must re-key artifacts too
       if (java.nio.file.Files.isDirectory(p)) {
-        val root = p.resolve("graft")
-        if (java.nio.file.Files.exists(root)) {
-          val files = java.nio.file.Files.walk(root).iterator()
+        val walk = java.nio.file.Files.walk(p)
+        try {
           val classes = scala.collection.mutable.ArrayBuffer.empty[
             java.nio.file.Path]
+          val files = walk.iterator()
           while (files.hasNext) {
             val f = files.next()
             if (f.toString.endsWith(".class")) classes += f
           }
-          classes.sortBy(f => root.relativize(f).toString).foreach { f =>
-            md.update(root.relativize(f).toString.getBytes("UTF-8"))
+          classes.sortBy(f => p.relativize(f).toString).foreach { f =>
+            md.update(p.relativize(f).toString.getBytes("UTF-8"))
             md.update(java.nio.file.Files.readAllBytes(f))
           }
-        }
+        } finally walk.close()
       } else if (p.toString.endsWith(".jar")) {
         val jar = new java.util.jar.JarFile(p.toFile)
         try {
           import scala.jdk.CollectionConverters._
           val entries = jar.entries().asScala
-            .filter(e => e.getName.startsWith("graft/") &&
-              e.getName.endsWith(".class"))
+            .filter(_.getName.endsWith(".class"))
             .toSeq.sortBy(_.getName)
           entries.foreach { e =>
             md.update(e.getName.getBytes("UTF-8"))
@@ -238,9 +241,22 @@ object IndexLake {
         } else {
           if (fs.exists(dir)) fs.delete(dir, true) // crashed partial
           // rename fails (false) if dst reappeared — loop re-checks
-          if (fs.rename(tmp, dir)) {
+          if (fs.rename(tmp, dir) && !fs.exists(new Path(dir, tmp.getName))) {
             fs.create(marker(dir), true).close()
             done = true
+          } else if (fs.exists(new Path(dir, tmp.getName))) {
+            // rename-into-dir race: on HDFS-like filesystems a rename
+            // whose dst directory REAPPEARED (a cross-process builder
+            // recreated it between our delete and rename) returns true
+            // but nests src as dst/src.name — trusting it would publish
+            // a marker over a dir whose data sits one level too deep.
+            // Pull our copy back out to the tmp sibling and re-enter
+            // the loop; the marker re-check decides who won.
+            fs.rename(new Path(dir, tmp.getName), tmp)
+            if (attempts >= 5) {
+              fs.delete(tmp, true)
+              sys.error(s"index publish failed after $attempts attempts: $dir")
+            } else Thread.sleep(50L * attempts)
           } else if (attempts >= 5) {
             sys.error(s"index publish failed after $attempts attempts: $dir")
           } else Thread.sleep(50L * attempts)

@@ -55,7 +55,18 @@ final class DatasetEnricher(val name: String, mirror: DataFrame) {
     val pairIds = topkCk.select(col("qid").as("canonical_id"))
       .unionByName(topkCk.select(col("cid").as("canonical_id")))
       .distinct()
-    val allCand = all.join(broadcast(pairIds), Seq("canonical_id"),
+    // widen ONE HOP over entity-typed refs (addressEntity etc., the
+    // same hop expand() takes): views dereferences referenced Address
+    // entities against these statements, and a referenced entity is
+    // its own canonical_id that never appears in a candidate pair —
+    // without the hop, ref-address features would silently score 0.
+    // Still bounded: pairs × refs-per-entity, not mirror-sized.
+    val refIds = all.join(broadcast(pairIds), Seq("canonical_id"),
+      "left_semi")
+      .filter(col("prop_type") === "entity")
+      .select(col("value").as("canonical_id")).distinct()
+    val wantedIds = pairIds.unionByName(refIds).distinct()
+    val allCand = all.join(broadcast(wantedIds), Seq("canonical_id"),
       "left_semi")
     val views = EntityMatch.views(EntityStore.assemble(allCand), allCand)
     EntityMatch.scorePairs(

@@ -35,7 +35,13 @@ object RetrievalStream {
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl")).head()
     val nDocs = statsRow.getLong(0)
     val avgdl = statsRow.getDouble(1)
-    val dfs = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // Collect df ONLY for the bounded standing-query vocabulary — the
+    // workload's terms, not the corpus'. Without the filter this would
+    // pull the whole corpus vocabulary to the driver (at 100 TB, a
+    // driver OOM); with it the collect is |distinct query terms| rows.
+    val wanted = queryTerms.map(_._2).distinct
+    val dfs = postings.filter(col("term").isin(wanted: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val qidf = queryTerms.flatMap { case (qid, term) =>
       dfs.get(term).map { df =>

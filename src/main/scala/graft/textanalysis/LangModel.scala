@@ -91,20 +91,52 @@ object LangModel {
       .select(col("doc_id"), col("w"), posexplode(col("w")).as(Seq("pos", "term")))
       .select(col("doc_id"), col("term"),
         when(col("pos") > 0, element_at(col("w"), col("pos"))).as("prev"))
-    // ONE training pass over the corpus: grouping on (prev, term) with
-    // prev-null rows included makes the bigram table a sufficient
-    // statistic — unigram counts and the token total are vocabulary-
-    // sized rollups of it (un(w) = Σ_prev bc(prev, w): every token
-    // occurrence is exactly one (prev, term) row). localCheckpoint
-    // before the fan-out so the three derived tables and two broadcast
-    // sides don't each re-inline the corpus explode (the PLANS.md
-    // fan-out rule).
-    val biAll = rows.filter(bucket < TrainBuckets)
+    val (uni, bi, tot) =
+      lmTables(rows.filter(bucket < TrainBuckets), topV, bigramsPerContext)
+    val unPrev = uni.select(col("term").as("prev"), col("un").as("un_prev"))
+    val pUni = coalesce(col("un").cast("double"), lit(OovCount)) /
+      col("t").cast("double")
+    val p = when(col("prev").isNull, pUni)
+      .when(col("bc").isNotNull,
+        col("bc").cast("double") / col("un_prev").cast("double"))
+      .otherwise(lit(Backoff) * pUni)
+    // LM tables broadcast — bounded by the LmTopV cap above, so the
+    // hint is safe at any corpus size; the corpus token stream is
+    // never shuffled on a term key, only hash-aggregated by doc at
+    // the end
+    val scored = rows
+      .join(broadcast(uni), Seq("term"), "left")
+      .join(broadcast(unPrev), Seq("prev"), "left")
+      .join(broadcast(bi), Seq("prev", "term"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        floor(log(p) * lit(1e6) + lit(0.5)).cast("long").as("e6"))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("e6")).as("s6"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("s6").cast("double") /
+          (col("n_tokens").cast("double") * lit(1e6)), 6).as("avg_logp"))
+  }
+
+  /** Capped LM count tables from (prev, term) token rows — the shared
+    * train core of [[lmScoreOf]] and [[train]]. ONE training pass over
+    * the corpus: grouping on (prev, term) with prev-null rows included
+    * makes the bigram table a sufficient statistic — unigram counts
+    * and the token total are vocabulary-sized rollups of it
+    * (un(w) = Σ_prev bc(prev, w): every token occurrence is exactly
+    * one (prev, term) row). localCheckpoint before the fan-out so the
+    * derived tables don't each re-inline the corpus explode (the
+    * PLANS.md fan-out rule). Returns (uni ≤ topV rows,
+    * bi ≤ topV·bigramsPerContext rows, 1-row full-corpus token total —
+    * computed BEFORE any cap: pruned mass becomes OOV mass, it does
+    * not vanish).
+    */
+  private def lmTables(tokenRows: DataFrame, topV: Long,
+      bigramsPerContext: Int): (DataFrame, DataFrame, DataFrame) = {
+    val biAll = tokenRows
       .groupBy(col("prev"), col("term")).agg(count(lit(1)).as("bc"))
       .localCheckpoint(true)
     val uniAll = biAll.groupBy(col("term")).agg(sum(col("bc")).as("un"))
-    // token total over the FULL corpus (pruned mass becomes OOV mass,
-    // it does not vanish) — computed before any cap
     val tot = uniAll.agg(sum(col("un")).as("t"))
     // top-|V| cap (see LmTopV): the count runs on the checkpointed
     // vocabulary table, never the corpus. Both prune sides key on the
@@ -132,29 +164,7 @@ object LangModel {
           biKept.withColumn("brn", row_number().over(wCtx))
             .filter(col("brn") <= bigramsPerContext).drop("brn"))
       }
-    val unPrev = uni.select(col("term").as("prev"), col("un").as("un_prev"))
-    val pUni = coalesce(col("un").cast("double"), lit(OovCount)) /
-      col("t").cast("double")
-    val p = when(col("prev").isNull, pUni)
-      .when(col("bc").isNotNull,
-        col("bc").cast("double") / col("un_prev").cast("double"))
-      .otherwise(lit(Backoff) * pUni)
-    // LM tables broadcast — bounded by the LmTopV cap above, so the
-    // hint is safe at any corpus size; the corpus token stream is
-    // never shuffled on a term key, only hash-aggregated by doc at
-    // the end
-    val scored = rows
-      .join(broadcast(uni), Seq("term"), "left")
-      .join(broadcast(unPrev), Seq("prev"), "left")
-      .join(broadcast(bi), Seq("prev", "term"), "left")
-      .crossJoin(broadcast(tot))
-      .select(col("doc_id"),
-        floor(log(p) * lit(1e6) + lit(0.5)).cast("long").as("e6"))
-    scored.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("e6")).as("s6"))
-      .select(col("doc_id"), col("n_tokens"),
-        round(col("s6").cast("double") /
-          (col("n_tokens").cast("double") * lit(1e6)), 6).as("avg_logp"))
+    (uni, bi, tot)
   }
 
   // -------------------------------------------------- servable model form
@@ -191,21 +201,30 @@ object LangModel {
 
   /** Train an [[LmModel]] on the ENTIRE given frame (callers hold out
     * their own reference slice — [[lmScoreOf]] shows the hash-split
-    * idiom). One corpus aggregation, vocabulary-sized collect.
+    * idiom). One corpus aggregation; the collects are capped BY
+    * CONSTRUCTION to ≤ topV unigram rows and ≤ topV·bigramsPerContext
+    * bigram rows (the [[lmTables]] prune — unique bigrams grow with
+    * corpus content, so an uncapped collect would be a driver OOM at
+    * scale). Pruned terms degrade to OOV and pruned bigrams to
+    * backoff exactly as in [[lmScoreOf]]; `total` is the FULL pre-cap
+    * token count, and [[LmModel.avgLogp]] already backs off on pruned
+    * contexts.
     */
-  def train(docs: DataFrame): LmModel = {
+  def train(docs: DataFrame): LmModel =
+    train(docs, LmTopV, LmBigramsPerContext)
+
+  def train(docs: DataFrame, topV: Long, bigramsPerContext: Int): LmModel = {
     val rows = TextAnalysis.withWords(docs)
       .filter(size(col("w")) > 0)
       .select(col("w"), posexplode(col("w")).as(Seq("pos", "term")))
       .select(col("term"),
         when(col("pos") > 0, element_at(col("w"), col("pos"))).as("prev"))
-    val biAll = rows.groupBy(col("prev"), col("term"))
-      .agg(count(lit(1)).as("bc")).collect()
-    val uni = biAll.groupBy(_.getString(1))
-      .view.mapValues(_.map(_.getLong(2)).sum).toMap
-    val bi = biAll.filter(!_.isNullAt(0))
+    val (uniDf, biDf, totDf) = lmTables(rows, topV, bigramsPerContext)
+    val uni = uniDf.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bi = biDf.collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-    LmModel(uni, bi, uni.valuesIterator.sum)
+    LmModel(uni, bi, totDf.head().getLong(0))
   }
 
   // ---------------------------------------------------------------- oracle

@@ -104,6 +104,32 @@ class LangModelSpec extends AnyFunSuite {
     assert(uncapped(heldId) === ((3L, avg(Seq(4 / 7.0, 2 / 4.0, 0.5)))))
   }
 
+  test("train caps its collects by construction, either side of the cap") {
+    // vocab 3 ("a a a b a b c": un a=4 b=2 c=1, T=7) — under a topV=100
+    // cap nothing is pruned and the model is the full count table
+    val docs = Seq((1L, "a a a b a b c", "en", "unit", 13L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val full = LangModel.train(docs)
+    assert(full.uni === Map("a" -> 4L, "b" -> 2L, "c" -> 1L))
+    assert(full.bi === Map(("a", "a") -> 2L, ("a", "b") -> 2L,
+      ("b", "a") -> 1L, ("b", "c") -> 1L))
+    assert(full.total === 7L)
+    // topV=2, 1 continuation/context: tables are ≤2 and ≤2·1 rows BY
+    // CONSTRUCTION; "c" degrades to OOV, (a,b) is capped away, and
+    // total stays the FULL pre-cap token count
+    val capped = LangModel.train(docs, topV = 2L, bigramsPerContext = 1)
+    assert(capped.uni === Map("a" -> 4L, "b" -> 2L))
+    assert(capped.bi === Map(("a", "a") -> 2L, ("b", "a") -> 1L))
+    assert(capped.total === 7L)
+    // the capped model scores a held-out doc exactly like the capped
+    // batch scorer's hand-solved arithmetic (see the window-cap test)
+    def avg(ps: Seq[Double]) = BigDecimal(
+      ps.map(e6).sum.toDouble / (ps.size * 1e6))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(capped.avgLogp(Seq("a", "b", "a")) ===
+      Some(avg(Seq(4 / 7.0, 0.4 * 2 / 7.0, 0.5))))
+  }
+
   test("corpus invariants at sf0.001") {
     val out = LangModel.lmScoreQ(spark, "/root/testdata/sf0.001")
     val rows = out.collect()
