@@ -75,8 +75,13 @@ object BlockerQueries {
   /** Drop the in-session artifact memo (see graft.IndexLake). */
   def clearTfCache(): Unit = graft.IndexLake.clearMemo()
 
+  /** Served from the lake artifact, like every other TF consumer — the
+    * artifact IS tf()'s output, so this is a map-only parquet scan
+    * (recomputing from entries billed ~15 sequential shuffle stages
+    * per bench run for identical rows).
+    */
   def tfRounded(s: SparkSession, d: String): DataFrame =
-    tf(s, d).withColumn("weight", round(col("weight"), 6))
+    tfCk(s, d).withColumn("weight", round(col("weight"), 6))
 
   def pairsQ(s: SparkSession, d: String): DataFrame =
     Blocker.pairs(tfCk(s, d), compatDf(s), cfg)

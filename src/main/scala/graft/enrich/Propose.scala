@@ -140,12 +140,18 @@ object Propose {
     * prop, value) — deterministic under any row order.
     */
   def nameStatements(stmts: DataFrame): DataFrame = {
+    // ONE shuffle for both windows: hash-partitioning on entity_id
+    // alone satisfies the (entity_id, fold) clustering of the dedupe
+    // window AND the order window (subset rule), so an explicit
+    // repartition replaces two sequential Exchange stages with one —
+    // the wd family bills per sequential stage, not per row
     val cand = stmts
       .filter(col("prop_type") === Ftm.T.Name &&
         coalesce(element_at(nameMatchableLit,
           concat(col("schema"), lit(":"), col("prop"))), lit(false)) &&
         trim(col("value")) =!= "")
       .withColumn("roleOrd", when(col("prop") === "name", 0).otherwise(1))
+      .repartition(col("entity_id"))
     val dedupe = Window
       .partitionBy(col("entity_id"), nameFold(col("value")))
       .orderBy(col("roleOrd"), col("prop"), col("value"))
@@ -154,7 +160,7 @@ object Propose {
     cand.withColumn("dr", row_number().over(dedupe)).filter(col("dr") === 1)
       .withColumn("rn", row_number().over(order))
       .select(col("entity_id"), col("value"),
-        coalesce(element_at(typedLit(Iso3To2), col("lang")), lit("mul"))
+        coalesce(element_at(iso3To2Lit, col("lang")), lit("mul"))
           .as("wd_lang"),
         col("rn"))
   }
@@ -193,7 +199,11 @@ object Propose {
 
   // --------------------------------------------------command branches
 
-  private def emptyStr = typedLit(Seq.empty[String])
+  private val iso3To2Lit = typedLit(Iso3To2)
+  private val genderLit = typedLit(GenderQids)
+  private val countryLit = typedLit(CountryQids)
+  private val histLit = typedLit(Territories.historicalCodes.toSeq)
+  private val emptyStr = typedLit(Seq.empty[String])
 
   /** Property statements shared by enrich and create
     * (`propose.py:141-183` `_property_statements`): P31 human gate,
@@ -208,7 +218,6 @@ object Propose {
     // the wd family is fixed-overhead bound). A failed gate or an
     // unrenderable value yields a null element/line, filtered below
     // (matching the old per-branch d.isNotNull/g.isNotNull filters).
-    val genderLit = typedLit(GenderQids)
     val single = withKnown.select(col("entity_id"), col("qid"),
       explode(array(
         when(!col("is_human"), struct(lit(1000).as("ord"),
@@ -227,8 +236,6 @@ object Propose {
       .filter(col("cmd").isNotNull && col("cmd.line").isNotNull)
       .select(col("entity_id"), col("qid"), col("cmd.ord").as("ord"),
         col("cmd.line").as("line"))
-    val countryLit = typedLit(CountryQids)
-    val histLit = typedLit(Territories.historicalCodes.toSeq)
     val p27 = withKnown
       .select(col("entity_id"), col("qid"), col("target"), col("refs"),
         col("citizenship_qids"),
@@ -238,6 +245,9 @@ object Propose {
       .withColumn("cqid", element_at(countryLit, col("code")))
       .filter(col("cqid").isNotNull &&
         !array_contains(col("citizenship_qids"), col("cqid")))
+      // one shuffle for both windows (entity_id satisfies both
+      // clusterings — see nameStatements)
+      .repartition(col("entity_id"))
       // in-batch dedupe by target QID value, first code wins
       .withColumn("dr", row_number().over(Window
         .partitionBy(col("entity_id"), col("cqid"))
@@ -304,7 +314,11 @@ object Propose {
     // materializes its subtree through the driver, and the withRefs
     // chain feeds three branches — shuffle joins let AQE reuse the
     // exchanges instead.
-    val batchQids = pairs.select(col("qid")).distinct()
+    // no distinct before the broadcast: left_semi ignores duplicate
+    // build keys, and the distinct billed a whole extra shuffle stage
+    // (the wd family is fixed-overhead bound — every stage is a
+    // sequential scheduler round-trip)
+    val batchQids = pairs.select(col("qid"))
     val known = knownOf(
       snaks.join(broadcast(batchQids), Seq("qid"), "left_semi"))
     val p = pairs.select(col("entity_id"), col("qid"))
@@ -336,10 +350,12 @@ object Propose {
         .withColumn("citizenships",
           coalesce(col("citizenships"), emptyStr)))
 
-    // missing names → append-only aliases (`propose.py:207-210`)
+    // missing names → append-only aliases (`propose.py:207-210`).
+    // The scaffold side broadcasts from its cache (batch-bounded), so
+    // this leg's only Exchange is nameStatements' single repartition.
     val aliases = nameStatements(stmts)
-      .join(withRefs.select(col("entity_id"), col("qid"),
-        col("target"), col("name_texts")), Seq("entity_id"))
+      .join(broadcast(withRefs.select(col("entity_id"), col("qid"),
+        col("target"), col("name_texts"))), Seq("entity_id"))
       .filter(!array_contains(col("name_texts"), nameFold(col("value"))))
       .select(col("entity_id"), col("qid"),
         (lit(10) + col("rn")).as("ord"),
@@ -351,9 +367,13 @@ object Propose {
     // P39 for posts the item lacks (`propose.py:185-216`): one
     // occupancy → P580/P582 qualifiers; several → bare statement
     val pos = positions
-      .join(withRefs.select(col("entity_id"), col("qid"), col("target"),
-        col("refs"), col("position_qids")), Seq("entity_id"))
+      .join(broadcast(withRefs.select(col("entity_id"), col("qid"),
+        col("target"), col("refs"), col("position_qids"))),
+        Seq("entity_id"))
       .filter(!array_contains(col("position_qids"), col("pos_qid")))
+      // one shuffle for the aggregate AND the window: entity_id alone
+      // satisfies both clusterings (subset rule)
+      .repartition(col("entity_id"))
       .groupBy(col("entity_id"), col("qid"), col("target"),
         col("refs"), col("pos_qid"))
       .agg(count(lit(1)).as("n"),

@@ -97,19 +97,36 @@ object Reconcile {
     */
   def searchCandidates(personStmts: DataFrame, snaks: DataFrame)
       : DataFrame = {
-    val human = snaks.filter(col("role") === "main" &&
-      col("prop") === "P31" && col("vEntity") === "Q5")
-      .select(col("qid")).distinct()
-    val dumpNames = snaks.filter(col("role").isin("label", "alias") &&
-      col("vString").isNotNull)
-      .select(col("qid"), lower(col("vString")).as("text"),
-        when(col("role") === "label", 1.0).otherwise(0.8).as("tier"))
-      .join(human, Seq("qid"), "left_semi")
+    // ONE dump aggregate instead of names ⋈ semi(distinct human): the
+    // P31=Q5 human gate and the label/alias texts ride the same
+    // groupBy(qid) (names explode back out after the gate) — two
+    // shuffles and a join collapse into one Exchange, and the family
+    // bills per sequential stage
+    val dumpNames = snaks.filter(
+      (col("role") === "main" && col("prop") === "P31" &&
+        col("vEntity") === "Q5") ||
+      (col("role").isin("label", "alias") && col("vString").isNotNull))
+      .groupBy(col("qid")).agg(
+        max(col("role") === "main").as("human"),
+        collect_list(when(col("role") =!= "main",
+          struct(lower(col("vString")).as("text"),
+            when(col("role") === "label", 1.0).otherwise(0.8)
+              .as("tier")))).as("names"))
+      .filter(col("human"))
+      .select(col("qid"), explode(col("names")).as("n"))
+      .select(col("qid"), col("n.text").as("text"),
+        col("n.tier").as("tier"))
+    // no distinct on the query names: the max-per-(entity, qid)
+    // aggregate below already absorbs duplicate name rows
     val queryNames = personStmts
       .filter(col("prop_type") === graft.model.Ftm.T.Name)
       .select(col("entity_id"), lower(col("value")).as("text"))
-      .distinct()
     queryNames.join(dumpNames, Seq("text"))
+      // partition by entity_id alone (satisfies the aggregate's
+      // clustering by the subset rule) so decide()'s anti-joins and
+      // best-candidate window run on THIS partitioning with no
+      // further Exchange
+      .repartition(col("entity_id"))
       .groupBy(col("entity_id"), col("qid"))
       .agg(max(col("tier")).as("score"))
   }
@@ -143,10 +160,14 @@ object Reconcile {
   def decide(persons: DataFrame, candidates: DataFrame,
       linked: DataFrame, decided: DataFrame,
       threshold: Double = Threshold): DataFrame = {
+    // linked/decided are human-decision tables — bounded by review
+    // throughput, never corpus-sized — so broadcast anti-joins keep
+    // the candidate table on its incoming entity_id partitioning
+    // (no re-Exchange before the window)
     val surviving = candidates
-      .join(linked.select(col("entity_id")), Seq("entity_id"),
+      .join(broadcast(linked.select(col("entity_id"))), Seq("entity_id"),
         "left_anti")
-      .join(decided.select(col("entity_id"), col("qid")),
+      .join(broadcast(decided.select(col("entity_id"), col("qid"))),
         Seq("entity_id", "qid"), "left_anti")
     val best = surviving
       .withColumn("rn", row_number().over(Window
@@ -160,7 +181,7 @@ object Reconcile {
     // rows with identical output columns — one leg with a conditional
     // decision, not two union legs each recomputing the anti-joins
     val split = persons.select(col("entity_id"))
-      .join(linked.select(col("entity_id")), Seq("entity_id"),
+      .join(broadcast(linked.select(col("entity_id"))), Seq("entity_id"),
         "left_anti")
       .join(best, Seq("entity_id"), "left_outer")
       .select(col("entity_id"),

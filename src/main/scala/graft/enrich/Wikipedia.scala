@@ -51,6 +51,8 @@ object Wikipedia {
     "au" -> Seq("eng"), "mx" -> Seq("spa"), "kz" -> Seq("kaz", "rus"))
 
   private val countryLangsLit = typedLit(CountryLangs)
+  private val globalLangsLit = typedLit(GlobalLangs)
+  private val langIsoLit = typedLit(Wikidata.LangIso)
 
   /** Ordered language preference per person (`wikipedia.py:64-84`
     * `preferred_langs`): `(entity_id, lang, rank)`, smaller rank =
@@ -72,7 +74,7 @@ object Wikipedia {
         posexplode(array_distinct(concat(
           flatten(transform(col("countries"),
             c => coalesce(element_at(countryLangsLit, c), empty))),
-          typedLit(GlobalLangs)))).as(Seq("rank", "lang")))
+          globalLangsLit))).as(Seq("rank", "lang")))
   }
 
   /** Candidate summaries (`wikipedia.py:86-130`
@@ -93,7 +95,7 @@ object Wikipedia {
       limit: Int = MaxSummaries): DataFrame = {
     // variant wikis (zh-classical, be-x-old) resolve to the plain
     // language code (`wikipedia.py:105-116`)
-    val langOf = element_at(typedLit(Wikidata.LangIso),
+    val langOf = element_at(langIsoLit,
       regexp_extract(regexp_replace(col("site"), "wiki$", ""),
         "^([a-z]+)", 1))
     // plain wiki beats variant wiki for the same language
@@ -104,13 +106,21 @@ object Wikipedia {
         when(col("site").contains("-"), 1).otherwise(0).as("variant"),
         langOf.as("lang"))
       .filter(col("lang").isNotNull)
+      // partition by qid alone: satisfies the (qid, lang) window
+      // clustering (subset rule) AND co-locates with the candidate
+      // join key, so the window and the join share ONE Exchange
+      .repartition(col("qid"))
       .withColumn("vr", row_number().over(Window
         .partitionBy(col("qid"), col("lang"))
         .orderBy(col("variant"), col("site"))))
       .filter(col("vr") === 1)
       .select(col("qid"), col("lang"), col("site"), col("title"))
+    // no re-keying after the qid join: the stream side stays
+    // partitioned by qid, which already satisfies the final
+    // per-candidate (entity_id, qid) window clustering (subset rule);
+    // the prefLangs side is batch-bounded and broadcasts
     candidates.join(links, Seq("qid"))
-      .join(prefLangs, Seq("entity_id", "lang"))
+      .join(broadcast(prefLangs), Seq("entity_id", "lang"))
       .join(broadcast(summariesTbl), Seq("site", "title"))
       .filter(col("extract").isNotNull && col("extract") =!= "")
       .withColumn("rn", row_number().over(Window

@@ -1,0 +1,54 @@
+package graft.tools
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageSubmitted}
+import org.apache.spark.sql.SparkSession
+
+/** Scratch profiler: count Spark jobs/stages each named query bills —
+  * the wd-family queries are fixed-overhead bound (sequential
+  * micro-jobs of scheduler latency), so the job count IS the cost
+  * model locally and the thing to minimize.
+  */
+object JobCount {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.maxPlanStringLength", "65536")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val jobs = new AtomicInteger()
+    val stages = new AtomicInteger()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+      override def onStageSubmitted(s: SparkListenerStageSubmitted): Unit =
+        stages.incrementAndGet()
+    })
+    graft.Caches.ensureAll(spark, sfDir)
+    val names = args.toSeq
+    names.foreach { n =>
+      val fn = graft.SparkEntry.queries(n)
+      // warm
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      Thread.sleep(300)
+      jobs.set(0); stages.set(0)
+      val t0 = System.nanoTime()
+      val df = fn(spark, sfDir)
+      val tBuild = (System.nanoTime() - t0) / 1e9
+      df.queryExecution.executedPlan // force analysis + optimization
+      val tPlan = (System.nanoTime() - t0) / 1e9 - tBuild
+      df.write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300)
+      println(f"[jobcount] $n%-20s jobs=${jobs.get}%3d stages=${stages.get}%3d sec=$sec%.2f build=$tBuild%.2f plan=$tPlan%.2f")
+    }
+    spark.stop()
+  }
+}
