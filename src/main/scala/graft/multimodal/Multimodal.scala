@@ -428,6 +428,168 @@ object Multimodal {
       .toDF()
   }
 
+  // -------------------------------------------------- real PNG decode
+
+  /** Decoded-PNG feature row (see [[decodePng]]). */
+  final case class DecodedPng(doc_id: Long, width: Int, height: Int,
+      mean_gray: Long, g00: Int, g01: Int, g10: Int, g11: Int)
+
+  /** Encode a 16×16 grayscale PNG (JDK writer) whose pixel p = y·16+x
+    * is the content byte at p mod len. PNG is LOSSLESS, so unlike the
+    * JPEG harness no uniform-block construction is needed — any raster
+    * round-trips exactly, and the decode exercises the JDK's real PNG
+    * pipeline: IHDR parse, zlib inflate, per-row filter reversal.
+    */
+  def newPngWriter(): javax.imageio.ImageWriter =
+    javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+
+  def toPng(payload: Array[Byte],
+      writer: javax.imageio.ImageWriter): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(DecW, DecH,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < DecH) {
+      var x = 0
+      while (x < DecW) {
+        raster.setSample(x, y, 0,
+          payload((y * DecW + x) % payload.length) & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    val mos = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+    writer.setOutput(mos)
+    writer.write(img)
+    mos.close()
+    out.toByteArray
+  }
+
+  /** REAL PNG decode: encode with the JDK's PNG writer, decode with the
+    * JDK's PNG READER, and emit parsed dimensions, the integer mean
+    * gray over the full raster, and one sample per quadrant. A reader
+    * that misparsed IHDR, inflated wrong, or mis-reversed a row filter
+    * changes the output; the DuckDB oracle re-derives every value
+    * arithmetically from the content bytes.
+    */
+  def decodePng(docId: Long, content: Array[Byte]): DecodedPng =
+    decodePng(docId, content, newReader("png"), newPngWriter())
+
+  def decodePng(docId: Long, content: Array[Byte],
+      reader: javax.imageio.ImageReader,
+      writer: javax.imageio.ImageWriter): DecodedPng = {
+    val img = readVia(reader, toPng(content, writer))
+    require(img != null, s"PNG decode failed for doc $docId")
+    val r = img.getRaster
+    var sum = 0L
+    var y = 0
+    while (y < DecH) {
+      var x = 0
+      while (x < DecW) { sum += r.getSample(x, y, 0); x += 1 }
+      y += 1
+    }
+    DecodedPng(docId, img.getWidth, img.getHeight,
+      sum / (DecW.toLong * DecH),
+      r.getSample(4, 4, 0), r.getSample(12, 4, 0),
+      r.getSample(4, 12, 0), r.getSample(12, 12, 0))
+  }
+
+  /** The PNG decode stage, same typed partition-batched shape as
+    * [[decodeQ]] (one codec instance per partition). Map-only.
+    */
+  def decodePngQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    media(s, d).filter(length(col("content")) > 0)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        lazy val reader = newReader("png")
+        lazy val writer = newPngWriter()
+        it.grouped(64).flatMap(_.map {
+          case (id, c) => decodePng(id, c, reader, writer)
+        })
+      }
+      .toDF()
+  }
+
+  // -------------------------------------------------- real WAV decode
+
+  /** Decoded-audio feature row (see [[decodeWav]]). */
+  final case class DecodedWav(doc_id: Long, sample_rate: Int,
+      channels: Int, bits: Int, n_frames: Long, duration_us: Long,
+      mean_amp: Long, peak: Int)
+
+  /** Audio harness parameters: 8 kHz mono 8-bit unsigned PCM, up to
+    * [[WavMaxFrames]] samples taken from the content's leading bytes.
+    */
+  val WavRate = 8000
+  val WavMaxFrames = 1024
+
+  /** Wrap the content's first min(len, [[WavMaxFrames]]) bytes as a
+    * real RIFF/WAVE container via `javax.sound.sampled` — the JDK's
+    * actual WAV file writer (fmt chunk, data chunk, sizes).
+    */
+  def toWav(payload: Array[Byte]): Array[Byte] = {
+    val n = math.min(payload.length, WavMaxFrames)
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+      WavRate.toFloat, 8, 1, 1, WavRate.toFloat, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(payload, 0, n), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** REAL WAV decode: write the container with the JDK's WAV writer,
+    * parse it back with `AudioSystem.getAudioInputStream` (RIFF/fmt
+    * chunk parse — the real codec path), and emit the PARSED format
+    * (rate/channels/bits), frame count, integer microsecond duration,
+    * and integer amplitude stats over the decoded frames. Everything
+    * integer, mirrored arithmetically by the DuckDB oracle.
+    */
+  def decodeWav(docId: Long, content: Array[Byte]): DecodedWav = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(toWav(content)))
+    try {
+      val fmt = ais.getFormat
+      val frames = ais.getFrameLength
+      val data = ais.readAllBytes()
+      require(data.length == frames,
+        s"WAV decode frame mismatch for doc $docId")
+      var sum = 0L
+      var peak = 0
+      var i = 0
+      while (i < data.length) {
+        val v = data(i) & 0xff
+        sum += v
+        if (v > peak) peak = v
+        i += 1
+      }
+      val rate = fmt.getSampleRate.toInt
+      DecodedWav(docId, rate, fmt.getChannels,
+        fmt.getSampleSizeInBits, frames,
+        frames * 1000000L / rate, sum / data.length, peak)
+    } finally ais.close()
+  }
+
+  /** The WAV decode stage — typed, partition-batched, map-only.
+    * (`AudioSystem` dispatches statically; there is no per-codec
+    * instance to reuse, unlike ImageIO readers.)
+    */
+  def decodeWavQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    media(s, d).filter(length(col("content")) > 0)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(64).flatMap(_.map {
+          case (id, c) => decodeWav(id, c)
+        })
+      }
+      .toDF()
+  }
+
   // ---------------------------------------------------------------- oracle
 
   // The oracle mirrors the byte math on VARCHAR: the corpus is verified
@@ -456,7 +618,9 @@ object Multimodal {
     "q_mm_features" -> (featuresQ _),
     "q_mm_phash" -> (phashPairsQ _),
     "q_mm_decode" -> (decodeQ _),
-    "q_mm_decode_jpeg" -> (decodeJpegQ _))
+    "q_mm_decode_jpeg" -> (decodeJpegQ _),
+    "q_mm_decode_png" -> (decodePngQ _),
+    "q_mm_audio" -> (decodeWavQ _))
 
   val oracles: Map[String, String] = Map(
     "q_mm_meta" -> s"""
@@ -525,6 +689,35 @@ object Multimodal {
       SELECT doc_id, 16 AS width, 16 AS height,
              gs[1] AS g00, gs[2] AS g01, gs[3] AS g10, gs[4] AS g11
       FROM q""",
+    "q_mm_decode_png" -> s"""
+      WITH b AS (
+        SELECT doc_id,
+               list_transform(range(${DecW * DecH}), p ->
+                 unicode(text[CAST(p % length(text) AS INT) + 1])) AS gs
+        FROM documents WHERE length(text) > 0)
+      SELECT doc_id, $DecW AS width, $DecH AS height,
+             CAST(list_sum(gs) AS BIGINT) // ${DecW * DecH} AS mean_gray,
+             CAST(gs[4 * 16 + 4 + 1] AS INT) AS g00,
+             CAST(gs[4 * 16 + 12 + 1] AS INT) AS g01,
+             CAST(gs[12 * 16 + 4 + 1] AS INT) AS g10,
+             CAST(gs[12 * 16 + 12 + 1] AS INT) AS g11
+      FROM b""",
+    "q_mm_audio" -> s"""
+      WITH n AS (
+        SELECT doc_id, text,
+               least(length(text), $WavMaxFrames) AS n
+        FROM documents WHERE length(text) > 0),
+      s AS (
+        SELECT doc_id, n,
+               list_transform(range(n), i ->
+                 unicode(text[CAST(i AS INT) + 1])) AS ss
+        FROM n)
+      SELECT doc_id, $WavRate AS sample_rate, 1 AS channels, 8 AS bits,
+             CAST(n AS BIGINT) AS n_frames,
+             CAST(n AS BIGINT) * 1000000 // $WavRate AS duration_us,
+             CAST(list_sum(ss) AS BIGINT) // n AS mean_amp,
+             CAST(list_aggregate(ss, 'max') AS INT) AS peak
+      FROM s""",
     "q_mm_phash" -> s"""
       WITH px AS (
         SELECT doc_id,

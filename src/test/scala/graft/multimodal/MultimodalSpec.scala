@@ -124,4 +124,54 @@ class MultimodalSpec extends AnyFunSuite {
         ((exp(0), exp(1), exp(2), exp(3))))
     }
   }
+
+  test("the PNG decode is real and lossless: every pixel round-trips") {
+    val payload = "PNG payload with some variety 0123456789".getBytes("UTF-8")
+    val png = Multimodal.toPng(payload, Multimodal.newPngWriter())
+    // PNG magic from the real writer
+    assert((png(0) & 0xFF) === 0x89 && png(1) === 'P'.toByte &&
+      png(2) === 'N'.toByte && png(3) === 'G'.toByte)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(png))
+    assert(img !== null)
+    assert(img.getWidth === Multimodal.DecW)
+    assert(img.getHeight === Multimodal.DecH)
+    // lossless: EVERY pixel equals its source byte (p = y*16+x cyclic)
+    for (y <- 0 until Multimodal.DecH; x <- 0 until Multimodal.DecW)
+      assert(img.getRaster.getSample(x, y, 0) ===
+        (payload((y * 16 + x) % payload.length) & 0xFF))
+    // feature row matches hand arithmetic
+    val d = Multimodal.decodePng(1L, payload)
+    val gs = Array.tabulate(256)(p => payload(p % payload.length) & 0xFF)
+    assert(d.mean_gray === gs.map(_.toLong).sum / 256)
+    assert((d.g00, d.g01, d.g10, d.g11) ===
+      ((gs(4 * 16 + 4), gs(4 * 16 + 12), gs(12 * 16 + 4),
+        gs(12 * 16 + 12))))
+  }
+
+  test("the WAV decode is real: the JDK parses the RIFF container") {
+    val payload = "audio sample bytes!".getBytes("UTF-8")
+    val wav = Multimodal.toWav(payload)
+    // RIFF/WAVE magic from the real writer
+    assert(new String(wav.slice(0, 4), "US-ASCII") === "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") === "WAVE")
+    val d = Multimodal.decodeWav(5L, payload)
+    assert(d.sample_rate === Multimodal.WavRate)
+    assert(d.channels === 1 && d.bits === 8)
+    assert(d.n_frames === payload.length.toLong)
+    assert(d.duration_us === payload.length.toLong * 1000000L / 8000L)
+    val vals = payload.map(_ & 0xFF)
+    assert(d.mean_amp === vals.map(_.toLong).sum / vals.length)
+    assert(d.peak === vals.max)
+    // the frame cap engages for long payloads
+    val long = Array.fill(5000)(7.toByte)
+    assert(Multimodal.decodeWav(6L, long).n_frames ===
+      Multimodal.WavMaxFrames.toLong)
+    // a corrupted magic fails the real parser
+    val broken = wav.clone(); broken(0) = 'X'.toByte
+    intercept[Exception] {
+      javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(broken))
+    }
+  }
 }
