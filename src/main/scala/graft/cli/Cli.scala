@@ -239,10 +239,21 @@ object EnrichMain {
     val s = CliArgs.session("enrich")
     val q = CliArgs.readStatements(s, entities, "query")
     val m = CliArgs.readStatements(s, mirror, "mirror")
-    val enricher = new graft.enrich.YenteEnricher(m,
-      algorithm = flags.getOrElse("algorithm",
-        graft.matching.Algorithms.default.name),
-      cutoff = flags.get("cutoff").map(_.toDouble))
+    val algorithm = flags.getOrElse("algorithm",
+      graft.matching.Algorithms.default.name)
+    val cutoff = flags.get("cutoff").map(_.toDouble)
+    // `--config enrichers/foo.yml` drives instantiation from the
+    // reference's enricher config shape (type/api/dataset/
+    // strip_namespace/...); the explicit flags remain the config-less
+    // path
+    val enricher = flags.get("config") match {
+      case Some(cfgPath) =>
+        graft.enrich.EnricherConfigs.makeYente(
+          graft.enrich.EnricherConfigs.load(cfgPath), m,
+          algorithm = algorithm, cutoff = cutoff)
+      case None => new graft.enrich.YenteEnricher(m,
+        algorithm = algorithm, cutoff = cutoff)
+    }
     val cands = enricher.matchEntities(s, q)
     cands.write.mode("overwrite").parquet(s"$out/candidates")
     enricher.expandNested(cands)

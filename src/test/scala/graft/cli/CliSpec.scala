@@ -96,6 +96,24 @@ class CliSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$out/candidates").count() > 0)
     val pulled = spark.read.parquet(s"$out/statements")
     assert(pulled.filter(col("schema") === "Address").count() > 0)
+
+    // the same run driven by a reference-shaped enricher config file
+    val cfgPath = s"$dir/enricher.yml"
+    java.nio.file.Files.write(java.nio.file.Paths.get(cfgPath),
+      ("name: donations-test\n" +
+        "type: nomenklatura.enrich.yente:YenteEnricher\n" +
+        "api: https://svc.example/\n" +
+        "dataset: donations\n" +
+        "strip_namespace: false\n" +
+        "cache_days: 30\n").getBytes("UTF-8"))
+    val out2 = tmp("enrich_cfg")
+    EnrichMain.main(Array(s"$dir/query", s"$dir/mirror", out2,
+      "--cutoff", "0.5", "--config", cfgPath))
+    val cands2 = spark.read.parquet(s"$out2/candidates")
+    assert(cands2.count() > 0)
+    // the config's api endpoint reaches the emitted source urls
+    assert(cands2.head.getString(4).startsWith(
+      "https://svc.example/entities/"))
   }
 
   test("resolver dump/load round-trip and prune via mains") {
