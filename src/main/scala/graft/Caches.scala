@@ -46,6 +46,7 @@ object Caches {
       () => dedup.DedupQueries.fpPosCk(s, d),
       () => matching.MatchingQueries.analysisCk(s, d),
       () => textanalysis.Bpe.trainedMergesCk(s, d),
+      () => textanalysis.Classifier.modelCk(s, d),
       () => search.Search.postingsCk(s, d))
     // Concurrent ingest: the artifacts are independent write-once DAGs
     // (IndexLake publish-locks per artifact), and each build is a small

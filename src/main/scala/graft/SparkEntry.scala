@@ -22,6 +22,7 @@ object SparkEntry {
       textanalysis.Sketches.queries ++
       textanalysis.Curation.queries ++ textanalysis.Pii.queries ++
       textanalysis.Bpe.queries ++ textanalysis.LangModel.queries ++
+      textanalysis.Classifier.queries ++
       streaming.EventOps.queries ++
       multimodal.Multimodal.queries ++ enrich.EnricherQueries.queries ++
       enrich.WikidataQueries.queries ++ enrich.NominatimQueries.queries ++
@@ -44,6 +45,7 @@ object SparkEntry {
       textanalysis.Sketches.oracles ++
       textanalysis.Curation.oracles ++ textanalysis.Pii.oracles ++
       textanalysis.Bpe.oracles ++ textanalysis.LangModel.oracles ++
+      textanalysis.Classifier.oracles ++
       streaming.EventOps.oracles ++
       multimodal.Multimodal.oracles ++ enrich.EnricherQueries.oracles ++
       enrich.WikidataQueries.oracles ++ enrich.NominatimQueries.oracles ++
