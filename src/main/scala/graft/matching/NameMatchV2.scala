@@ -116,10 +116,18 @@ object NameMatchV2 {
     * their oracle) are untouched.
     */
   private val MatcherGroupAliases: Map[String, String] = Map(
-    // {ltd, llc, inc} one family: ltd~llc 0.72 and "Bowne Global
-    // Solutions II (U.K.) Limited" ~ "... II Canada, Inc." 0.81 both
-    // pair, while lp~llc / inc~lp / sl~bv carry nothing
-    "llc" -> "ltd", "ooo" -> "ltd", "inc" -> "ltd", "sas" -> "sarl")
+    // {ltd, llc, inc, sarl, sas, gmbh} one family: ltd~llc 0.72,
+    // "Bowne Global Solutions II (U.K.) Limited" ~ "... II Canada,
+    // Inc." 0.81, sas~sarl 0.80 all pair — and the frozen run scores
+    // "(France), S.A.R.L." ~ "(Germany), G.m.b.H." at EXACTLY the
+    // "(Ireland), Ltd." ~ "Japan, Inc." value (0.7389 both), so
+    // sarl~gmbh is the same family as ltd~inc. lp~llc / inc~lp /
+    // sl~bv still carry nothing (Spain S.L. ~ Netherlands B.V.
+    // 0.5469 pins the cross-family zero). Aliases must resolve in ONE
+    // step (groupOf does a single lookup), so every member maps
+    // directly to "ltd".
+    "llc" -> "ltd", "ooo" -> "ltd", "inc" -> "ltd", "sas" -> "ltd",
+    "sarl" -> "ltd", "gmbh" -> "ltd")
 
   private def groupOf(canon: String): String = {
     val g = Symbols.orgClassGroup(canon)
