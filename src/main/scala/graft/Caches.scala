@@ -39,6 +39,7 @@ object Caches {
       () => enrich.WikidataQueries.statementsQ(s, d),
       () => enrich.WikidataQueries.linksQ(s, d),
       () => enrich.ProposeQueries.personStmtsCk(s, d),
+      () => enrich.BrightQueryQueries.recordsCk(s, d),
       () => similarity.KMeans.trainedCentroids(s, d),
       () => similarity.Pq.indexCk(s, d),
       () => similarity.SimilarityQueries.nearPreparedCk(s, d),

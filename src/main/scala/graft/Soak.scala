@@ -168,6 +168,67 @@ object Soak {
       return
     }
 
+    if (mode == "wd") {
+      // N× REVIEW BATCH against the FIXED 1× dump — the wd family's
+      // scale question is the opposite of the corpus soaks': its cost
+      // at bench scale is almost entirely fixed scheduler overhead
+      // (~10 sequential stages), so the claim to prove is that wall
+      // time AMORTIZES as the batch grows (N× rows for ~1× wall), not
+      // that caps bind. entity_ids get a replica suffix; qids stay
+      // dump-valid (a bigger batch against the same mirror).
+      import graft.enrich.{Propose, ProposeQueries, Reconcile,
+        Wikipedia, WikidataQueries, WikipediaQueries}
+      import graft.store.EntityStore
+      def repl(df: DataFrame, cols: Seq[String]): DataFrame =
+        (0 until replicas).map { i =>
+          cols.foldLeft(df)((d, c) =>
+            d.withColumn(c, concat(col(c), lit(s"-r$i"))))
+        }.reduce(_.unionByName(_))
+      val snaks = WikidataQueries.snakCk(spark, sfDir)
+      val stmtsN = repl(ProposeQueries.personStmtsCk(spark, sfDir),
+        Seq("entity_id", "canonical_id"))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val nStmts = stmtsN.count()
+      val pairsN = repl(ProposeQueries.pairs(spark, sfDir),
+        Seq("entity_id"))
+      val positionsN = repl(ProposeQueries.positions(spark, sfDir),
+        Seq("entity_id"))
+      val t0 = System.nanoTime()
+      val nPropose = Propose.enrich(pairsN, stmtsN, snaks, positionsN,
+        retrieved = Some(ProposeQueries.Retrieved)).count()
+      val proposeWall = (System.nanoTime() - t0) / 1e9
+      val recStmtsN = repl(EntityStore.statements(
+        graft.enrich.ReconcileQueries.reconPersons(spark, sfDir), "rec"),
+        Seq("entity_id", "canonical_id"))
+      val t1 = System.nanoTime()
+      val nReconcile = Reconcile.decide(
+        recStmtsN.select(col("entity_id")).distinct(),
+        Reconcile.searchCandidates(recStmtsN, snaks),
+        repl(graft.Tables.customer(spark, sfDir)
+          .filter(col("c_custkey") % 5 === 0)
+          .select(concat(lit("w:"), col("c_custkey").cast("long")
+            .cast("string")).as("entity_id"),
+            concat(lit("Q"), (lit(100000) + col("c_custkey").cast("long"))
+              .cast("string")).as("qid")), Seq("entity_id")),
+        spark.range(0).select(col("id").cast("string").as("entity_id"),
+          col("id").cast("string").as("qid"))).count()
+      val reconcileWall = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      val nSummaries = Wikipedia.summaries(pairsN, snaks,
+        Wikipedia.preferredLangs(stmtsN),
+        WikipediaQueries.summariesTbl(spark, sfDir)).count()
+      val summariesWall = (System.nanoTime() - t2) / 1e9
+      println(f"""{"soak":"wd","sf":"$sfDir","replicas":$replicas,""" +
+        f""""stmts":$nStmts,""" +
+        f""""propose_rows":$nPropose,"propose_wall_sec":$proposeWall%.1f,""" +
+        f""""reconcile_rows":$nReconcile,"reconcile_wall_sec":$reconcileWall%.1f,""" +
+        f""""summaries_rows":$nSummaries,"summaries_wall_sec":$summariesWall%.1f,""" +
+        f""""shuffle_write_mb":${shuffleWrite / 1e6}%.1f,""" +
+        f""""peak_stage_shuffle_mb":${peakStageWrite / 1e6}%.1f}""")
+      spark.stop()
+      return
+    }
+
     val stmts = corpus(spark, sfDir, replicas)
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val nStmts = stmts.count()

@@ -71,7 +71,17 @@ final class BrightQueryEnricher(records: DataFrame,
     val wName = Window.partitionBy(col("r_name"))
       .orderBy(col("bq_revenue").desc, col("bq_employees").desc,
         col("match_id").asc)
-    val topPerName = m.withColumn("rn", row_number().over(wName))
+    // explicit partition count: the mirror scan is often one file /
+    // one row group, and AQE coalesces the tiny-bytes name exchange to
+    // ONE partition — which serializes the slug regexes + date
+    // formatting + sort into a single 2.5 s task. A user-specified
+    // repartition is exempt from AQE coalescing, so the CPU-heavy
+    // window stage keeps the session's full parallelism (measured
+    // 3.2 → 0.9 s at sf0.1).
+    val topPerName = m
+      .repartition(m.sparkSession.sparkContext.defaultParallelism,
+        col("r_name"))
+      .withColumn("rn", row_number().over(wName))
       .filter(col("rn") <= perQuery).drop("rn")
     q.join(broadcast(topPerName), q("q_name") === topPerName("r_name"))
   }

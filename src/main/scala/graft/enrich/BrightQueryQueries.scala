@@ -14,7 +14,13 @@ object BrightQueryQueries {
 
   def records(s: SparkSession, d: String): DataFrame = {
     val o = col("o_orderkey")
-    graft.Tables.orders(s, d).select(
+    // every mirror column derives from o_orderkey, and the orders scan
+    // is one row group (1 task) — shuffle the skinny key column first
+    // (~1 MB) so the heavy synthesis (date formatting, id strings)
+    // runs at full parallelism instead of in a single 2 s map task
+    graft.Tables.orders(s, d).select(o)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(
       when(o % 11 === 0, lit(null).cast("string"))
         .when(o % 19 === 0,
           concat(lit("bq-"), lit("x" * 300)))
@@ -59,8 +65,19 @@ object BrightQueryQueries {
         .otherwise(array().cast("array<string>")).as("addresses"))
   }
 
+  /** The mirror as a lake artifact (ingest builds it — see
+    * graft.Caches.ensureAll): production's BrightQuery corpus IS a
+    * stored table, and synthesizing it inline per query put the whole
+    * fixture arithmetic (plus the filter trees predicate-pushdown
+    * re-inlines onto it) into one single-row-group scan task. The
+    * artifact scans as 32 files, so the match window's map side runs
+    * at session parallelism.
+    */
+  def recordsCk(s: SparkSession, d: String): DataFrame =
+    graft.IndexLake.artifact(s, d, "bq_mirror")(records(s, d))
+
   def enrichQ(s: SparkSession, d: String): DataFrame =
-    new BrightQueryEnricher(records(s, d)).enrich(s, orgQueries(s, d))
+    new BrightQueryEnricher(recordsCk(s, d)).enrich(s, orgQueries(s, d))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_enrich_brightquery" -> (enrichQ _))

@@ -25,11 +25,19 @@ object JobCount {
     spark.sparkContext.setLogLevel("WARN")
     val jobs = new AtomicInteger()
     val stages = new AtomicInteger()
+    val stageLog = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
         jobs.incrementAndGet()
       override def onStageSubmitted(s: SparkListenerStageSubmitted): Unit =
         stages.incrementAndGet()
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val i = s.stageInfo
+        val ms = (for {a <- i.completionTime; b <- i.submissionTime}
+          yield a - b).getOrElse(-1L)
+        stageLog.add(f"    stage ${i.stageId}%3d ${ms}%6d ms tasks=${i.numTasks}%3d ${i.name.take(90)}")
+      }
     })
     graft.Caches.ensureAll(spark, sfDir)
     val names = args.toSeq
@@ -38,7 +46,7 @@ object JobCount {
       // warm
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       Thread.sleep(300)
-      jobs.set(0); stages.set(0)
+      jobs.set(0); stages.set(0); stageLog.clear()
       val t0 = System.nanoTime()
       val df = fn(spark, sfDir)
       val tBuild = (System.nanoTime() - t0) / 1e9
@@ -48,6 +56,10 @@ object JobCount {
       val sec = (System.nanoTime() - t0) / 1e9
       Thread.sleep(300)
       println(f"[jobcount] $n%-20s jobs=${jobs.get}%3d stages=${stages.get}%3d sec=$sec%.2f build=$tBuild%.2f plan=$tPlan%.2f")
+      if (sys.env.contains("SPARK_GRAFT_STAGES")) {
+        val it2 = stageLog.iterator()
+        while (it2.hasNext) println("[jobcount]" + it2.next())
+      }
     }
     spark.stop()
   }
