@@ -76,6 +76,26 @@ object DocumentStream {
       .filter(col("avg_logp") >= minLogp)
   }
 
+  /** Stateless TRAINED-classifier gate on a document stream: score
+    * each arriving document against the frozen quality-model
+    * coefficients (trained once at ingest —
+    * [[graft.textanalysis.Classifier.modelCk]] — and shipped as five
+    * doubles in the plan) and keep documents whose probability clears
+    * the floor. The serving half of the fastText-style gate: the
+    * SAME centered features and scoring arithmetic as the batch
+    * query, so a gated stream re-scored in batch reproduces the
+    * decisions bit-for-bit (asserted in DocumentStreamSpec).
+    * Map-only: no state, no shuffle, no UDF.
+    */
+  def classifierGate(docs: DataFrame,
+      w: graft.textanalysis.Classifier.Weights,
+      minProb: Double = 0.5): DataFrame =
+    docs
+      .withColumn("score6", graft.textanalysis.Classifier.score6Expr(
+        TextAnalysis.words(col("text")), w))
+      .filter(col("score6").isNotNull &&
+        col("score6") >= (minProb * 1e6).toLong)
+
   /** Streaming near-duplicate screen — the online form of the batch
     * MinHash-LSH candidate generation ([[Dedup.lshCandidates]]): each
     * arriving document is shingled, minhash-signed and banded with the

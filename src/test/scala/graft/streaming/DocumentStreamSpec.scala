@@ -170,4 +170,39 @@ class DocumentStreamSpec extends AnyFunSuite {
       assert(rows.head.getDouble(1) === expHeld)
     } finally q.stop()
   }
+
+  test("classifier gate matches the batch scoring bit-for-bit") {
+    import graft.textanalysis.Classifier
+    val sf = "/root/testdata/sf0.001"
+    // train once on the lake corpus (the ingest artifact path), then
+    // serve the stream against the frozen coefficients
+    val model = Classifier.train(
+      Classifier.featuresOf(graft.Tables.documents(spark, sf)))
+    val sample = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).limit(40)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+
+    implicit val sc = spark.sqlContext
+    val src = MemoryStream[(Long, String)]
+    val docs = src.toDF().toDF("doc_id", "text")
+    val q = DocumentStream.classifierGate(docs, model, minProb = 0.5)
+      .writeStream.format("memory").queryName("clfgate")
+      .outputMode("append").start()
+    try {
+      src.addData(sample: _*)
+      src.addData((990001L, "   ")) // token-less: must drop, not crash
+      q.processAllAvailable()
+      val streamed = spark.table("clfgate")
+        .select("doc_id", "score6").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // the batch query's score6 over the same docs, same model
+      val ids = sample.map(_._1).toSet
+      val batch = Classifier.classifierQ(spark, sf)
+        .filter(col("doc_id").isin(ids.toSeq: _*))
+        .filter(col("score6") >= 500000L)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(streamed === batch)
+      assert(!streamed.contains(990001L))
+    } finally q.stop()
+  }
 }
