@@ -40,6 +40,7 @@ object Caches {
       () => enrich.WikidataQueries.linksQ(s, d),
       () => enrich.ProposeQueries.personStmtsCk(s, d),
       () => enrich.BrightQueryQueries.recordsCk(s, d),
+      () => enrich.NominatimQueries.gazetteerCk(s, d),
       () => similarity.KMeans.trainedCentroids(s, d),
       () => similarity.Pq.indexCk(s, d),
       () => similarity.SimilarityQueries.nearPreparedCk(s, d),

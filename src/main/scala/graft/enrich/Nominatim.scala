@@ -62,16 +62,25 @@ final class NominatimEnricher(gazetteer: DataFrame,
       case None => (q, None)
     }
 
-    val g = gazetteer
+    // pin the join parallelism: the (num, city) key bytes are tiny so
+    // AQE coalesces the exchanges to ~2 partitions, serializing the
+    // CPU-heavy probe stage (measured 1.05 s on 2 tasks at sf0.1); an
+    // explicit-count repartition is exempt from coalescing, and the
+    // 2-key partitioning satisfies the 3-key join's clustering by the
+    // subset rule on BOTH joins, so each join runs exchange-free on 32
+    // co-partitioned tasks
+    val par = toSearch.sparkSession.sparkContext.defaultParallelism
+    val ts = toSearch.repartition(par, col("q_num"), col("q_city"))
+    val g = gazetteer.repartition(par, col("g_num"), col("g_city"))
     // countryful addresses equi-join on the country too — an
     // `isNull || ===` residual would widen the (num, city) join by the
     // country-cardinality factor and filter after the fact (measured
     // 5.6x the oracle at sf0.1); country-less addresses take the wide
     // join, but they are the minority
-    val withC = toSearch.filter(col("q_country").isNotNull).join(g,
+    val withC = ts.filter(col("q_country").isNotNull).join(g,
       col("q_num") === g("g_num") && col("q_city") === g("g_city") &&
         col("q_country") === g("g_country"))
-    val noC = toSearch.filter(col("q_country").isNull).join(g,
+    val noC = ts.filter(col("q_country").isNull).join(g,
       col("q_num") === g("g_num") && col("q_city") === g("g_city"))
     val joined = withC.unionByName(noC)
     // top-1 per address in two cheap steps instead of a window sort

