@@ -75,15 +75,28 @@ object DedupQueries {
   /** MinHash-LSH candidate pairs verified with true shingle Jaccard.
     *
     * The shingle+hash projection feeds three plan branches (signature →
-    * candidates, and both verify sides); a `repartition(doc_id)` pins one
-    * Exchange under all three so ReuseExchange computes shingles/md5 once
-    * instead of three times.
+    * candidates, and both verify sides); [[parShingles]] computes it
+    * ONCE at full parallelism and the branches read the checkpoint.
     */
   def lshPairsQ(s: SparkSession, d: String): DataFrame =
     lshPairsOf(Tables.documents(s, d))
 
+  /** Shingle+hash table materialized once, in parallel: the raw docs
+    * scatter FIRST (cheap bytes, explicit partition count so AQE
+    * cannot coalesce the CPU-heavy projection onto one task — the sf
+    * tables are one row group), the shingle/md5 projection runs
+    * post-shuffle on every core, and the checkpoint stops the three
+    * downstream branches from re-deriving it (the repartition-only
+    * form still billed the whole projection to a single pre-Exchange
+    * map task).
+    */
+  private def parShingles(docs: DataFrame): DataFrame =
+    hashedShinglesOf(docs.repartition(
+      docs.sparkSession.sparkContext.defaultParallelism, col("doc_id")))
+      .localCheckpoint(true)
+
   def lshPairsOf(docs: DataFrame): DataFrame = {
-    val sh = hashedShinglesOf(docs).repartition(col("doc_id"))
+    val sh = parShingles(docs)
     val sigs = sh.select(col("doc_id"),
       Dedup.minhashSigFromHashes(col("hs"), MinhashK).as("sig"))
     val cand = Dedup.lshCandidates(sigs, "doc_id", Bands, RowsPerBand)
@@ -121,11 +134,14 @@ object DedupQueries {
         element_at(col("cs"), i + 1) * 65536L +
         element_at(col("cs"), i + 2) * 256L +
         element_at(col("cs"), i + 3))
+    // scatter raw docs first, pack grams post-shuffle in parallel,
+    // checkpoint once for the three consumers (see parShingles)
     val cg = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), codes.as("cs"))
       .filter(size(col("cs")) >= n)
       .select(col("doc_id"), array_distinct(gram).as("cg"))
-      .repartition(col("doc_id"))
+      .localCheckpoint(true)
     val sigs = cg.select(col("doc_id"),
       Dedup.minhashSigFromHashes(col("cg"), MinhashK).as("sig"))
     val cand = Dedup.lshCandidates(sigs, "doc_id", Bands, RowsPerBand)
@@ -158,7 +174,7 @@ object DedupQueries {
 
   def incrementalOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = hashedShinglesOf(docs).repartition(col("doc_id"))
+    val sh = parShingles(docs)
     val sigs = sh.select(col("doc_id"),
       Dedup.minhashSigFromHashes(col("hs"), MinhashK).as("sig"))
     // same hot-bucket cap as the self-join path: a boilerplate band key
