@@ -200,6 +200,11 @@ object Search {
     val sparse = tf.join(qidf, Seq("term"))
       .filter(col("doc_id") =!= col("qid"))
       .select(col("qid"), col("doc_id"), termE6.as("e6"))
+      // one explicit-count Exchange on qid serves BOTH the pair
+      // aggregate and the per-query window (subset rule) at full
+      // parallelism — AQE otherwise coalesces the tiny-byte exchange
+      // to one task and serializes the arm's scoring
+      .repartition(s.sparkContext.defaultParallelism, col("qid"))
       .groupBy(col("qid"), col("doc_id"))
       .agg(sum(col("e6")).as("e6"))
       .withColumn("srn", row_number().over(ws))
