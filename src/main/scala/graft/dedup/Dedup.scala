@@ -122,7 +122,15 @@ object Dedup {
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String,
       bits: Int): DataFrame = {
-    val words = docs.select(col(idCol),
+    // scatter raw docs once (explicit count — AQE-coalesce-exempt):
+    // the id partitioning satisfies BOTH aggregates' clustering
+    // (subset rule), so the split/explode/votes all run post-shuffle
+    // at full parallelism with no further Exchange — previously the
+    // tokenize sat on the one-row-group scan task
+    val words = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col(idCol))
+      .select(col(idCol),
       explode(filter(split(lower(col(textCol)), "[^a-z0-9]+"),
         w => length(w) > 0)).as("word"))
       .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("cnt"))

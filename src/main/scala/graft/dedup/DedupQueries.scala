@@ -587,7 +587,13 @@ object DedupQueries {
     // measured 8× slower here (the generator re-evaluated the lambda
     // per output row: 32.5 s vs 4.7 s at sf0.1). Checkpoint before the
     // fan-out (df aggregate + the semi-join side).
-    val pos = graft.textanalysis.TextAnalysis.withWords(docs)
+    val pos = graft.textanalysis.TextAnalysis.withWords(
+        // scatter raw docs first (explicit count — exempt from AQE
+        // coalescing) so the gram explode+hash runs on every core
+        // instead of the one-row-group scan task (see parShingles)
+        docs.repartition(
+          docs.sparkSession.sparkContext.defaultParallelism,
+          col("doc_id")))
       .filter(size(col("w")) >= n)
       .select(col("doc_id"), col("w"),
         (size(col("w")) - (n - 1)).cast("long").as("total_grams"))
