@@ -57,8 +57,18 @@ object Sketches {
       .select(col("source"), col("doc_id"),
         explode(array_distinct(col("w"))).as("term"))
 
+  /** Batch postings materialized ONCE at full parallelism: the
+    * tokenize/explode sits on a one-row-group scan and feeds three
+    * consumers in [[hllQ]] (registers, per-source exact, global
+    * exact) — scatter the raw docs first (explicit count, exempt from
+    * AQE coalescing) and checkpoint. The streaming gate keeps the
+    * plain [[postingsOf]] (a shuffle has no place in a stateless
+    * stream projection).
+    */
   private def postings(s: SparkSession, d: String): DataFrame =
-    postingsOf(Tables.documents(s, d))
+    postingsOf(Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id")))
+      .localCheckpoint(true)
 
   /** (source, register, max-rank) — the sketch state, ≤ [[M]] rows per
     * source no matter the input size. Works on a streaming postings
@@ -141,9 +151,13 @@ object Sketches {
     * invariant the spec asserts.
     */
   def cmsQ(s: SparkSession, d: String): DataFrame = {
+    // scatter-then-tokenize + one checkpoint for the two consumers
+    // (counters, exact top-K) — see the postings note above
     val toks = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(explode(TextAnalysis.words(col("text"))).as("term"))
     val hashed = toks.select(col("term"), Hashing.hash60(col("term")).as("h"))
+      .localCheckpoint(true)
     // counter table: one explode into depth rows per occurrence, then a
     // map-side-combining sum — state is depth×width no matter the input
     val counters = hashed
@@ -242,7 +256,10 @@ object Sketches {
     val evalDf = broadcast(
       evalGrams.map(_._1).toSeq.toDF("g").withColumn("eg", lit(1)))
     Curation
-      .distinctGrams(docs.filter(!Curation.isEval), Curation.ContaminationN)
+      .distinctGrams(docs.filter(!Curation.isEval)
+        .repartition(spark.sparkContext.defaultParallelism,
+          col("doc_id")),
+        Curation.ContaminationN)
       .withColumn("h", Hashing.hash60(col("g")))
       .join(evalDf, Seq("g"), "left")
       .groupBy(col("doc_id"))
