@@ -82,7 +82,14 @@ object LangModel {
 
   def lmScoreOf(docs: DataFrame, topV: Long,
       bigramsPerContext: Int): DataFrame = {
-    val base = TextAnalysis.withWords(docs)
+    // scatter the raw docs once (explicit count — AQE-coalesce-exempt)
+    // so the tokenize+posexplode runs at full parallelism for BOTH its
+    // consumers (the train aggregate and the scoring pass) instead of
+    // on the one-row-group scan task; integer e6 sums keep the result
+    // partitioning-invariant
+    val base = TextAnalysis.withWords(docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id")))
       .filter(size(col("w")) > 0)
       .select(col("doc_id"), col("w"))
     // token rows with the preceding term: posexplode's pos is 0-based,
