@@ -41,6 +41,7 @@ object Caches {
       () => enrich.ProposeQueries.personStmtsCk(s, d),
       () => enrich.BrightQueryQueries.recordsCk(s, d),
       () => enrich.NominatimQueries.gazetteerCk(s, d),
+      () => enrich.PermIdQueries.orgsCk(s, d),
       () => similarity.KMeans.trainedCentroids(s, d),
       () => similarity.Pq.indexCk(s, d),
       () => similarity.SimilarityQueries.nearPreparedCk(s, d),

@@ -55,8 +55,16 @@ object PermIdQueries {
         .as("lei"))
   }
 
+  /** The PermID org mirror as a lake artifact (built at ingest) — a
+    * mirrored record corpus IS a stored table; inline synthesis put
+    * the fixture arithmetic on a one-row-group scan task (the
+    * bq_mirror / osm_gazetteer pattern).
+    */
+  def orgsCk(s: SparkSession, d: String): DataFrame =
+    graft.IndexLake.artifact(s, d, "permid_orgs")(orgs(s, d))
+
   def enrichQ(s: SparkSession, d: String): DataFrame =
-    new PermIdEnricher(orgs(s, d)).enrich(s, orgQueries(s, d))
+    new PermIdEnricher(orgsCk(s, d)).enrich(s, orgQueries(s, d))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_enrich_permid" -> (enrichQ _))

@@ -114,7 +114,10 @@ object Curation {
   }
 
   def contaminationQ(s: SparkSession, d: String): DataFrame =
-    contaminationOf(Tables.documents(s, d))
+    // scatter first: both gram branches then derive from the reused
+    // exchange at full parallelism instead of the single scan task
+    contaminationOf(Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id")))
 
   /** Cross-document duplicated-n-gram coverage — the bounded form of
     * exact-substring dedup (Lee et al., "Deduplicating Training Data

@@ -180,7 +180,10 @@ object TextAnalysis {
   }
 
   def fingerprintQ(s: SparkSession, d: String): DataFrame =
-    fingerprintOf(Tables.documents(s, d))
+    // scatter-then-tokenize: the whole winnow pipeline is map-only and
+    // otherwise runs inside the one-row-group scan task
+    fingerprintOf(Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id")))
 
   /** BPE-ish pre-tokenization regex (the GPT-2 pattern family, without
     * lookahead so Java regex and RE2 agree): contractions, space-glued
@@ -287,9 +290,14 @@ object TextAnalysis {
     * hashing never compare engine-accumulated doubles.
     */
   def keywordsQ(s: SparkSession, d: String): DataFrame = {
-    val tf = wordsDf(s, d)
+    // scatter-then-tokenize + one checkpoint: the (doc, term) table
+    // feeds THREE consumers (df, N, the scored join) and its tokenize
+    // otherwise runs three times on the one-row-group scan task
+    val tf = withWords(Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id")))
       .select(col("doc_id"), explode(col("w")).as("t"))
       .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val df = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
     val n = tf.select(countDistinct(col("doc_id")).as("n_docs"))
     val scored = tf.join(df, Seq("t")).crossJoin(broadcast(n))
