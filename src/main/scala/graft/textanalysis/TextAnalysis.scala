@@ -179,11 +179,13 @@ object TextAnalysis {
       .select(col("doc_id"), col("pf.gpos").as("gpos"), col("pf.h").as("h"))
   }
 
+  // NO scatter here, deliberately: this pipeline is MAP-ONLY (zero
+  // Exchanges, pinned by PlanShapeSpec) — at 100 TB a corpus shuffle
+  // just to spread a one-row-group LOCAL scan would be scale-wrong
+  // (real data has file/row-group parallelism). The scatter pattern
+  // belongs only to pipelines that must shuffle anyway.
   def fingerprintQ(s: SparkSession, d: String): DataFrame =
-    // scatter-then-tokenize: the whole winnow pipeline is map-only and
-    // otherwise runs inside the one-row-group scan task
-    fingerprintOf(Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id")))
+    fingerprintOf(Tables.documents(s, d))
 
   /** BPE-ish pre-tokenization regex (the GPT-2 pattern family, without
     * lookahead so Java regex and RE2 agree): contractions, space-glued
