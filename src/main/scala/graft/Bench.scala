@@ -36,8 +36,13 @@ object Bench {
     var read = 0L
     var sum = 0L
     val chunk = new Array[Byte](1 << 20)
+    // break when a full cycle over the files adds zero bytes — an
+    // all-zero-length file set would otherwise spin the probe forever
+    var cycleStart = read
+    var sinceCycle = 0
     val it = Iterator.continually(parquets).flatten
-    while (read < target && parquets.nonEmpty) {
+    var live = parquets.nonEmpty
+    while (read < target && live) {
       val in = java.nio.file.Files.newInputStream(it.next())
       try {
         var n = in.read(chunk)
@@ -48,6 +53,12 @@ object Bench {
           n = in.read(chunk)
         }
       } finally in.close()
+      sinceCycle += 1
+      if (sinceCycle >= parquets.size) {
+        if (read == cycleStart) live = false
+        cycleStart = read
+        sinceCycle = 0
+      }
     }
     if (sum == Long.MinValue) println("") // keep the checksum live
     val probeSec = (System.nanoTime() - t0) / 1e9

@@ -258,6 +258,9 @@ object IndexLake {
               sys.error(s"index publish failed after $attempts attempts: $dir")
             } else Thread.sleep(50L * attempts)
           } else if (attempts >= 5) {
+            // match the nested-rename branch: never leak the tmp
+            // sibling into the lake on a persistent failure
+            fs.delete(tmp, true)
             sys.error(s"index publish failed after $attempts attempts: $dir")
           } else Thread.sleep(50L * attempts)
         }

@@ -83,7 +83,10 @@ object EnricherConfigs {
       env: String => Option[String] = sys.env.get): EnricherConfig = {
     val Key = "^([A-Za-z_][\\w.]*):(.*)$".r
     val kvs = text.linesIterator
-      .map(_.replaceAll("#.*$", ""))
+      // YAML comment rule: '#' starts a comment only at line start or
+      // after whitespace — a '#' inside a value (api key, URL fragment)
+      // is data.
+      .map(_.replaceAll("(^|\\s)#.*$", ""))
       .filter(_.trim.nonEmpty)
       .map {
         case Key(k, v) => k -> v.trim

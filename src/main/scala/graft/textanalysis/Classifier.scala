@@ -161,8 +161,11 @@ object Classifier {
     val p = lit(1.0) / (lit(1.0) + exp(-z))
     feat.crossJoin(broadcast(modelCk(s, d)))
       .select(col("doc_id"), col("y").as("label"),
-        floor(p * 1e6 + 0.5).cast("long").as("score6"),
-        when(p >= 0.5, 1).otherwise(0).as("pred"))
+        floor(p * 1e6 + 0.5).cast("long").as("score6"))
+      // pred compares the SAME 1e-6 fixed-point quantity the streaming
+      // gate uses (DocumentStream.classifierGate), so stream and batch
+      // agree bit-for-bit even for p in [0.4999995, 0.5).
+      .withColumn("pred", when(col("score6") >= 500000L, 1).otherwise(0))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -210,11 +213,11 @@ object Classifier {
         s"+ x3*w${t - 1}.w3 + x4*w${t - 1}.w4"
       val p = s"(1.0/(1.0 + exp(-($z))))"
       val gs = (1 to 4).map(i =>
-        s"CAST(sum(floor(($p - y)*x$i*1e6 + 0.5)) AS BIGINT) AS g$i")
+        s"sum(CAST(floor(($p - y)*x$i*1e6 + 0.5) AS BIGINT)) AS g$i")
         .mkString(",\n        ")
       s"""
       g$t AS MATERIALIZED (SELECT
-        CAST(sum(floor(($p - y)*1e6 + 0.5)) AS BIGINT) AS gb,
+        sum(CAST(floor(($p - y)*1e6 + 0.5) AS BIGINT)) AS gb,
         $gs
         FROM feat, w${t - 1} WHERE is_train),
       w$t AS MATERIALIZED (SELECT
@@ -228,7 +231,8 @@ object Classifier {
     base + epochs + s"""
       SELECT doc_id, y AS label,
              CAST(floor($pF*1e6 + 0.5) AS BIGINT) AS score6,
-             CASE WHEN $pF >= 0.5 THEN 1 ELSE 0 END AS pred
+             CASE WHEN CAST(floor($pF*1e6 + 0.5) AS BIGINT) >= 500000
+               THEN 1 ELSE 0 END AS pred
       FROM feat, w$Epochs"""
   }
 
