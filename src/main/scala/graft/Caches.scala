@@ -10,6 +10,23 @@ package graft
   * lifetime and a regenerated dir would keep serving its stale index.
   */
 object Caches {
+
+  /** Session-pin a multiply-consumed frame: eager persist (one parallel
+    * materialization job; every consumer then reads the cache) with
+    * LINEAGE RETAINED — unlike `localCheckpoint`, whose blocks live in
+    * non-reliable executor storage and are unrecoverable after an
+    * executor loss on a real cluster, a pinned partition that goes
+    * missing recomputes from its parquet/shuffle lineage. Same measured
+    * plan shape as the eager checkpoint (the blocking count fills the
+    * cache once, so fan-out legs never race a cold rebuild).
+    */
+  def pin(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    df.count()
+    df
+  }
+
   def clearAll(): Unit = {
     blocker.BlockerQueries.clearTfCache()
     resolver.ResolverQueries.clearCache()
@@ -47,6 +64,13 @@ object Caches {
       () => similarity.SimilarityQueries.nearPreparedCk(s, d),
       () => dedup.DedupQueries.fpSetsCk(s, d),
       () => dedup.DedupQueries.fpPosCk(s, d),
+      () => dedup.DedupQueries.shinglesCk(s, d),
+      () => dedup.DedupQueries.charGramsCk(s, d),
+      () => dedup.DedupQueries.simhashSigsCk(s, d),
+      () => dedup.DedupQueries.substrPosCk(s, d),
+      () => multimodal.Multimodal.ahashSigsCk(s, d),
+      () => textanalysis.Curation.crossdocGramsCk(s, d),
+      () => enrich.ProposeQueries.scaffoldCk(s, d),
       () => matching.MatchingQueries.analysisCk(s, d),
       () => textanalysis.Bpe.trainedMergesCk(s, d),
       () => textanalysis.Classifier.modelCk(s, d),

@@ -157,20 +157,28 @@ object Dedup {
     * same boilerplate skew guard as the minhash path.
     */
   def simhashPairs(sigs: DataFrame, idCol: String, bands: Int,
-      bandBits: Int, maxDist: Int, cap: Long = LshBucketCap): DataFrame = {
-    val mask = (1L << bandBits) - 1
+      bandBits: Int, maxDist: Int, cap: Long = LshBucketCap): DataFrame =
     // materialize the signatures ONCE, at full parallelism: the sig
     // projection is CPU-heavy (32-way byte sampling / token hashing),
     // usually sits on a one-row-group scan (1 task), and feeds THREE
     // consumers (both self-join legs + the hot-bucket aggregate) —
-    // uncheckpointed it evaluated three times single-threaded
+    // unmaterialized it evaluated three times single-threaded
     // (measured ~0.34 s × 3 at sf0.1). The repartition is exempt from
     // AQE coalescing, so the compute spreads over the session's cores;
-    // the checkpoint is corpus-sized (id + one long per doc).
-    val sigsCk = sigs
+    // the pin is corpus-sized (id + one long per doc) and keeps its
+    // lineage (recoverable, unlike checkpoint blocks). Callers whose
+    // sigs are already a stored table (lake artifacts) use
+    // [[simhashPairsFrom]] directly and skip the pin.
+    simhashPairsFrom(graft.Caches.pin(sigs
       .repartition(sigs.sparkSession.sparkContext.defaultParallelism,
-        col(idCol))
-      .localCheckpoint(true)
+        col(idCol))), idCol, bands, bandBits, maxDist, cap)
+
+  /** The banding/join core of [[simhashPairs]] over an
+    * already-materialized signature table.
+    */
+  def simhashPairsFrom(sigsCk: DataFrame, idCol: String, bands: Int,
+      bandBits: Int, maxDist: Int, cap: Long = LshBucketCap): DataFrame = {
+    val mask = (1L << bandBits) - 1
     val banded = dropHotBuckets(sigsCk.select(col(idCol), col("simhash"),
       explode(array((0 until bands).map(i =>
         struct(lit(i).as("band"),

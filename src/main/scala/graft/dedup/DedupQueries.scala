@@ -64,7 +64,7 @@ object DedupQueries {
     hashedShinglesOf(Tables.documents(s, d))
 
   def minhashSigs(s: SparkSession, d: String): DataFrame =
-    hashedShingles(s, d)
+    shinglesCk(s, d)
       .select(col("doc_id"),
         Dedup.minhashSigFromHashes(col("hs"), MinhashK).as("sig"))
 
@@ -74,29 +74,32 @@ object DedupQueries {
 
   /** MinHash-LSH candidate pairs verified with true shingle Jaccard.
     *
-    * The shingle+hash projection feeds three plan branches (signature →
-    * candidates, and both verify sides); [[parShingles]] computes it
-    * ONCE at full parallelism and the branches read the checkpoint.
+    * The shingle+hash table feeds three plan branches (signature →
+    * candidates, and both verify sides); the gated query reads it
+    * from the lake ([[shinglesCk]] — built once at ingest), the
+    * arbitrary-docs path materializes it once via [[parShingles]].
     */
   def lshPairsQ(s: SparkSession, d: String): DataFrame =
-    lshPairsOf(Tables.documents(s, d))
+    lshPairsFrom(shinglesCk(s, d))
 
-  /** Shingle+hash table materialized once, in parallel: the raw docs
-    * scatter FIRST (cheap bytes, explicit partition count so AQE
+  /** Shingle+hash table materialized once, in parallel, for an
+    * arbitrary docs frame (streaming twins, soaks, curate): the raw
+    * docs scatter FIRST (cheap bytes, explicit partition count so AQE
     * cannot coalesce the CPU-heavy projection onto one task — the sf
     * tables are one row group), the shingle/md5 projection runs
-    * post-shuffle on every core, and the checkpoint stops the three
-    * downstream branches from re-deriving it (the repartition-only
-    * form still billed the whole projection to a single pre-Exchange
-    * map task).
+    * post-shuffle on every core, and the session pin stops the three
+    * downstream branches from re-deriving it. For the gated corpus
+    * queries the same table is a lake artifact instead —
+    * [[shinglesCk]].
     */
   private def parShingles(docs: DataFrame): DataFrame =
-    hashedShinglesOf(docs.repartition(
-      docs.sparkSession.sparkContext.defaultParallelism, col("doc_id")))
-      .localCheckpoint(true)
+    graft.Caches.pin(hashedShinglesOf(docs.repartition(
+      docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))))
 
-  def lshPairsOf(docs: DataFrame): DataFrame = {
-    val sh = parShingles(docs)
+  def lshPairsOf(docs: DataFrame): DataFrame =
+    lshPairsFrom(parShingles(docs))
+
+  private def lshPairsFrom(sh: DataFrame): DataFrame = {
     val sigs = sh.select(col("doc_id"),
       Dedup.minhashSigFromHashes(col("hs"), MinhashK).as("sig"))
     val cand = Dedup.lshCandidates(sigs, "doc_id", Bands, RowsPerBand)
@@ -125,23 +128,9 @@ object DedupQueries {
     * directly — no md5 anywhere in the pipeline.
     */
   def ngramJaccardQ(s: SparkSession, d: String): DataFrame = {
-    val n = CharGramN
-    // one pass: char array → codes (lambda only touches its own variable)
-    val codes = transform(split(lower(col("text")), ""),
-      c => ascii(c).cast("long"))
-    val gram = transform(sequence(lit(1), size(col("cs")) - (n - 1)),
-      i => element_at(col("cs"), i) * 16777216L +
-        element_at(col("cs"), i + 1) * 65536L +
-        element_at(col("cs"), i + 2) * 256L +
-        element_at(col("cs"), i + 3))
-    // scatter raw docs first, pack grams post-shuffle in parallel,
-    // checkpoint once for the three consumers (see parShingles)
-    val cg = Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), codes.as("cs"))
-      .filter(size(col("cs")) >= n)
-      .select(col("doc_id"), array_distinct(gram).as("cg"))
-      .localCheckpoint(true)
+    // gram packing happens at ingest ([[charGramsCk]]); the query reads
+    // the artifact once into the session cache and fans it three ways
+    val cg = charGramsCk(s, d)
     val sigs = cg.select(col("doc_id"),
       Dedup.minhashSigFromHashes(col("cg"), MinhashK).as("sig"))
     val cand = Dedup.lshCandidates(sigs, "doc_id", Bands, RowsPerBand)
@@ -170,11 +159,13 @@ object DedupQueries {
     * docs with no row are genuinely new.
     */
   def incrementalQ(s: SparkSession, d: String): DataFrame =
-    incrementalOf(Tables.documents(s, d))
+    incrementalFrom(shinglesCk(s, d))
 
-  def incrementalOf(docs: DataFrame): DataFrame = {
+  def incrementalOf(docs: DataFrame): DataFrame =
+    incrementalFrom(parShingles(docs))
+
+  private def incrementalFrom(sh: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = parShingles(docs)
     val sigs = sh.select(col("doc_id"),
       Dedup.minhashSigFromHashes(col("hs"), MinhashK).as("sig"))
     // same hot-bucket cap as the self-join path: a boilerplate band key
@@ -217,10 +208,14 @@ object DedupQueries {
     * over the members, never touching unclustered documents.
     */
   def clustersQ(s: SparkSession, d: String): DataFrame =
-    clustersOf(Tables.documents(s, d))
+    clustersFrom(lshPairsFrom(shinglesCk(s, d)), Tables.documents(s, d))
 
-  def clustersOf(docs: DataFrame): DataFrame = {
-    val pairs = lshPairsOf(docs).select(
+  def clustersOf(docs: DataFrame): DataFrame =
+    clustersFrom(lshPairsOf(docs), docs)
+
+  private def clustersFrom(lshPairs: DataFrame, docs: DataFrame)
+      : DataFrame = {
+    val pairs = lshPairs.select(
       col("a").cast("string").as("src"), col("b").cast("string").as("dst"))
     val cc = graft.resolver.Resolver.connectedComponents(pairs)
     val len = docs.select(
@@ -265,10 +260,12 @@ object DedupQueries {
   }
 
   def simhashQ(s: SparkSession, d: String): DataFrame =
-    Dedup.simhash(Tables.documents(s, d), "doc_id", "text", SimhashBits)
+    simhashSigsCk(s, d)
 
   def simhashPairsQ(s: SparkSession, d: String): DataFrame =
-    Dedup.simhashPairs(simhashQ(s, d), "doc_id", SimhashBands,
+    // the sig table arrives as a 32-file lake scan (two longs per doc)
+    // — the banding fan-out re-scans it instead of pinning
+    Dedup.simhashPairsFrom(simhashSigsCk(s, d), "doc_id", SimhashBands,
       SimhashBandBits, SimhashMaxDist)
 
   // ---------------------------------------------------------------- oracle
@@ -457,16 +454,77 @@ object DedupQueries {
     .empty[(SparkSession, String, String), DataFrame]
 
   def fpSetsCk(s: SparkSession, d: String): DataFrame =
-    fpCache.getOrElseUpdate((s, d, "sets"),
+    fpCache.getOrElseUpdate((s, d, "sets"), graft.Caches.pin(
       graft.IndexLake.artifact(s, d, "fp_sets")(
         graft.textanalysis.TextAnalysis.fingerprintSets(
-          Tables.documents(s, d))).localCheckpoint(true))
+          Tables.documents(s, d)))))
 
   def fpPosCk(s: SparkSession, d: String): DataFrame =
-    fpCache.getOrElseUpdate((s, d, "pos"),
+    fpCache.getOrElseUpdate((s, d, "pos"), graft.Caches.pin(
       graft.IndexLake.artifact(s, d, "fp_pos")(
         graft.textanalysis.TextAnalysis.fingerprintPositions(
-          Tables.documents(s, d))).localCheckpoint(true))
+          Tables.documents(s, d)))))
+
+  /** Scatter raw docs (cheap bytes) before a CPU-heavy projection so
+    * the ingest build runs on every core instead of the one-row-group
+    * scan task.
+    */
+  private def scattered(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+
+  /** The word-shingle+hash table as a fingerprint-keyed lake artifact
+    * (doc_id, s, hs) — built once at ingest like the winnow fp tables,
+    * read-once-then-pinned per session (the arrays decode expensively
+    * from parquet and every minhash query fans the table ≥3 ways). The
+    * lake copy replaces the per-query eager localCheckpoint: no
+    * per-invocation corpus rebuild, and no non-recoverable executor
+    * blocks holding the only copy mid-pipeline.
+    */
+  def shinglesCk(s: SparkSession, d: String): DataFrame =
+    fpCache.getOrElseUpdate((s, d, "shingles"), graft.Caches.pin(
+      graft.IndexLake.artifact(s, d, "shingles")(
+        hashedShinglesOf(scattered(s, d)))))
+
+  /** Packed char-[[CharGramN]]-gram table (doc_id, cg) as a lake
+    * artifact — the char-channel sibling of [[shinglesCk]].
+    */
+  def charGramsCk(s: SparkSession, d: String): DataFrame =
+    fpCache.getOrElseUpdate((s, d, "char_grams"), graft.Caches.pin(
+      graft.IndexLake.artifact(s, d, "char_grams") {
+        val n = CharGramN
+        // one pass: char array → codes (lambda only touches its own
+        // variable); grams pack arithmetically — see ngramJaccardQ
+        val codes = transform(split(lower(col("text")), ""),
+          c => ascii(c).cast("long"))
+        val gram = transform(sequence(lit(1), size(col("cs")) - (n - 1)),
+          i => element_at(col("cs"), i) * 16777216L +
+            element_at(col("cs"), i + 1) * 65536L +
+            element_at(col("cs"), i + 2) * 256L +
+            element_at(col("cs"), i + 3))
+        scattered(s, d)
+          .select(col("doc_id"), codes.as("cs"))
+          .filter(size(col("cs")) >= n)
+          .select(col("doc_id"), array_distinct(gram).as("cg"))
+      }))
+
+  /** SimHash signature table (doc_id, simhash) as a lake artifact —
+    * two longs per doc; no session pin needed, consumers column-prune
+    * the parquet scan directly.
+    */
+  def simhashSigsCk(s: SparkSession, d: String): DataFrame =
+    graft.IndexLake.artifact(s, d, "simhash_sigs")(
+      Dedup.simhash(Tables.documents(s, d), "doc_id", "text", SimhashBits))
+
+  /** Exploded [[SubstrK]]-gram position table for the ExactSubstr pass
+    * (doc_id, total_grams, gpos, h) — one row per token position, the
+    * relational analogue of the suffix array Lee et al. materialize
+    * before their dedup pass; exactly the kind of table a 100 TB
+    * ingest writes once and every curation run reads.
+    */
+  def substrPosCk(s: SparkSession, d: String): DataFrame =
+    graft.IndexLake.artifact(s, d, "substr_pos")(
+      substrPosOf(scattered(s, d)))
 
   /** Drop the in-session artifact memo (see graft.IndexLake). */
   def clearCache(): Unit = {
@@ -516,9 +574,9 @@ object DedupQueries {
     spansFrom(fpPosCk(s, d))
 
   def spansOf(docs: DataFrame): DataFrame =
-    // checkpoint before the fan-out (df aggregate + both join sides)
-    spansFrom(graft.textanalysis.TextAnalysis.fingerprintPositions(docs)
-      .localCheckpoint(true))
+    // pin before the fan-out (df aggregate + both join sides)
+    spansFrom(graft.Caches.pin(
+      graft.textanalysis.TextAnalysis.fingerprintPositions(docs)))
 
   private def spansFrom(pos: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -577,23 +635,23 @@ object DedupQueries {
     * million docs still marks each position exactly once).
     */
   def substrQ(s: SparkSession, d: String): DataFrame =
-    substrOf(Tables.documents(s, d))
+    substrFrom(substrPosCk(s, d))
 
-  def substrOf(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  def substrOf(docs: DataFrame): DataFrame =
+    // pin before the fan-out (df aggregate + the semi-join side)
+    substrFrom(graft.Caches.pin(substrPosOf(docs.repartition(
+      docs.sparkSession.sparkContext.defaultParallelism, col("doc_id")))))
+
+  /** The exploded gram-position rows behind [[substrQ]] — positions
+    * exploded FIRST, gram hash as a plain per-row projection after the
+    * Generate: an array-HOF building the gram hashes was measured 8×
+    * slower here (the generator re-evaluated the lambda per output
+    * row: 32.5 s vs 4.7 s at sf0.1). Callers scatter the docs first so
+    * the explode+hash runs on every core (see [[parShingles]]).
+    */
+  private def substrPosOf(docs: DataFrame): DataFrame = {
     val n = SubstrK
-    // positions exploded FIRST, gram hash as a plain per-row projection
-    // after the Generate — an array-HOF building the gram hashes was
-    // measured 8× slower here (the generator re-evaluated the lambda
-    // per output row: 32.5 s vs 4.7 s at sf0.1). Checkpoint before the
-    // fan-out (df aggregate + the semi-join side).
-    val pos = graft.textanalysis.TextAnalysis.withWords(
-        // scatter raw docs first (explicit count — exempt from AQE
-        // coalescing) so the gram explode+hash runs on every core
-        // instead of the one-row-group scan task (see parShingles)
-        docs.repartition(
-          docs.sparkSession.sparkContext.defaultParallelism,
-          col("doc_id")))
+    graft.textanalysis.TextAnalysis.withWords(docs)
       .filter(size(col("w")) >= n)
       .select(col("doc_id"), col("w"),
         (size(col("w")) - (n - 1)).cast("long").as("total_grams"))
@@ -603,7 +661,11 @@ object DedupQueries {
         Hashing.hash60(concat_ws(" ",
           (0 until n).map(k =>
             element_at(col("w"), col("gpos") + k + 1)): _*)).as("h"))
-      .localCheckpoint(true)
+  }
+
+  private def substrFrom(pos: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = SubstrK
     val hot = pos.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2).select(col("h"))
     val dup = pos.join(hot, Seq("h"), "left_semi")

@@ -299,6 +299,20 @@ object Propose {
     */
   def enrich(pairs: DataFrame, stmts: DataFrame, snaks: DataFrame,
       positions: DataFrame, retrieved: Option[String] = None,
+      fallbackUrl: Option[String] = None): DataFrame =
+    enrichFrom(persistScaffold(
+      scaffoldOf(pairs, stmts, snaks, retrieved, fallbackUrl)),
+      stmts, positions)
+
+  /** The per-(entity, qid) proposal scaffold [[enrich]] fans its legs
+    * out from: the batch pairs joined with the dump's known-values
+    * aggregate and the batch entities' fused statement bundles. A pure
+    * function of (pairs, stmts, snaks), so for a standing batch it can
+    * be a stored artifact (see ProposeQueries.scaffoldCk) instead of a
+    * per-session persist.
+    */
+  def scaffoldOf(pairs: DataFrame, stmts: DataFrame, snaks: DataFrame,
+      retrieved: Option[String] = None,
       fallbackUrl: Option[String] = None): DataFrame = {
     // the propose batch (pairs/stmts/positions) is bounded by review
     // throughput — thousands of rows by construction — while `snaks` is
@@ -335,21 +349,23 @@ object Propose {
       .withColumn("target", col("qid"))
 
     // ONE per-entity aggregate (refs tail + value bundles fused) joined
-    // onto the pair scaffold, then lazily persisted before the fan-out:
-    // the scaffold feeds FIVE branches (aliases, P31/P569/P21/P27,
-    // positions); the first branch to run materializes it once and the
-    // others read the cached rows. Lazy (not an eager checkpoint, which
-    // was measured slower — it bills a separate blocking job) and
-    // batch-sized; the previous batch's scaffold is unpersisted here.
-    val withRefs = persistScaffold(
-      p.join(entityAgg(stmts, retrieved, fallbackUrl),
+    // onto the pair scaffold — the scaffold feeds FIVE branches
+    // (aliases, P31/P569/P21/P27, positions), so [[enrich]] persists it
+    // before the fan-out and ProposeQueries stores it in the lake.
+    p.join(entityAgg(stmts, retrieved, fallbackUrl),
         Seq("entity_id"), "left_outer")
-        .withColumn("refs", coalesce(col("refs"), lit("")))
-        .withColumn("birth_dates", coalesce(col("birth_dates"), emptyStr))
-        .withColumn("genders", coalesce(col("genders"), emptyStr))
-        .withColumn("citizenships",
-          coalesce(col("citizenships"), emptyStr)))
+      .withColumn("refs", coalesce(col("refs"), lit("")))
+      .withColumn("birth_dates", coalesce(col("birth_dates"), emptyStr))
+      .withColumn("genders", coalesce(col("genders"), emptyStr))
+      .withColumn("citizenships",
+        coalesce(col("citizenships"), emptyStr))
+  }
 
+  /** The proposal legs over an already-materialized scaffold (a
+    * persisted frame or a lake-artifact scan).
+    */
+  def enrichFrom(withRefs: DataFrame, stmts: DataFrame,
+      positions: DataFrame): DataFrame = {
     // missing names → append-only aliases (`propose.py:207-210`).
     // The scaffold side broadcasts from its cache (batch-bounded), so
     // this leg's only Exchange is nameStatements' single repartition.

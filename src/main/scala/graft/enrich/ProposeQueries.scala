@@ -82,10 +82,20 @@ object ProposeQueries {
     graft.IndexLake.artifact(s, d, "wd_person_stmts")(
       EntityStore.statements(personEntities(s, d), "wdq"))
 
+  /** The standing batch's proposal scaffold as a lake artifact (keyed,
+    * like every artifact, on the data fingerprint — which covers the
+    * dump): the enrich legs broadcast bounded selections of a 32-file
+    * parquet scan instead of rebuilding the scaffold on each session's
+    * first proposal (the build was billed to q_wd_propose's cold pass).
+    */
+  def scaffoldCk(s: SparkSession, d: String): DataFrame =
+    graft.IndexLake.artifact(s, d, "wd_propose_scaffold")(
+      Propose.scaffoldOf(pairs(s, d), personStmtsCk(s, d),
+        WikidataQueries.snakCk(s, d), retrieved = Some(Retrieved)))
+
   def proposeQ(s: SparkSession, d: String): DataFrame =
-    Propose.enrich(pairs(s, d), personStmtsCk(s, d),
-      WikidataQueries.snakCk(s, d), positions(s, d),
-      retrieved = Some(Retrieved))
+    Propose.enrichFrom(scaffoldCk(s, d), personStmtsCk(s, d),
+      positions(s, d))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_wd_propose" -> (proposeQ _))

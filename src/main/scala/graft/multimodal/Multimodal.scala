@@ -172,14 +172,25 @@ object Multimodal {
             lit(1L << i)).otherwise(lit(0L))).reduce(_ + _).as("simhash"))
   }
 
+  /** The aHash signature table as a fingerprint-keyed lake artifact —
+    * two longs per doc, built once at ingest (the scatter spreads the
+    * 32-way byte sampling off the one-row-group scan task; the query
+    * previously paid that projection on its cold first pass).
+    */
+  def ahashSigsCk(s: SparkSession, d: String): DataFrame =
+    graft.IndexLake.artifact(s, d, "ahash_sigs")(
+      ahashSigs(Tables.documents(s, d).repartition(
+        s.sparkContext.defaultParallelism, col("doc_id"))))
+
   /** Perceptual near-duplicate pairs: aHash signatures through the
     * SAME hamming-banding machinery as the text SimHash
-    * ([[graft.dedup.Dedup.simhashPairs]]) — pigeonhole-complete for
+    * ([[graft.dedup.Dedup.simhashPairsFrom]]) — pigeonhole-complete for
     * distance ≤ [[AHashMaxDist]], never an all-pairs scan. The
-    * image-dedup stage of a multimodal pipeline, relationally.
+    * image-dedup stage of a multimodal pipeline, relationally; the
+    * signature table is a stored index ([[ahashSigsCk]]).
     */
   def phashPairsQ(s: SparkSession, d: String): DataFrame =
-    graft.dedup.Dedup.simhashPairs(ahashSigs(Tables.documents(s, d)),
+    graft.dedup.Dedup.simhashPairsFrom(ahashSigsCk(s, d),
       "doc_id", AHashBands, AHashBandBits, AHashMaxDist)
 
 

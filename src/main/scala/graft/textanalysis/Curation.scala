@@ -129,16 +129,22 @@ object Curation {
     * one equi-join back — both sides hash-partition on the gram, so at
     * 100 TB it is two shuffles of the gram stream and nothing else.
     */
-  def crossdocOf(docs: DataFrame): DataFrame = {
-    // repartition(g) pins ONE Exchange under both consumers (the df
-    // aggregate and the join side both need g-partitioning), so
-    // ReuseExchange runs the tokenize+gram explode once — the
-    // q_dedup_lsh_pairs exchange-reuse pattern
-    val g = TextAnalysis.withWords(docs)
+  def crossdocOf(docs: DataFrame): DataFrame =
+    crossdocFrom(crossdocGramsOf(docs))
+
+  /** The distinct (doc_id, gram) rows behind [[crossdocQ]]. */
+  private def crossdocGramsOf(docs: DataFrame): DataFrame =
+    TextAnalysis.withWords(docs)
       .filter(size(col("w")) >= CrossdocN)
       .select(col("doc_id"),
         explode(array_distinct(grams(CrossdocN))).as("g"))
-      .repartition(col("g"))
+
+  private def crossdocFrom(gramRows: DataFrame): DataFrame = {
+    // repartition(g) pins ONE Exchange under both consumers (the df
+    // aggregate and the join side both need g-partitioning), so
+    // ReuseExchange runs the upstream gram derivation once — the
+    // q_dedup_lsh_pairs exchange-reuse pattern
+    val g = gramRows.repartition(col("g"))
     val df = g.groupBy(col("g")).agg(count(lit(1)).as("df"))
     g.join(df, Seq("g"))
       .groupBy(col("doc_id"))
@@ -148,8 +154,18 @@ object Curation {
         frac4(col("n_dup"), col("n_grams")).as("dup_frac"))
   }
 
+  /** The crossdoc gram table as a lake artifact — the tokenize + gram
+    * explode moves to ingest (the Lee et al. pipeline materializes its
+    * suffix array the same way); the query is two shuffles of the
+    * stored gram stream.
+    */
+  def crossdocGramsCk(s: SparkSession, d: String): DataFrame =
+    graft.IndexLake.artifact(s, d, "crossdoc_grams")(
+      crossdocGramsOf(Tables.documents(s, d).repartition(
+        s.sparkContext.defaultParallelism, col("doc_id"))))
+
   def crossdocQ(s: SparkSession, d: String): DataFrame =
-    crossdocOf(Tables.documents(s, d))
+    crossdocFrom(crossdocGramsCk(s, d))
 
   /** Fixed-length chunking: split each document's token stream into
     * [[ChunkLen]]-token training chunks — (doc, chunk index, chunk
