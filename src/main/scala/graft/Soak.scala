@@ -229,6 +229,64 @@ object Soak {
       return
     }
 
+    if (mode == "merge") {
+      // Increment-cost proof for the MergeLake writer: append wall must
+      // track DELTA size (the upsert batch), never corpus size; the
+      // occasional compaction is the amortized O(touched) cost and the
+      // snapshot stays readable (merge-on-read) between compactions.
+      import graft.store.MergeLake
+      val base0 = StarStatements(spark, sfDir)
+        .withColumn("stmt_id", concat(col("id"), lit("#"), col("field")))
+        .withColumn("num", split(col("id"), ":").getItem(1).cast("long"))
+      val reps = (0 until replicas).map { i =>
+        base0.withColumn("stmt_id", concat(col("stmt_id"), lit(s"-r$i")))
+          .withColumn("id", concat(col("id"), lit(s"-r$i")))
+      }.reduce(_.unionByName(_))
+        .withColumn("last_seen", lit("v1"))
+        .select(col("stmt_id"), col("id"), col("schema"), col("field"),
+          col("value"), col("last_seen"), col("num"))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val nBase = reps.count()
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-merge-soak").toString + "/lake"
+      val cols = Seq("stmt_id", "id", "schema", "field", "value",
+        "last_seen").map(col)
+      val t0 = System.nanoTime()
+      MergeLake.init(reps.select(cols: _*), path)
+      val initWall = (System.nanoTime() - t0) / 1e9
+      // three delta sizes, 16× apart: every 4096th/256th/16th statement
+      // re-asserted with a bumped value
+      val deltas = Seq(4096L, 256L, 16L).zipWithIndex.map {
+        case (mod, i) =>
+          val del = reps.filter(col("num") % mod === 0)
+            .withColumn("value", concat(col("value"), lit(s" u$i")))
+            .withColumn("last_seen", lit(s"v${i + 2}"))
+            .select(cols: _*)
+            .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+          val n = del.count()
+          val t = System.nanoTime()
+          MergeLake.append(del, path)
+          (n, (System.nanoTime() - t) / 1e9)
+      }
+      val tRead = System.nanoTime()
+      val nSnap = MergeLake.snapshot(spark, path).count()
+      val readWall = (System.nanoTime() - tRead) / 1e9
+      val tC = System.nanoTime()
+      val touched = MergeLake.compact(spark, path)
+      val compactWall = (System.nanoTime() - tC) / 1e9
+      val dJson = deltas.map { case (n, w) =>
+        f"""{"rows":$n,"append_wall_sec":$w%.2f}""" }.mkString("[", ",", "]")
+      println(f"""{"soak":"merge","sf":"$sfDir","replicas":$replicas,""" +
+        f""""base_rows":$nBase,"init_wall_sec":$initWall%.1f,""" +
+        f""""deltas":$dJson,"snapshot_rows":$nSnap,""" +
+        f""""snapshot_wall_sec":$readWall%.2f,""" +
+        f""""compact_wall_sec":$compactWall%.1f,""" +
+        f""""touched_buckets":${touched.size},""" +
+        f""""shuffle_write_mb":${shuffleWrite / 1e6}%.1f}""")
+      spark.stop()
+      return
+    }
+
     val stmts = corpus(spark, sfDir, replicas)
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val nStmts = stmts.count()

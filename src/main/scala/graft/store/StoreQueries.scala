@@ -194,11 +194,68 @@ object StoreQueries {
            json_extract_string(packed, '$$[2]') AS r_value
     FROM packed"""
 
+  /** Incremental MERGE end to end (`store/sql.py:90-177` upsert-on-id
+    * semantics over the [[MergeLake]] delta-append layout): a stale v1
+    * base (every 7th entity missing, every 3rd name stale), two
+    * incremental batches (the missing entities, then the name
+    * corrections plus re-asserted type rows), one compaction — and the
+    * resolved lake read back. The oracle computes the expected FINAL
+    * state arithmetically, so a hash match proves that N incremental
+    * applies ≡ one batch write of the final corpus (and that compaction
+    * preserved the resolve).
+    *
+    * The init/append/append/compact sequence runs inside the query on
+    * purpose: the MERGE writer is the operator under test (and under
+    * the bench clock), exactly like the reference's writer benchmark.
+    */
+  def mergeQ(s: SparkSession, d: String): DataFrame = {
+    val num = split(col("id"), ":").getItem(1).cast("long")
+    val all = StarStatements(s, d)
+      .withColumn("stmt_id", concat(col("id"), lit("#"), col("field")))
+      .withColumn("num", num)
+    val base = all.filter(col("num") % 7 =!= 0)
+      .withColumn("value",
+        when(col("field") === "name" && col("num") % 3 === 0,
+          concat(lit("OLD "), col("value"))).otherwise(col("value")))
+      .withColumn("last_seen", lit("v1"))
+    val delta1 = all.filter(col("num") % 7 === 0)
+      .withColumn("last_seen", lit("v2"))
+    val delta2 = all
+      .filter((col("field") === "name" && col("num") % 3 === 0) ||
+        (col("field") === "type" && col("num") % 5 === 0))
+      .withColumn("last_seen", lit("v3"))
+    val cols = Seq("stmt_id", "id", "schema", "field", "value", "last_seen")
+      .map(col)
+    val path = "/tmp/graft-merge-" +
+      sys.props.getOrElse("user.name", "anon") + "/" +
+      graft.IndexLake.fingerprint(d)
+    MergeLake.init(base.select(cols: _*), path)
+    MergeLake.append(delta1.select(cols: _*), path)
+    MergeLake.append(delta2.select(cols: _*), path)
+    MergeLake.compact(s, path)
+    MergeLake.snapshot(s, path).select(cols: _*)
+  }
+
+  val mergeSql: String = s"""
+    WITH ${StarStatements.sql.trim},
+    numbered AS (
+      SELECT id || '#' || field AS stmt_id, id, schema, field, value,
+             CAST(split_part(id, ':', 2) AS BIGINT) AS num
+      FROM stmts
+    )
+    SELECT stmt_id, id, schema, field, value,
+           CASE WHEN field = 'name' AND num % 3 = 0 THEN 'v3'
+                WHEN field = 'type' AND num % 5 = 0 THEN 'v3'
+                WHEN num % 7 = 0 THEN 'v2'
+                ELSE 'v1' END AS last_seen
+    FROM numbered"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_store_assemble" -> (assembleQ _),
     "q_store_entity_by_id" -> (entityByIdQ _),
     "q_store_adjacency" -> (adjacencyQ _),
     "q_store_delta" -> (deltaQ _),
+    "q_store_merge" -> (mergeQ _),
     "q_store_pack" -> (packQ _))
 
   val oracles: Map[String, String] = Map(
@@ -206,5 +263,6 @@ object StoreQueries {
     "q_store_entity_by_id" -> entityByIdSql,
     "q_store_adjacency" -> adjacencySql,
     "q_store_delta" -> deltaSql,
+    "q_store_merge" -> mergeSql,
     "q_store_pack" -> packSql)
 }
