@@ -229,6 +229,121 @@ object Soak {
       return
     }
 
+    if (mode == "flow") {
+      // The flagship README flow (reference README.md:20-32: xref →
+      // dedupe decisions → apply → merged output), chained END TO END
+      // as one run over the reference's own donations fixture
+      // replicated N× (474 entities each, suffixed ids, entity refs
+      // re-pointed inside each replica — every entity ends up with
+      // N−1 exact duplicates, the worst case for the blocker):
+      // ingest (statement lake write) → xref → resolve → apply →
+      // sorted-aggregate. Per-stage wall + shuffle recorded for
+      // PLANS.md; nothing may scale superlinearly in N.
+      import graft.store.{EntityStore, StatementLake}
+      import graft.xref.Xref
+      var lastShuffle = 0L
+      def stageShuffleMb(): Double = {
+        val d = (shuffleWrite - lastShuffle) / 1e6
+        lastShuffle = shuffleWrite
+        d
+      }
+      def timed[A](f: => A): (A, Double) = {
+        val t = System.nanoTime()
+        val a = f
+        (a, (System.nanoTime() - t) / 1e9)
+      }
+      val scratch = java.nio.file.Files
+        .createTempDirectory("graft-flow-soak").toString
+      val fixture = "/root/reference/tests/fixtures/donations.ijson"
+
+      // -- ingest: fixture → statements ×N → bucketed statement lake
+      val (nStmts, ingestWall) = timed {
+        // parse the fixture ONCE — each of the N union legs otherwise
+        // re-runs the ijson parse (measured 43 s → 9 s at 100×)
+        val base = Caches.pin(EntityStore.statements(
+          EntityStore.readIjson(spark, fixture), "donations"))
+        val reps = (0 until replicas).map { i =>
+          val sfx = lit(s"-r$i")
+          base
+            .withColumn("canonical_id", concat(col("canonical_id"), sfx))
+            .withColumn("entity_id", concat(col("entity_id"), sfx))
+            .withColumn("value", when(col("prop_type") === "entity",
+              concat(col("value"), sfx)).otherwise(col("value")))
+            .withColumn("id", md5(concat_ws("|", col("canonical_id"),
+              col("prop"), col("value"), sfx)))
+        }.reduce(_.unionByName(_))
+        reps.write.mode("overwrite").parquet(s"$scratch/lake")
+        spark.read.parquet(s"$scratch/lake").count()
+      }
+      val ingestShuffle = stageShuffleMb()
+      val lake = spark.read.parquet(s"$scratch/lake")
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      lake.count()
+
+      // -- xref: reference caps scaled by N (token df is N× by
+      // construction; the unscaled cap correctly stopwords everything)
+      import spark.implicits._
+      val decided = Seq.empty[(String, String)].toDF("src", "dst")
+      // 0.5 default = the reference dedupe CLI's own auto threshold
+      // (regression-v1 scores bare same-name pairs in the 0.5-0.7 band)
+      val threshold = args.lift(3).map(_.toDouble).getOrElse(0.5)
+      // limit scales with N like the pair-cost cap ("knobs that must
+      // scale"): the reference default's scored cap (limit×10 = 50k)
+      // truncates the N× duplication's true pair volume
+      val cfg = Xref.Config(autoThreshold = Some(threshold),
+        limit = 5000 * math.max(1, replicas / 10),
+        blocker = graft.blocker.Blocker.Config.reference.copy(
+          maxPairCost =
+            graft.blocker.Blocker.Config.reference.maxPairCost * replicas))
+      val ((merges, suggestions), xrefWall) = timed {
+        val (m, sg) = Xref.run(spark, lake, decided, cfg)
+        (m.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY),
+          sg.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
+      }
+      val nMerges = merges.count()
+      val nSuggest = suggestions.count()
+      val xrefShuffle = stageShuffleMb()
+
+      // -- resolve: connected components over the merge edges
+      val (cm, resolveWall) = timed {
+        val m = cli.CliArgs.canonicalMapOf(merges)
+          .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        m.count()
+        m
+      }
+      val nCanon = cm.count()
+      val resolveShuffle = stageShuffleMb()
+
+      // -- apply: canonicalize the lake through the map, write back
+      val (nApplied, applyWall) = timed {
+        cli.CliArgs.applyCanonical(lake, cm)
+          .write.mode("overwrite").parquet(s"$scratch/canonical")
+        spark.read.parquet(s"$scratch/canonical").count()
+      }
+      val applyShuffle = stageShuffleMb()
+
+      // -- sorted-aggregate: one merged ijson entity per cluster
+      val (nOut, aggWall) = timed {
+        EntityStore.toIjson(EntityStore.assemble(
+          spark.read.parquet(s"$scratch/canonical"))).count()
+      }
+      val aggShuffle = stageShuffleMb()
+
+      println(f"""{"soak":"flow","fixture":"donations","replicas":$replicas,""" +
+        f""""stmts":$nStmts,""" +
+        f""""ingest_wall_sec":$ingestWall%.1f,"ingest_shuffle_mb":$ingestShuffle%.1f,""" +
+        f""""xref_wall_sec":$xrefWall%.1f,"xref_shuffle_mb":$xrefShuffle%.1f,""" +
+        f""""merges":$nMerges,"suggestions":$nSuggest,""" +
+        f""""resolve_wall_sec":$resolveWall%.1f,"resolve_shuffle_mb":$resolveShuffle%.1f,""" +
+        f""""canonical_ids":$nCanon,""" +
+        f""""apply_wall_sec":$applyWall%.1f,"apply_shuffle_mb":$applyShuffle%.1f,""" +
+        f""""applied_rows":$nApplied,""" +
+        f""""agg_wall_sec":$aggWall%.1f,"agg_shuffle_mb":$aggShuffle%.1f,""" +
+        f""""entities_out":$nOut}""")
+      spark.stop()
+      return
+    }
+
     if (mode == "merge") {
       // Increment-cost proof for the MergeLake writer: append wall must
       // track DELTA size (the upsert batch), never corpus size; the
