@@ -686,3 +686,51 @@ object IndexBuildMain {
     s.stop()
   }
 }
+
+/** `nk load` ingestion in lake form: maintain a statement lake with
+  * the SQL store's upsert-on-id semantics (`store/sql.py:90-177`)
+  * through the [[graft.store.MergeLake]] delta-append layout.
+  *
+  * {{{
+  *   merge-lake init    <stmts.(parquet|ijson)> <lakeDir>
+  *   merge-lake append  <delta.(parquet|ijson)> <lakeDir>   # O(delta)
+  *   merge-lake compact <lakeDir>        # fold deltas, touched buckets
+  *   merge-lake snapshot <lakeDir> <out> # resolved current state
+  * }}}
+  */
+object MergeLakeMain {
+  def main(args: Array[String]): Unit = {
+    val (pos, flags) = CliArgs.parse(args)
+    require(pos.nonEmpty,
+      "usage: merge-lake <init|append|compact|snapshot> ...")
+    val s = CliArgs.session("merge-lake")
+    import graft.store.MergeLake
+    def stmtsWithId(path: String): org.apache.spark.sql.DataFrame = {
+      val df = CliArgs.readStatements(s, path,
+        flags.getOrElse("dataset", "default"))
+      // the upsert key: the statement id when present, else derived
+      if (df.columns.contains("stmt_id")) df
+      else if (df.columns.contains("id"))
+        df.withColumnRenamed("id", "stmt_id")
+      else df.withColumn("stmt_id", md5(concat_ws("|",
+        df.columns.map(col).toSeq: _*)))
+    }
+    pos.head match {
+      case "init" =>
+        MergeLake.init(stmtsWithId(pos(1)), pos(2))
+        println(s"[merge-lake] initialized ${pos(2)}")
+      case "append" =>
+        val seq = MergeLake.append(stmtsWithId(pos(1)), pos(2))
+        println(s"[merge-lake] appended delta $seq to ${pos(2)}")
+      case "compact" =>
+        val touched = MergeLake.compact(s, pos(1))
+        println(s"[merge-lake] compacted ${touched.size} buckets in ${pos(1)}")
+      case "snapshot" =>
+        MergeLake.snapshot(s, pos(1)).write.mode("overwrite")
+          .parquet(pos(2))
+        println(s"[merge-lake] wrote ${pos(2)}")
+      case other => sys.error(s"unknown merge-lake verb: $other")
+    }
+    s.stop()
+  }
+}

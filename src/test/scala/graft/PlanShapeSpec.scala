@@ -63,10 +63,19 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("the dedup band joins carry the hot-bucket anti-join") {
     // the r6 skew guard: candidate generation must drop capped buckets
-    // via a left-anti join before the self-join (Dedup.dropHotBuckets)
-    for (name <- Seq("q_dedup_lsh_pairs", "q_dedup_simhash_pairs",
-        "q_dedup_incremental")) {
-      val p = plan(dedup.DedupQueries.queries(name)(spark, dir))
+    // via a left-anti join before the self-join (Dedup.dropHotBuckets).
+    // q_dedup_lsh_pairs reads its lake artifact since r10, so the
+    // guard is asserted on the BUILDER plan (lshPairsOf — the pipeline
+    // the ingest runs); simhash_pairs and incremental still band live.
+    val builders: Seq[(String, DataFrame)] = Seq(
+      "lshPairsOf" ->
+        dedup.DedupQueries.lshPairsOf(Tables.documents(spark, dir)),
+      "q_dedup_simhash_pairs" ->
+        dedup.DedupQueries.queries("q_dedup_simhash_pairs")(spark, dir),
+      "q_dedup_incremental" ->
+        dedup.DedupQueries.queries("q_dedup_incremental")(spark, dir))
+    for ((name, df) <- builders) {
+      val p = plan(df)
       assert(p.contains("LeftAnti"), s"$name lost the bucket cap:\n$p")
     }
   }
