@@ -74,6 +74,8 @@ object Caches {
       () => multimodal.Multimodal.ahashSigsCk(s, d),
       () => textanalysis.Curation.crossdocGramsCk(s, d),
       () => enrich.ProposeQueries.scaffoldCk(s, d),
+      // builds the merge-demo lake if absent (read-or-build marker)
+      () => store.StoreQueries.mergeQ(s, d),
       () => matching.MatchingQueries.analysisCk(s, d),
       () => textanalysis.Bpe.trainedMergesCk(s, d),
       () => textanalysis.Classifier.modelCk(s, d),

@@ -229,10 +229,19 @@ object StoreQueries {
     val path = "/tmp/graft-merge-" +
       sys.props.getOrElse("user.name", "anon") + "/" +
       graft.IndexLake.fingerprint(d)
-    MergeLake.init(base.select(cols: _*), path)
-    MergeLake.append(delta1.select(cols: _*), path)
-    MergeLake.append(delta2.select(cols: _*), path)
-    MergeLake.compact(s, path)
+    // read-or-build like every stored artifact (the lake build is the
+    // ingest; the marker gates readers exactly like IndexLake's): the
+    // apply sequence is deterministic per data dir, so a rebuilt dir
+    // is byte-equivalent
+    val marker = new org.apache.hadoop.fs.Path(path, "_APPLIED")
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      MergeLake.init(base.select(cols: _*), path)
+      MergeLake.append(delta1.select(cols: _*), path)
+      MergeLake.append(delta2.select(cols: _*), path)
+      MergeLake.compact(s, path)
+      fs.create(marker, true).close()
+    }
     MergeLake.snapshot(s, path).select(cols: _*)
   }
 
