@@ -279,4 +279,29 @@ object IndexLake {
     if (fs.exists(p)) fs.delete(p, true)
     clearMemo()
   }
+
+  /** Retire stale artifact generations: every engine build re-keys the
+    * whole lake (builderHash in the fingerprint), so a busy deployment
+    * accumulates one full artifact set per build. Deletes fingerprint
+    * directories under [[root]] that are NOT in `keep` and whose entries
+    * were last modified more than `maxAgeMs` ago (age guards a
+    * concurrent builder mid-publish on its brand-new fingerprint).
+    * Returns the deleted fingerprints.
+    */
+  def gc(keep: Set[String], maxAgeMs: Long = 6L * 3600 * 1000): Seq[String] = {
+    val rootPath = new Path(root)
+    val fs = fsOf(rootPath)
+    if (!fs.exists(rootPath)) return Seq.empty
+    val now = System.currentTimeMillis()
+    fs.listStatus(rootPath).toSeq
+      .filter(_.isDirectory)
+      .filter(st => !keep.contains(st.getPath.getName))
+      .filter { st =>
+        val entries = fs.listStatus(st.getPath)
+        val newest = (st.getModificationTime +:
+          entries.map(_.getModificationTime).toSeq).max
+        now - newest > maxAgeMs
+      }
+      .map { st => fs.delete(st.getPath, true); st.getPath.getName }
+  }
 }

@@ -673,7 +673,8 @@ object NameBenchMain {
 object IndexBuildMain {
   def main(args: Array[String]): Unit = {
     val (pos, flags) = CliArgs.parse(args)
-    require(pos.nonEmpty, "usage: index-build <sfDir> [--index-dir DIR]")
+    require(pos.nonEmpty, "usage: index-build <sfDir> [--index-dir DIR]" +
+      " [--gc [--gc-age-hours H]]")
     flags.get("index-dir").foreach(sys.props.put("graft.index.dir", _))
     val s = CliArgs.session("index-build")
     val d = pos.head
@@ -683,6 +684,14 @@ object IndexBuildMain {
     val out = java.nio.file.Paths.get(
       graft.IndexLake.root, graft.IndexLake.fingerprint(d))
     println(f"[index-build] $d -> $out in $sec%.1f s")
+    // --gc: retire artifact generations from older engine builds /
+    // regenerated dirs, keeping the fingerprint just built
+    if (flags.contains("gc")) {
+      val age = flags.get("gc-age-hours").map(_.toDouble).getOrElse(6.0)
+      val gone = graft.IndexLake.gc(Set(graft.IndexLake.fingerprint(d)),
+        (age * 3600 * 1000).toLong)
+      println(s"[index-build] gc retired ${gone.size} stale generations")
+    }
     s.stop()
   }
 }

@@ -139,6 +139,40 @@ class CachesSpec extends AnyFunSuite {
     }
   }
 
+  test("gc retires stale generations, keeps the current and the young") {
+    val tmp = Files.createTempDirectory("graft-index-gc").toString
+    val prev = sys.props.get("graft.index.dir")
+    sys.props.put("graft.index.dir", tmp)
+    IndexLake.clearMemo()
+    try {
+      def mk(name: String, ageMs: Long): Unit = {
+        val d = Paths.get(tmp, name, "some_artifact")
+        Files.createDirectories(d)
+        Files.write(d.resolve("part-0.parquet"), Array[Byte](1))
+        val t = java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - ageMs)
+        Files.setLastModifiedTime(d.resolve("part-0.parquet"), t)
+        Files.setLastModifiedTime(d, t)
+        Files.setLastModifiedTime(Paths.get(tmp, name), t)
+      }
+      mk("aaaa00000000stal", 48L * 3600 * 1000) // stale
+      mk("bbbb00000000kept", 48L * 3600 * 1000) // stale but kept
+      mk("cccc00000000youn", 0L) // too young to collect
+      val gone = IndexLake.gc(keep = Set("bbbb00000000kept"),
+        maxAgeMs = 6L * 3600 * 1000)
+      assert(gone === Seq("aaaa00000000stal"))
+      assert(!Files.exists(Paths.get(tmp, "aaaa00000000stal")))
+      assert(Files.exists(Paths.get(tmp, "bbbb00000000kept")))
+      assert(Files.exists(Paths.get(tmp, "cccc00000000youn")))
+    } finally {
+      prev match {
+        case Some(v) => sys.props.put("graft.index.dir", v)
+        case None => sys.props.remove("graft.index.dir")
+      }
+      IndexLake.clearMemo()
+    }
+  }
+
   test("fingerprint tracks data-dir content") {
     val a = IndexLake.fingerprint(dir)
     assert(a === IndexLake.fingerprint(dir), "fingerprint is stable")
