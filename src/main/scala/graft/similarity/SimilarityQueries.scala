@@ -578,7 +578,32 @@ object SimilarityQueries {
         col("p3").as("vec_id"), col("e3").as("mmr_e6")))
   }
 
+  /** Incremental embedding-index ingest — the similarity twin of the
+    * statement lake's MERGE: a new vector batch (`vec_id % 10 == 7`,
+    * the same delta convention as the dedup incremental screen) is
+    * added to the EXISTING stored index without retraining and without
+    * touching the corpus: each delta vector is assigned to its nearest
+    * TRAINED IVF centroid and PQ-encoded against the stored codebook —
+    * O(delta × C) work total, the add() path of a production ANN
+    * index. Emits one index-add record per delta vector:
+    * (vec_id, list_id, codes), codes ordered by subspace.
+    */
+  def indexAddQ(s: SparkSession, d: String): DataFrame = {
+    val delta = Similarity.prepared(s, d).filter(col("vec_id") % 10 === 7)
+    val cent = broadcast(KMeans.trainedCentroids(s, d))
+    val assigned = ivfAssigned(delta, cent)
+      .select(col("vec_id"), col("cid").as("list_id"))
+    val (codebook, _) = Pq.indexCk(s, d)
+    val codes = Pq.encoded(delta, codebook)
+      .groupBy(col("vec_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("m"), col("code")))),
+        x => x.getField("code").cast("string")), "-").as("codes"))
+    assigned.join(codes, Seq("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sim_index_add" -> (indexAddQ _),
     "q_sim_mmr" -> (mmrQ _),
     "q_sim_hardneg" -> (hardNegQ _),
     "q_sim_ivfpq" -> (ivfPqQ _),
@@ -781,6 +806,13 @@ object SimilarityQueries {
       WHERE rn <= $TopK"""
 
   val oracles: Map[String, String] = Map(
+    "q_sim_index_add" -> (ctePrefix + ivfCtes + pqCtes + s"""
+      SELECT a.vec_id, a.cid AS list_id, e.codes
+      FROM assigned a JOIN (
+        SELECT vec_id,
+               string_agg(CAST(code AS VARCHAR), '-' ORDER BY m) AS codes
+        FROM pqenc GROUP BY vec_id) e USING (vec_id)
+      WHERE a.vec_id % 10 = 7"""),
     "q_sim_mmr" -> (ctePrefix + s""",
       topk AS ($cosineTopkBody),
       tk AS (SELECT qid, vec_id AS cand, cosine AS cosq FROM topk),
