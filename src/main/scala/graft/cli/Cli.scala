@@ -33,9 +33,11 @@ object CliArgs {
     while (i < args.length) {
       val a = args(i)
       if (a.startsWith("--")) {
-        require(i + 1 < args.length, s"missing value for $a")
-        flags += a.drop(2) -> args(i + 1)
-        i += 2
+        // a flag followed by another flag (or nothing) is boolean
+        if (i + 1 < args.length && !args(i + 1).startsWith("--")) {
+          flags += a.drop(2) -> args(i + 1)
+          i += 2
+        } else { flags += a.drop(2) -> "true"; i += 1 }
       } else { pos += a; i += 1 }
     }
     (pos.result(), flags)
