@@ -16,13 +16,20 @@ object Caches {
     * LINEAGE RETAINED — unlike `localCheckpoint`, whose blocks live in
     * non-reliable executor storage and are unrecoverable after an
     * executor loss on a real cluster, a pinned partition that goes
-    * missing recomputes from its parquet/shuffle lineage. Same measured
-    * plan shape as the eager checkpoint (the blocking count fills the
-    * cache once, so fan-out legs never race a cold rebuild).
+    * missing recomputes from its parquet/shuffle lineage.
+    *
+    * DISK_ONLY, not MEMORY_AND_DISK: the corpus-sized array tables
+    * (shingles, fp positions) cached on-heap taxed EVERY subsequent
+    * query in the session ~2-4× through GC pressure (measured:
+    * q_blk_stopword_stats 2.6 s pinned-in-memory vs 0.6 s unpinned,
+    * a query that never touches the cache); local-disk blocks decode
+    * once and read back at page-cache speed with zero heap footprint
+    * — the xref scored-table rationale, applied session-wide.
     */
   def pin(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (sys.env.contains("GRAFT_NO_PIN")) return df // A/B diagnostics
+    df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     df.count()
     df
   }
