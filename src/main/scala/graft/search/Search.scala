@@ -84,9 +84,12 @@ object Search {
     */
   def postingsCk(s: SparkSession, d: String): DataFrame =
     postingsCache.getOrElseUpdate((s, d),
-      graft.IndexLake.artifact(s, d, "postings")(
-        postingsOf(Tables.documents(s, d)))
-        .localCheckpoint(true))
+      // Caches.pin, not localCheckpoint: the session copy of a
+      // corpus-sized table belongs on local disk with lineage retained
+      // (recoverable after executor loss; zero heap footprint — the
+      // on-heap block tax measured in Caches.pin's scaladoc)
+      graft.Caches.pin(graft.IndexLake.artifact(s, d, "postings")(
+        postingsOf(Tables.documents(s, d)))))
 
   def clearCache(): Unit = postingsCache.clear()
 

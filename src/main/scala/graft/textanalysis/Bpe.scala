@@ -34,6 +34,25 @@ object Bpe {
     docs.select(explode(TextAnalysis.words(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
 
+  /** Per-(doc, word) counts for the GATED corpus queries, derived from
+    * the stored postings index ([[graft.search.Search.postingsCk]] —
+    * the same byte-stable tokenizer, [[TextAnalysis.words]], so
+    * (doc_id, term, tf) IS (doc_id, w, c)): the only corpus-sized input
+    * of the encode family is already an ingest artifact, and query-time
+    * work stays vocabulary-sized. The arbitrary-docs path
+    * ([[encodeOf]]) keeps its own one-pass build.
+    */
+  private def wcCk(s: SparkSession, d: String): DataFrame =
+    graft.search.Search.postingsCk(s, d)
+      .select(col("doc_id"), col("term").as("w"), col("tf").as("c"))
+
+  /** Corpus vocabulary rolled up from the postings artifact — the
+    * occurrence count per distinct word equals the sum of its per-doc
+    * term frequencies.
+    */
+  private def vocabCk(s: SparkSession, d: String): DataFrame =
+    wcCk(s, d).groupBy(col("w")).agg(sum(col("c")).as("freq"))
+
   /** Adjacent character-pair counts weighted by word frequency — the
     * first-iteration merge candidates ("aaa" counts (a,a) twice, like
     * the reference algorithm's per-occurrence scan). Words shorter
@@ -53,7 +72,7 @@ object Bpe {
     * a tokenizer trained twice must be the same tokenizer.
     */
   def bpeQ(s: SparkSession, d: String): DataFrame =
-    pairCounts(vocabulary(Tables.documents(s, d)))
+    pairCounts(vocabCk(s, d))
       .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
       .limit(TopMerges)
 
@@ -140,7 +159,9 @@ object Bpe {
     mergeCache.getOrElseUpdate((s, d), {
       val df = graft.IndexLake.artifact(s, d, "bpe_merges") {
         import s.implicits._
-        trainMerges(vocabulary(Tables.documents(s, d)), TopMerges)
+        // vocab rolls up from the postings artifact: ingest trains the
+        // tokenizer without a second corpus tokenization pass
+        trainMerges(vocabCk(s, d), TopMerges)
           .zipWithIndex.map { case ((a, b), i) => (i, a, b) }
           .toDF("rnk", "a", "b")
       }
@@ -177,11 +198,16 @@ object Bpe {
     * count table is built in ONE corpus pass and checkpointed; the
     * vocabulary and everything derived roll up from it.
     */
-  def encodeOf(docs: DataFrame): DataFrame = {
-    val wc = TextAnalysis.withWords(docs)
+  def encodeOf(docs: DataFrame): DataFrame =
+    encodeFrom(graft.Caches.pin(TextAnalysis.withWords(docs)
       .select(col("doc_id"), explode(col("w")).as("w"))
-      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))))
+
+  /** The encode core over an already-materialized (doc_id, w, c) word
+    * count table — artifact-backed for the gated query, one corpus
+    * pass for arbitrary frames.
+    */
+  private def encodeFrom(wc: DataFrame): DataFrame = {
     val vocab = wc.groupBy(col("w")).agg(sum(col("c")).as("freq"))
     val marr = broadcast(firstRoundMerges(vocab).agg(
       transform(array_sort(collect_list(struct(col("rnk"), col("a"),
@@ -199,7 +225,7 @@ object Bpe {
   }
 
   def encodeQ(s: SparkSession, d: String): DataFrame =
-    encodeOf(Tables.documents(s, d))
+    encodeFrom(wcCk(s, d))
 
   /** Corpus token counts under the SEQUENTIALLY-trained tokenizer —
     * the artifact a pipeline actually ships (q_text_bpe_encode keeps
@@ -214,10 +240,7 @@ object Bpe {
     * selection is expressible, just not as one relational expression.
     */
   def seqEncodeQ(s: SparkSession, d: String): DataFrame = {
-    val wc = TextAnalysis.withWords(Tables.documents(s, d))
-      .select(col("doc_id"), explode(col("w")).as("w"))
-      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
+    val wc = wcCk(s, d)
     val vocab = wc.groupBy(col("w")).agg(sum(col("c")).as("freq"))
     val merges = trainedMergesCk(s, d)
     val enc = merges.foldLeft(toSeq0(col("w"))) { case (acc, (a, b)) =>
