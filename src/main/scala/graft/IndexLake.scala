@@ -165,7 +165,11 @@ object IndexLake {
           .filter(_.getPath.getName.endsWith(".parquet"))
           .sortBy(_.getPath.getName).flatMap(walk)
       val md = MessageDigest.getInstance("SHA-256")
-      md.update(s"graft-index-v$FormatVersion-$builderHash\n$sfDir\n"
+      // lexicon salt: blocker artifacts embed sy: group ids, so a
+      // plugged external variant lexicon re-keys the lake exactly like
+      // a changed engine build ("" when none — fingerprints unchanged)
+      val lex = graft.text.Symbols.lexiconFingerprint
+      md.update(s"graft-index-v$FormatVersion-$builderHash-$lex\n$sfDir\n"
         .getBytes("UTF-8"))
       entries.foreach(e => md.update((e + "\n").getBytes("UTF-8")))
       md.digest().take(8).map("%02x".format(_)).mkString

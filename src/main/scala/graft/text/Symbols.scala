@@ -25,8 +25,16 @@ object Symbols {
 
   /** Transliteration/variant groups of the same personal name. Token →
     * group id; same id on both sides of a pair ⇒ NAME symbol match.
+    *
+    * The builtin seed below extends with an EXTERNAL lexicon when one
+    * is configured (see [[parseVariantLexicon]]) — the deployment hook
+    * for rigour's full nickname/variant tables, whose data the engine
+    * cannot redistribute but whose wiring it carries.
     */
-  val NameVariants: Map[String, Int] = groupMap(Seq(
+  val NameVariants: Map[String, Int] = mergedMap(BuiltinNameGroups,
+    ExternalLexicon._1)
+
+  private[text] def BuiltinNameGroups: Seq[Seq[String]] = Seq(
     Seq("hussein", "husayn", "hussain", "husein", "huseyn", "husain"),
     Seq("mohammed", "muhammad", "mohamed", "mohammad", "muhammed",
       "mehmet"),
@@ -62,13 +70,16 @@ object Symbols {
     Seq("ivan", "iwan", "ioann"),
     Seq("fyodor", "fedor", "feodor", "theodore"),
     Seq("gaddafi", "gadhafi", "qaddafi", "qadhafi", "kadhafi",
-      "gheddafi")))
+      "gheddafi"))
 
   /** Hypocorism groups (NICK symbols): a short form and its full name.
     * Weaker evidence than a NAME variant — "Bill Smith" could be any
     * William.
     */
-  val Nicknames: Map[String, Int] = groupMap(Seq(
+  val Nicknames: Map[String, Int] = mergedMap(BuiltinNickGroups,
+    ExternalLexicon._2)
+
+  private[text] def BuiltinNickGroups: Seq[Seq[String]] = Seq(
     Seq("william", "bill", "billy", "will", "willy", "liam"),
     Seq("benjamin", "ben", "benny"),
     Seq("theodore", "ted", "teddy", "theo"),
@@ -119,7 +130,7 @@ object Symbols {
     Seq("victoria", "vicky"),
     Seq("abigail", "abby"),
     Seq("rebecca", "becky"),
-    Seq("alexandra", "sandra", "sandy")))
+    Seq("alexandra", "sandra", "sandy"))
 
   /** Generic organization words (SYMBOL category): match evidence near
     * zero, mismatch evidence damped. Deliberately excludes plain
@@ -196,6 +207,121 @@ object Symbols {
 
   private def groupMap(groups: Seq[Seq[String]]): Map[String, Int] =
     groups.zipWithIndex.flatMap { case (g, i) => g.map(_ -> i) }.toMap
+
+  // ---------------------------------------------- external variant lexicon
+
+  /** Parse an external variant-lexicon file: one group per line,
+    * whitespace-separated lowercase tokens, the FIRST token the
+    * category tag (`name` for transliteration variants, `nick` for
+    * hypocorisms); `#` at a token boundary starts a comment. Returns
+    * (name groups, nick groups). Example:
+    *
+    * {{{
+    * # rigour-style variant data, not redistributed with the engine
+    * name hussein husayn hussain
+    * nick william bill billy liam
+    * }}}
+    */
+  private[text] def parseVariantLexicon(lines: Iterator[String])
+      : (Seq[Seq[String]], Seq[Seq[String]]) = {
+    val name = Seq.newBuilder[Seq[String]]
+    val nick = Seq.newBuilder[Seq[String]]
+    lines.zipWithIndex.foreach { case (raw, i) =>
+      // comment only at a token boundary — '#' inside a token is data
+      // (the EnricherConfigs YAML-comment rule)
+      val line = raw.replaceAll("(^|\\s)#.*$", "").trim
+      if (line.nonEmpty) {
+        val toks = line.split("\\s+").toSeq
+        val group = toks.tail.map(_.toLowerCase)
+        if (toks.size < 3)
+          throw new IllegalArgumentException(
+            s"variant lexicon line ${i + 1}: a group needs a category " +
+              s"tag and >= 2 tokens: '$raw'")
+        toks.head.toLowerCase match {
+          case "name" => name += group
+          case "nick" => nick += group
+          case t => throw new IllegalArgumentException(
+            s"variant lexicon line ${i + 1}: unknown category '$t' " +
+              "(expected 'name' or 'nick')")
+        }
+      }
+    }
+    (name.result(), nick.result())
+  }
+
+  /** Union-merge groups sharing any token (a lexicon EXTENDS the seed:
+    * builtin (william, bill) + external (william, guillermo) must keep
+    * bill ~ william while adding guillermo — id-overwrite semantics
+    * would silently break the builtin pair). Deterministic: roots and
+    * output ordered lexicographically, so every JVM (driver and each
+    * executor parses the same file at class init) derives identical
+    * group ids.
+    */
+  private[text] def unionGroups(groups: Seq[Seq[String]])
+      : Seq[Seq[String]] = {
+    val parent = scala.collection.mutable.Map.empty[String, String]
+    def find(x: String): String = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    groups.foreach { g =>
+      g.headOption.foreach { h =>
+        g.tail.foreach { t =>
+          val (ra, rb) = (find(h), find(t))
+          if (ra != rb) parent(rb) = ra
+        }
+      }
+    }
+    groups.flatten.distinct.groupBy(find).toSeq.sortBy(_._1)
+      .map(_._2.sorted)
+  }
+
+  /** The merged token → group-id map. With NO external lexicon this is
+    * exactly `groupMap(builtin)` — byte-identical ids to the
+    * lexicon-less engine, so the gated `sy:` token streams (and the
+    * blocker artifacts keyed on them) are unchanged. With one, the
+    * union-merged groups re-id deterministically and
+    * [[lexiconFingerprint]] re-keys every lake artifact.
+    */
+  private[text] def mergedMap(builtin: Seq[Seq[String]],
+      external: Seq[Seq[String]]): Map[String, Int] =
+    if (external.isEmpty) groupMap(builtin)
+    else groupMap(unionGroups(builtin ++ external))
+
+  /** External lexicon location: `-Dgraft.name.variants` or
+    * `GRAFT_NAME_VARIANTS`. Read ONCE per JVM at class initialization —
+    * on a cluster ship the file to every executor and point both sides
+    * at it (`spark-submit --files variants.txt` plus
+    * `spark.executorEnv.GRAFT_NAME_VARIANTS=./variants.txt`); a
+    * driver-only file would silently diverge driver- and executor-side
+    * scoring, which is why the path is deliberately NOT a runtime
+    * setter.
+    */
+  private def lexiconPath: Option[String] =
+    sys.props.get("graft.name.variants")
+      .orElse(sys.env.get("GRAFT_NAME_VARIANTS"))
+
+  private lazy val ExternalLexicon
+      : (Seq[Seq[String]], Seq[Seq[String]]) = lexiconPath match {
+    case None => (Nil, Nil)
+    case Some(p) =>
+      val src = scala.io.Source.fromFile(p)(scala.io.Codec.UTF8)
+      try parseVariantLexicon(src.getLines()) finally src.close()
+  }
+
+  /** Content hash of the configured lexicon ("" when none) — folded
+    * into every IndexLake artifact fingerprint: the blocker entries /
+    * TF artifacts embed `sy:` group ids, so a changed lexicon must
+    * re-key the lake exactly like a changed engine build.
+    */
+  lazy val lexiconFingerprint: String = lexiconPath match {
+    case None => ""
+    case Some(p) =>
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      md.update(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p)))
+      md.digest().map("%02x".format(_)).mkString.take(16)
+  }
 
   /** Org-class surface form → canonical class ("limited" → "ltd").
     * Built from the fingerprint legal-form table plus short forms that
