@@ -73,6 +73,28 @@ object Search {
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
 
+  /** [[postingsOf]] with the document's `source` riding in the grouping
+    * key (functionally dependent on doc_id, so the row set is
+    * identical) — the ARTIFACT schema: one stored inverted index
+    * serves the whole text family (BM25/hybrid, TF-IDF keywords, the
+    * HLL and CMS sketches, BPE encode); each consumer column-prunes
+    * the parquet scan down to what it reads. [[postingsOf]] stays for
+    * bare (doc_id, text) frames (streams, soak corpora).
+    */
+  def postingsWithSourceOf(docs: DataFrame): DataFrame =
+    // `w` materialized as its own projection before any reference (the
+    // HOF-attribute rule withWords encodes; withWords itself prunes to
+    // (doc_id, text, w) and would drop `source`)
+    docs.select(col("source"), col("doc_id"),
+        TextAnalysis.words(col("text")).as("w"))
+      .filter(size(col("w")) > 0)
+      .select(col("source"), col("doc_id"), col("w"),
+        size(col("w")).cast("long").as("dl"))
+      .select(col("source"), col("doc_id"), col("dl"),
+        explode(col("w")).as("term"))
+      .groupBy(col("source"), col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
   private val postingsCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
@@ -89,7 +111,9 @@ object Search {
       // (recoverable after executor loss; zero heap footprint — the
       // on-heap block tax measured in Caches.pin's scaladoc)
       graft.Caches.pin(graft.IndexLake.artifact(s, d, "postings")(
-        postingsOf(Tables.documents(s, d)))))
+        postingsWithSourceOf(Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism,
+            col("doc_id"))))))
 
   def clearCache(): Unit = postingsCache.clear()
 

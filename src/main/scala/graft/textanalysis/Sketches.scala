@@ -57,18 +57,18 @@ object Sketches {
       .select(col("source"), col("doc_id"),
         explode(array_distinct(col("w"))).as("term"))
 
-  /** Batch postings materialized ONCE at full parallelism: the
-    * tokenize/explode sits on a one-row-group scan and feeds three
-    * consumers in [[hllQ]] (registers, per-source exact, global
-    * exact) — scatter the raw docs first (explicit count, exempt from
-    * AQE coalescing) and checkpoint. The streaming gate keeps the
-    * plain [[postingsOf]] (a shuffle has no place in a stateless
-    * stream projection).
+  /** Batch postings from the stored inverted index
+    * ([[graft.search.Search.postingsCk]] — same tokenizer; its
+    * per-(doc, term) rows ARE the distinct triples this produced): the
+    * three consumers in [[hllQ]] (registers, per-source exact, global
+    * exact) read the session-pinned artifact instead of re-tokenizing
+    * the corpus behind a per-query checkpoint. The streaming gate
+    * keeps the plain [[postingsOf]] (a stored index has no place in a
+    * stateless stream projection).
     */
   private def postings(s: SparkSession, d: String): DataFrame =
-    postingsOf(Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id")))
-      .localCheckpoint(true)
+    graft.search.Search.postingsCk(s, d)
+      .select(col("source"), col("doc_id"), col("term"))
 
   /** (source, register, max-rank) — the sketch state, ≤ [[M]] rows per
     * source no matter the input size. Works on a streaming postings
@@ -151,23 +151,25 @@ object Sketches {
     * invariant the spec asserts.
     */
   def cmsQ(s: SparkSession, d: String): DataFrame = {
-    // scatter-then-tokenize + one checkpoint for the two consumers
-    // (counters, exact top-K) — see the postings note above
-    val toks = Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      .select(explode(TextAnalysis.words(col("text"))).as("term"))
-    val hashed = toks.select(col("term"), Hashing.hash60(col("term")).as("h"))
-      .localCheckpoint(true)
-    // counter table: one explode into depth rows per occurrence, then a
-    // map-side-combining sum — state is depth×width no matter the input
+    // tf-weighted sums over the stored postings index: counting
+    // per-occurrence rows and summing per-(doc, term) tf are the same
+    // exact integers, and the artifact read replaces the per-query
+    // corpus tokenize + checkpoint
+    val hashed = graft.search.Search.postingsCk(s, d)
+      .select(col("term"), col("tf"))
+      .groupBy(col("term")).agg(sum(col("tf")).as("occ"))
+      .withColumn("h", Hashing.hash60(col("term")))
+    // counter table: one explode into depth rows per term, then a
+    // map-side-combining weighted sum — state is depth×width no matter
+    // the input
     val counters = hashed
-      .select(explode(array((0 until CmsDepth).map(j =>
+      .select(col("occ"), explode(array((0 until CmsDepth).map(j =>
         struct(lit(j).as("j"),
           (Hashing.permute(col("h"), j) % CmsWidth).as("w"))): _*)).as("b"))
       .groupBy(col("b.j").as("j"), col("b.w").as("w"))
-      .agg(count(lit(1)).as("c"))
-    val top = hashed.groupBy(col("term"), col("h"))
-      .agg(count(lit(1)).as("exact"))
+      .agg(sum(col("occ")).as("c"))
+    val top = hashed
+      .select(col("term"), col("h"), col("occ").as("exact"))
       .orderBy(col("exact").desc, col("term").asc)
       .limit(CmsTopK)
     // probe: depth rows per top term, min over the matching counters

@@ -292,14 +292,12 @@ object TextAnalysis {
     * hashing never compare engine-accumulated doubles.
     */
   def keywordsQ(s: SparkSession, d: String): DataFrame = {
-    // scatter-then-tokenize + one checkpoint: the (doc, term) table
-    // feeds THREE consumers (df, N, the scored join) and its tokenize
-    // otherwise runs three times on the one-row-group scan task
-    val tf = withWords(Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id")))
-      .select(col("doc_id"), explode(col("w")).as("t"))
-      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
+    // the (doc, term, tf) table feeding THREE consumers (df, N, the
+    // scored join) IS the stored postings index — read the
+    // session-pinned artifact instead of re-tokenizing the corpus
+    // behind a per-query checkpoint
+    val tf = graft.search.Search.postingsCk(s, d)
+      .select(col("doc_id"), col("term").as("t"), col("tf"))
     val df = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
     val n = tf.select(countDistinct(col("doc_id")).as("n_docs"))
     val scored = tf.join(df, Seq("t")).crossJoin(broadcast(n))
