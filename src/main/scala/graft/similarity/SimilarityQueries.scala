@@ -68,9 +68,11 @@ object SimilarityQueries {
     */
   def nearPreparedCk(s: SparkSession, d: String): DataFrame =
     nearCache.getOrElseUpdate((s, d),
-      graft.IndexLake.artifact(s, d, "near_banded")(nearPrepared(s, d))
-        .repartition(col("vec_id"))
-        .localCheckpoint(true))
+      // Caches.pin, not localCheckpoint: corpus-sized session copy —
+      // local-disk blocks with lineage retained (the postingsCk rule)
+      graft.Caches.pin(
+        graft.IndexLake.artifact(s, d, "near_banded")(nearPrepared(s, d))
+          .repartition(col("vec_id"))))
 
   /** Drop the in-session artifact memo (see graft.IndexLake). */
   def clearCache(): Unit = {

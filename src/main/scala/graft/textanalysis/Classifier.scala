@@ -114,10 +114,12 @@ object Classifier {
     * over the train half.
     */
   def train(feat: DataFrame): Weights = {
-    val cached = feat.filter(col("is_train"))
+    // pinned, not checkpointed: every epoch re-reads this train-half
+    // table — local-disk blocks with lineage retained survive an
+    // executor loss mid-training (checkpoint blocks would not)
+    val cached = graft.Caches.pin(feat.filter(col("is_train"))
       .select(col("x1"), col("x2"), col("x3"), col("x4"),
-        col("y").cast("double").as("y"))
-      .localCheckpoint(true)
+        col("y").cast("double").as("y")))
     val n = cached.count().toDouble
     var b = 0.0
     val w = Array.fill(4)(0.0)

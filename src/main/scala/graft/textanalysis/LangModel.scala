@@ -140,9 +140,10 @@ object LangModel {
     */
   private def lmTables(tokenRows: DataFrame, topV: Long,
       bigramsPerContext: Int): (DataFrame, DataFrame, DataFrame) = {
-    val biAll = tokenRows
-      .groupBy(col("prev"), col("term")).agg(count(lit(1)).as("bc"))
-      .localCheckpoint(true)
+    // pinned, not checkpointed (corpus-vocabulary-sized, three
+    // consumers): lineage retained, no on-heap block tax
+    val biAll = graft.Caches.pin(tokenRows
+      .groupBy(col("prev"), col("term")).agg(count(lit(1)).as("bc")))
     val uniAll = biAll.groupBy(col("term")).agg(sum(col("bc")).as("un"))
     val tot = uniAll.agg(sum(col("un")).as("t"))
     // top-|V| cap (see LmTopV): the count runs on the checkpointed
