@@ -34,6 +34,19 @@ object Caches {
     df
   }
 
+  /** WHEN NOT TO PIN — the array-decode boundary (measured r10):
+    * df.persist at ANY storage level stores COLUMNAR batches and
+    * re-decodes them on every scan; for a small table of big arrays
+    * fanned out compute-heavily (the banded embedding corpus, the
+    * SemDedup ranked table) that decode measured ~2× on the whole
+    * family vs `localCheckpoint(true)`, whose raw-row blocks are the
+    * only true decode-once form. Rule: corpus-text-sized caches →
+    * [[pin]] (heap tax dominates); small array-heavy fan-out tables →
+    * localCheckpoint (decode dominates, heap footprint is noise, and
+    * an executor-loss rebuild from the backing lake artifact costs
+    * seconds).
+    */
+
   def clearAll(): Unit = {
     blocker.BlockerQueries.clearTfCache()
     resolver.ResolverQueries.clearCache()

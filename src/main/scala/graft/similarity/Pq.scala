@@ -134,9 +134,7 @@ object Pq {
       .filter(col("vec_id") =!= col("qid"))
       .groupBy(col("qid"), col("vec_id"))
       .agg(sum(col("pd6")).as("ad6"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("ad6").asc, col("vec_id").asc)
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= TopK)
+    Similarity.topkPerQid(scored, TopK, col("ad6").asc, col("vec_id").asc)
   }
 
   // the q_sim_pq oracle SQL lives in SimilarityQueries (next to the

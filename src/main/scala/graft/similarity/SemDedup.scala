@@ -53,14 +53,17 @@ object SemDedup {
         col("v"), col("nrm"))).as("m"))
       .select(col("vec_id"), col("m.cid").as("cid"), col("m.v").as("v"),
         col("m.nrm").as("nrm"), col("m.csim").as("csim"))
-    // pin before the fan-out: ranked feeds both self-join sides and
-    // the final left join — without it each consumer re-inlines the
-    // n×C assignment product (the PLANS.md fan-out rule); the table is
-    // corpus-row-sized, the cheap side of the op, so it goes to local
-    // disk with lineage retained rather than heap checkpoint blocks
-    val ranked = graft.Caches.pin(asg.withColumn("rnk",
+    // localCheckpoint before the fan-out: ranked feeds both self-join
+    // sides and the final left join — without it each consumer
+    // re-inlines the n×C assignment product (the PLANS.md fan-out
+    // rule). Checkpoint, not a persist pin: the rows carry the vector
+    // arrays, and persist's columnar cache re-decodes arrays per scan
+    // (the nearPreparedCk measurement) — raw-row blocks are the only
+    // decode-once form, and this table is MBs, not corpus-text-sized.
+    val ranked = asg.withColumn("rnk",
       row_number().over(Window.partitionBy(col("cid"))
-        .orderBy(col("csim").asc, col("vec_id").asc))))
+        .orderBy(col("csim").asc, col("vec_id").asc)))
+      .localCheckpoint(true)
     val l = ranked.select(col("cid"), col("rnk").as("lrnk"),
       col("vec_id").as("lid"), col("v").as("lv"), col("nrm").as("lnrm"))
     val r = ranked.select(col("cid"), col("rnk").as("rrnk"),

@@ -62,6 +62,22 @@ object Similarity {
       .withColumn("nrm", norm(col("v")))
 
   /** Brute-force cosine top-k: broadcast queries × corpus, windowed rank. */
+  /** Per-query rank window over a PINNED qid repartition: the window's
+    * exchange is tiny in bytes, so AQE coalesces it to one task that
+    * then sorts every scored candidate single-threaded (measured
+    * 0.3–0.6 s per ANN arm inside q_sim_recall); an explicit-count
+    * repartition is exempt from coalescing and satisfies the window's
+    * required clustering, so no second exchange appears — the
+    * search-hybrid qid-pin pattern, shared by every ANN arm.
+    */
+  def topkPerQid(scored: DataFrame, k: Int, order: Column*): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(order: _*)
+    scored
+      .repartition(scored.sparkSession.sparkContext.defaultParallelism,
+        col("qid"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
   def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = broadcast(queries.select(col("vec_id").as("qid"),
       col("v").as("qv"), col("nrm").as("qnrm")))
@@ -69,8 +85,6 @@ object Similarity {
       .select(col("qid"), col("vec_id"),
         round(dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 5)
           .as("cosine"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cosine").desc, col("vec_id").asc)
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+    topkPerQid(scored, k, col("cosine").desc, col("vec_id").asc)
   }
 }

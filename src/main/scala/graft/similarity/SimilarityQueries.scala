@@ -68,11 +68,16 @@ object SimilarityQueries {
     */
   def nearPreparedCk(s: SparkSession, d: String): DataFrame =
     nearCache.getOrElseUpdate((s, d),
-      // Caches.pin, not localCheckpoint: corpus-sized session copy —
-      // local-disk blocks with lineage retained (the postingsCk rule)
-      graft.Caches.pin(
-        graft.IndexLake.artifact(s, d, "near_banded")(nearPrepared(s, d))
-          .repartition(col("vec_id"))))
+      // localCheckpoint, NOT a persist-level pin: df.persist at ANY
+      // level stores columnar batches that re-DECODE the vector arrays
+      // on every scan (measured: q_sim_clusters 0.93 s checkpointed vs
+      // 2.2 s pinned at either level, same machine) — checkpoint keeps
+      // raw rows, true decode-once. The heap-tax rule is unaffected:
+      // this table is a few MB (never corpus-text-sized), and on
+      // executor loss the artifact rebuild is seconds.
+      graft.IndexLake.artifact(s, d, "near_banded")(nearPrepared(s, d))
+        .repartition(col("vec_id"))
+        .localCheckpoint(true))
 
   /** Drop the in-session artifact memo (see graft.IndexLake). */
   def clearCache(): Unit = {
@@ -236,9 +241,8 @@ object SimilarityQueries {
       .select(col("qid"), col("vec_id"),
         round(Similarity.dot(col("qv"), col("v")) /
           (col("qnrm") * col("nrm")), 5).as("cosine"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cosine").desc, col("vec_id").asc)
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= TopK)
+    Similarity.topkPerQid(scored, TopK,
+      col("cosine").desc, col("vec_id").asc)
   }
 
   /** LSH-banded ANN: band-OR multi-probe over the [[NearPlanes]]-bit
@@ -276,9 +280,8 @@ object SimilarityQueries {
       .select(col("qid"), col("vec_id"),
         round(Similarity.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")),
           5).as("cosine"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cosine").desc, col("vec_id").asc)
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= TopK)
+    Similarity.topkPerQid(scored, TopK,
+      col("cosine").desc, col("vec_id").asc)
   }
 
   // ---------------------------------------------------------------- oracle
@@ -371,9 +374,12 @@ object SimilarityQueries {
     def frac(n: Column): Column =
       floor(n.cast("double") / col("n_exact").cast("double")
         * 10000 + lit(0.5)) / 10000
-    exact.join(lsh, Seq("qid", "vec_id"), "left_outer")
-      .join(ivf, Seq("qid", "vec_id"), "left_outer")
-      .join(pq, Seq("qid", "vec_id"), "left_outer")
+    // the arm results are Q×K rows (bounded by the query workload, not
+    // the corpus — broadcastable at any scale): broadcast the probe
+    // sides so the three recall joins add zero exchanges
+    exact.join(broadcast(lsh), Seq("qid", "vec_id"), "left_outer")
+      .join(broadcast(ivf), Seq("qid", "vec_id"), "left_outer")
+      .join(broadcast(pq), Seq("qid", "vec_id"), "left_outer")
       .groupBy(col("qid"))
       .agg(count(lit(1)).as("n_exact"),
         count(col("lsh_hit")).as("hit_lsh"),
@@ -433,9 +439,7 @@ object SimilarityQueries {
         cand("code") === dtab("cid"))
       .groupBy(cand("qid"), col("vec_id"))
       .agg(sum(col("pd6")).as("ad6"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("ad6").asc, col("vec_id").asc)
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= TopK)
+    Similarity.topkPerQid(scored, TopK, col("ad6").asc, col("vec_id").asc)
   }
 
   /** k-NN majority-vote classification over the exact cosine top-k —
