@@ -187,6 +187,40 @@ object Blocker {
       .orderBy(col("score").desc, col("lid").asc, col("rid").asc)
       .limit(cfg.maxPairs)
 
+  /** Incremental pair generation: scored candidate pairs restricted to
+    * pairs touching a delta entity set — the blocking pass a production
+    * operator runs after an incremental MERGE lands (reference semantics:
+    * re-xref only what changed, `store/sql.py:90-177` upsert feeding
+    * `xref.py:29-160`). Produces EXACTLY [[pairScores]] filtered to
+    * `lid ∈ Δ OR rid ∈ Δ` — but computes it in O(|Δ| × postings), not
+    * O(corpus²): the left side is the TF index semi-filtered to delta
+    * ids (delta-sized; the predicate reaches the artifact scan), the
+    * right side is the full index, and the join shuffles on
+    * (token, field) with skew still bounded by the stopword cost cap.
+    *
+    * The orientation rule `l.id > r.id OR NOT r.is_delta` emits each
+    * delta-touched pair exactly once: both-delta pairs only in the
+    * `l.id > r.id` order, mixed pairs only from their (single) delta
+    * side. Output is canonicalized to `lid > rid` so scores and ordering
+    * match the full-corpus pair table row for row.
+    */
+  def deltaPairScores(tf: DataFrame, isDelta: Column,
+      compat: DataFrame): DataFrame = {
+    val marked = tf.withColumn("is_delta", isDelta)
+    val l = marked.filter(col("is_delta")).as("l")
+    val r = marked.as("r")
+    val joined = l.join(r,
+      col("l.token") === col("r.token") && col("l.field") === col("r.field") &&
+        (col("l.id") > col("r.id") || !col("r.is_delta")) &&
+        col("l.id") =!= col("r.id"))
+      .join(broadcast(compat),
+        col("ls") === least(col("l.schema"), col("r.schema")) &&
+          col("rs") === greatest(col("l.schema"), col("r.schema")))
+    scorePairs(joined,
+      greatest(col("l.id"), col("r.id")), least(col("l.id"), col("r.id")),
+      col("l.weight") + col("r.weight"))
+  }
+
   /** Match join: query-side term frequencies against the index, scored
     * with max(index-side weight) — the reference's `_find_matches` uses
     * `max(tf.weight)`, not the pair sum (`blocker/index.py:669-678`) —

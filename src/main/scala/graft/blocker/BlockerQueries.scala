@@ -100,6 +100,26 @@ object BlockerQueries {
       compatDf(s), cfg)
   }
 
+  /** The delta entity set of the store's increment scenario: the ADD
+    * batch of the v2 merge (every 7th entity — the same slice
+    * [[graft.store.StoreQueries.deltaQ]] reports as ADD and
+    * [[graft.store.StoreQueries.mergeQ]] lands as delta1). Kept as a
+    * COLUMN predicate so it pushes into the TF artifact scan.
+    */
+  def isDeltaEntity: org.apache.spark.sql.Column =
+    split(col("id"), ":").getItem(1).cast("long") % 7 === 0
+
+  /** Incremental blocking after a MERGE: candidate pairs touching the
+    * delta entities only, scored and capped exactly like the full pass.
+    * The oracle proves the incremental claim — it computes the FULL
+    * pair table and filters, so a hash match shows delta-sized work
+    * reproduces the corpus-sized answer for the delta slice.
+    */
+  def deltaPairsQ(s: SparkSession, d: String): DataFrame =
+    Blocker.deltaPairScores(tfCk(s, d), isDeltaEntity, compatDf(s))
+      .orderBy(col("score").desc, col("lid").asc, col("rid").asc)
+      .limit(cfg.maxPairs)
+
   /** Symbol-token emission (`sy:` families) over the star names —
     * the blocking analogue of the reference's symbol spans
     * (`blocker/tokenizer.py:71-78`). Map-only until the distinct.
@@ -230,6 +250,7 @@ object BlockerQueries {
     "q_blk_top_stopwords" -> (topStopwordsQ _),
     "q_blk_tf" -> (tfRounded _),
     "q_blk_pairs" -> (pairsQ _),
+    "q_blk_delta_pairs" -> (deltaPairsQ _),
     "q_blk_match_topk" -> (matchTopKQ _))
 
   val oracles: Map[String, String] = Map(
@@ -287,6 +308,15 @@ object BlockerQueries {
     "q_blk_pairs" -> (ctePrefix +
       s"""SELECT lid, rid, score FROM pair_scores
           ORDER BY score DESC, lid, rid LIMIT ${cfg.maxPairs}"""),
+    "q_blk_delta_pairs" -> (ctePrefix + s""",
+      delta_ids AS (
+        SELECT DISTINCT id FROM stmts
+        WHERE CAST(split_part(id, ':', 2) AS BIGINT) % 7 = 0
+      )
+      SELECT lid, rid, score FROM pair_scores
+      WHERE lid IN (SELECT id FROM delta_ids)
+         OR rid IN (SELECT id FROM delta_ids)
+      ORDER BY score DESC, lid, rid LIMIT ${cfg.maxPairs}"""),
     "q_blk_match_topk" -> (ctePrefix +
       s"""SELECT qid, cid, score, rn FROM match_ranked
           WHERE rn <= ${cfg.maxCandidates}

@@ -113,11 +113,17 @@ object MatchingQueries {
     * qualifiers skipped when no main fired, clamped to [0,1]
     * (`matching/logic_v1/model.py:63-81`, `matching/types.py:242-308`).
     */
-  def logicScore(s: SparkSession, d: String): DataFrame = {
+  def logicScore(s: SparkSession, d: String): DataFrame =
+    logicSelect(features(s, d))
+
+  /** The LogicV1 composition over any feature frame (shared by the full
+    * and delta-xref paths).
+    */
+  private def logicSelect(feat: DataFrame): DataFrame = {
     val main = greatest(col("literal") * 1.0, col("lev_sim") * 0.8,
       col("tok_jaccard") * 0.7)
     val qual = col("num_mismatch") * -0.3 + col("schema_mismatch") * -0.1
-    features(s, d).select(col("lid"), col("rid"),
+    feat.select(col("lid"), col("rid"),
       round(when(main <= 0, 0.0)
         .otherwise(least(greatest(main + qual, lit(0.0)), lit(1.0))), 4)
         .as("score"))
@@ -252,14 +258,36 @@ object MatchingQueries {
     * ranked top suggestions. floor(x·1e4+0.5) instead of round avoids
     * the double-rounding ties (see q_text_quality).
     */
-  def xrefSuggestQ(s: SparkSession, d: String): DataFrame = {
-    val discounted = logicScore(s, d).select(col("lid"), col("rid"),
+  def xrefSuggestQ(s: SparkSession, d: String): DataFrame =
+    suggestSelect(logicScore(s, d))
+
+  /** Discount → threshold → ranked suggestions over a logic-score frame
+    * (shared by the full and delta-xref paths).
+    */
+  private def suggestSelect(logic: DataFrame): DataFrame = {
+    val discounted = logic.select(col("lid"), col("rid"),
       (floor(when(substring(col("lid"), 1, 1) === substring(col("rid"), 1, 1),
         col("score") * 0.7).otherwise(col("score")) * 10000 + 0.5) / 10000)
         .as("score"))
     discounted.filter(col("score") >= 0.01)
       .orderBy(col("score").desc, col("lid").asc, col("rid").asc)
       .limit(1000)
+  }
+
+  /** Incremental xref (`xref.py:29-160` run on an increment): suggestions
+    * for the store's delta entity set only, with candidates generated in
+    * O(|Δ| × postings) by [[graft.blocker.Blocker.deltaPairScores]]
+    * against the full-corpus TF artifact — re-xref what changed, never
+    * the corpus. The oracle recomputes the FULL pair table and filters
+    * to delta-touched pairs, so a hash match proves the delta-sized plan
+    * reproduces the corpus-sized answer on the slice a production
+    * operator actually needs after a MERGE.
+    */
+  def xrefDeltaQ(s: SparkSession, d: String): DataFrame = {
+    val (la, ra) = lrAnalysis(s, d)
+    val feat = featureSelect(BlockerQueries.deltaPairsQ(s, d)
+      .select("lid", "rid").join(la, Seq("lid")).join(ra, Seq("rid")))
+    suggestSelect(logicSelect(feat))
   }
 
   /** Training-set preparation (`matching/erun/train.py:155-216`):
@@ -381,7 +409,15 @@ object MatchingQueries {
       SELECT lid, rid FROM pair_scores
       ORDER BY score DESC, lid, rid LIMIT ${BlockerQueries.cfg.maxPairs}
     ),
-    feat AS (
+    ${featCte("cand", "feat")}
+    """
+
+  /** The feature-vector CTE body over a named candidate CTE — shared by
+    * the standard `cand`→`feat` chain and the delta-xref oracle, so both
+    * evaluate the literal-identical comparator SQL.
+    */
+  private def featCte(candName: String, featName: String): String = s"""
+    $featName AS (
       SELECT c.lid, c.rid,
         CASE WHEN la.fp = ra.fp THEN 1.0 ELSE 0.0 END AS literal,
         1.0 - CAST(levenshtein(la.fp, ra.fp) AS DOUBLE)
@@ -395,11 +431,10 @@ object MatchingQueries {
              THEN 1.0 ELSE 0.0 END AS num_mismatch,
         CASE WHEN substr(c.lid, 1, 1) <> substr(c.rid, 1, 1)
              THEN 1.0 ELSE 0.0 END AS schema_mismatch
-      FROM cand c
+      FROM $candName c
       JOIN analysis la ON c.lid = la.id
       JOIN analysis ra ON c.rid = ra.id
-    )
-    """
+    )"""
 
   private def prefix: String = BlockerQueries.ctePrefix + ", " + featSql
 
@@ -495,7 +530,8 @@ object MatchingQueries {
     "q_match_ofac" -> (ofacScore _),
     "q_match_loss" -> (matchLossQ _),
     "q_train_quarantine" -> (trainQuarantineQ _),
-    "q_xref_suggest" -> (xrefSuggestQ _))
+    "q_xref_suggest" -> (xrefSuggestQ _),
+    "q_xref_delta" -> (xrefDeltaQ _))
 
   val oracles: Map[String, String] = Map(
     "q_match_features" -> (prefix + """
@@ -635,6 +671,38 @@ object MatchingQueries {
                       THEN score * 0.7 ELSE score END) * 10000 + 0.5)
                  / 10000 AS score
         FROM logic)
+      WHERE score >= 0.01
+      ORDER BY score DESC, lid, rid LIMIT 1000"""),
+    "q_xref_delta" -> (prefix + s""",
+      delta_ids AS (
+        SELECT DISTINCT id FROM stmts
+        WHERE CAST(split_part(id, ':', 2) AS BIGINT) % 7 = 0
+      ),
+      delta_cand AS (
+        SELECT lid, rid FROM pair_scores
+        WHERE lid IN (SELECT id FROM delta_ids)
+           OR rid IN (SELECT id FROM delta_ids)
+        ORDER BY score DESC, lid, rid
+        LIMIT ${BlockerQueries.cfg.maxPairs}
+      ),
+      ${featCte("delta_cand", "dfeat")},
+      dlogic AS (
+        SELECT lid, rid,
+          round(CASE WHEN main <= 0 THEN 0.0
+                ELSE least(greatest(main + qual, 0.0), 1.0) END, 4) AS score
+        FROM (
+          SELECT lid, rid,
+                 greatest(literal * 1.0, lev_sim * 0.8,
+                          tok_jaccard * 0.7) AS main,
+                 num_mismatch * -0.3 + schema_mismatch * -0.1 AS qual
+          FROM dfeat)
+      )
+      SELECT lid, rid, score FROM (
+        SELECT lid, rid,
+               floor((CASE WHEN substr(lid, 1, 1) = substr(rid, 1, 1)
+                      THEN score * 0.7 ELSE score END) * 10000 + 0.5)
+                 / 10000 AS score
+        FROM dlogic)
       WHERE score >= 0.01
       ORDER BY score DESC, lid, rid LIMIT 1000"""))
 }
