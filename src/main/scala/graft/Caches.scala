@@ -72,6 +72,7 @@ object Caches {
       () => blocker.BlockerQueries.entriesCk(s, d),
       () => blocker.BlockerQueries.tfCk(s, d),
       () => resolver.ResolverQueries.pairScoresCk(s, d),
+      () => resolver.ResolverQueries.canonicalCk(s, d),
       () => enrich.WikidataQueries.snakCk(s, d),
       () => enrich.WikidataQueries.statementsQ(s, d),
       () => enrich.WikidataQueries.linksQ(s, d),
@@ -87,6 +88,8 @@ object Caches {
       () => dedup.DedupQueries.shinglesCk(s, d),
       () => dedup.DedupQueries.charGramsCk(s, d),
       () => dedup.DedupQueries.lshPairsCk(s, d),
+      () => dedup.DedupQueries.clusterCcCk(s, d),
+      () => similarity.SimilarityQueries.embedCcCk(s, d),
       () => dedup.DedupQueries.ngramPairsCk(s, d),
       () => dedup.DedupQueries.cloneSpansCk(s, d),
       () => dedup.DedupQueries.simhashSigsCk(s, d),
@@ -99,7 +102,9 @@ object Caches {
       () => matching.MatchingQueries.analysisCk(s, d),
       () => textanalysis.Bpe.trainedMergesCk(s, d),
       () => textanalysis.Classifier.modelCk(s, d),
-      () => search.Search.postingsCk(s, d))
+      () => textanalysis.LangModel.lmModelCk(s, d),
+      () => search.Search.postingsCk(s, d),
+      () => search.Search.postingsStatsCk(s, d))
     // Concurrent ingest: the artifacts are independent write-once DAGs
     // (IndexLake publish-locks per artifact), and each build is a small
     // multi-stage Spark job whose stage boundaries leave most executor

@@ -236,17 +236,27 @@ object DedupQueries {
     * above — and the length/election joins are per-cluster aggregates
     * over the members, never touching unclustered documents.
     */
+  /** Cluster assignments over the stored verified pair list as a lake
+    * artifact — components are derived resolver-state, computed once
+    * per corpus version (the union-find fast path otherwise billed
+    * ~0.5 s of driver collect into every invocation).
+    */
+  def clusterCcCk(s: SparkSession, d: String): DataFrame =
+    graft.IndexLake.artifact(s, d, "dedup_components")(
+      ccOf(lshPairsCk(s, d)))
+
   def clustersQ(s: SparkSession, d: String): DataFrame =
-    clustersFrom(lshPairsCk(s, d), Tables.documents(s, d))
+    clustersFrom(clusterCcCk(s, d), Tables.documents(s, d))
 
   def clustersOf(docs: DataFrame): DataFrame =
-    clustersFrom(lshPairsOf(docs), docs)
+    clustersFrom(ccOf(lshPairsOf(docs)), docs)
 
-  private def clustersFrom(lshPairs: DataFrame, docs: DataFrame)
+  private def ccOf(lshPairs: DataFrame): DataFrame =
+    graft.resolver.Resolver.connectedComponents(lshPairs.select(
+      col("a").cast("string").as("src"), col("b").cast("string").as("dst")))
+
+  private def clustersFrom(cc: DataFrame, docs: DataFrame)
       : DataFrame = {
-    val pairs = lshPairs.select(
-      col("a").cast("string").as("src"), col("b").cast("string").as("dst"))
-    val cc = graft.resolver.Resolver.connectedComponents(pairs)
     val len = docs.select(
       col("doc_id").cast("string").as("id"),
       length(col("text")).as("len"))

