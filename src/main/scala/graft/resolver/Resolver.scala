@@ -114,6 +114,52 @@ object Resolver {
     parent.keys.toSeq.map(id => (id, find(id))).toDF("id", "cluster")
   }
 
+  /** Incremental cluster update — the reference's `_decide` recursion
+    * (`resolver/resolver.py:353-401`) in batch form: fold a NEW batch
+    * of positive edges into STORED components without re-clustering the
+    * corpus. O(|Δ|) beyond one map-side pass over the stored table:
+    *
+    *  1. endpoints resolve to their stored cluster labels via a
+    *     broadcast semi-join (only Δ-touched rows leave the scan);
+    *  2. the Δ-sized reduced graph over cluster labels re-clusters
+    *     (labels are min member ids, so the reduced components' labels
+    *     equal a full recompute's labels exactly);
+    *  3. stored members relabel through the broadcast merge map —
+    *     clusters the batch didn't touch pass through unchanged — and
+    *     brand-new vertices join with their reduced label.
+    *
+    * Returns the same `(id, cluster)` shape as [[connectedComponents]]
+    * over the union edge set, bit-for-bit.
+    */
+  def addEdges(cc: DataFrame, delta: DataFrame): DataFrame = {
+    val ids = delta.select(col("src").as("id"))
+      .unionAll(delta.select(col("dst").as("id"))).distinct()
+    // Δ-touched slice of the stored state: broadcast semi-join, so the
+    // artifact scan is one map-side pass and nothing corpus-sized
+    // shuffles
+    val touched = cc.join(broadcast(ids), Seq("id"), "left_semi")
+    val sc = touched.select(col("id").as("src"), col("cluster").as("slbl"))
+    val dc = touched.select(col("id").as("dst"), col("cluster").as("dlbl"))
+    // endpoints → stored labels; unseen endpoints label themselves
+    val mapped = delta.join(sc, Seq("src"), "left")
+      .join(dc, Seq("dst"), "left")
+      .select(coalesce(col("slbl"), col("src")).as("src"),
+        coalesce(col("dlbl"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    // reduced graph over labels: Δ-sized by construction
+    val rcc = connectedComponents(mapped)
+    val merges = broadcast(rcc.filter(col("id") =!= col("cluster"))
+      .select(col("id").as("cluster"), col("cluster").as("nlbl")))
+    val relabeled = cc.join(merges, Seq("cluster"), "left")
+      .select(col("id"), coalesce(col("nlbl"), col("cluster")).as("cluster"))
+    // vertices the batch introduced (not in the stored state): their
+    // own id was their reduced-graph label
+    val newNodes = ids.join(touched.select(col("id")), Seq("id"), "left_anti")
+      .join(rcc.withColumnRenamed("cluster", "nlbl"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("nlbl"), col("id")).as("cluster"))
+    relabeled.unionAll(newNodes)
+  }
+
   /** Canonical-ID selection per cluster: max by (weight, id) — the
     * reference's precedence rule QID > NK- > raw
     * (`resolver/identifier.py:11-27`). `weightOf` must map an id to a

@@ -75,6 +75,25 @@ object ResolverQueries {
   def applyQ(s: SparkSession, d: String): DataFrame =
     Resolver.applyCanonical(StarStatements(s, d), canonicalMapQ(s, d))
 
+  /** Lower bound of the "operator approved these suggestions" band the
+    * incremental-decide query promotes to positive edges.
+    */
+  val PromoteLo = 15.0
+
+  /** Incremental decide (`resolver/resolver.py:353-401` batch form): a
+    * batch of newly-approved judgement edges (the upper suggestion
+    * band, score ∈ [15, 20)) folds into the STORED cluster state in
+    * O(|Δ|) — [[Resolver.addEdges]] over the components artifact. The
+    * oracle re-clusters the FULL extended edge set recursively, so the
+    * hash match proves incremental-update ≡ full re-cluster.
+    */
+  def addEdgesQ(s: SparkSession, d: String): DataFrame = {
+    val delta = pairScores(s, d)
+      .filter(col("score") >= PromoteLo && col("score") < PositiveThreshold)
+      .select(col("lid").as("src"), col("rid").as("dst"))
+    Resolver.addEdges(componentsCk(s, d), delta)
+  }
+
   /** Transitive judgement for every candidate pair
     * (`resolver/resolver.py:256-282`): same cluster → positive; a
     * negative edge between the two clusters → negative; else
@@ -309,10 +328,27 @@ object ResolverQueries {
     "q_res_prune" -> (pruneQ _),
     "q_res_conflicts" -> (conflictsQ _),
     "q_res_check_candidate" -> (checkCandidateQ _),
+    "q_res_add_edges" -> (addEdgesQ _),
     "q_review_queue" -> (reviewQueueQ _))
 
   val oracles: Map[String, String] = Map(
     "q_res_components" -> (prefix + "SELECT id, cluster FROM cc"),
+    "q_res_add_edges" -> (prefix + s""",
+      edges2 AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT lid AS src, rid AS dst FROM pair_scores
+        WHERE score >= $PromoteLo AND score < $PositiveThreshold
+      ),
+      verts2 AS (SELECT src AS id FROM edges2 UNION SELECT dst FROM edges2),
+      sym2 AS (SELECT src, dst FROM edges2
+               UNION SELECT dst AS src, src AS dst FROM edges2),
+      reach2 AS (
+        SELECT id, id AS lbl FROM verts2
+        UNION
+        SELECT s.dst AS id, r.lbl FROM reach2 r JOIN sym2 s ON s.src = r.id
+      )
+      SELECT id, min(lbl) AS cluster FROM reach2 GROUP BY id"""),
     "q_res_canonical_map" -> (prefix +
       "SELECT member, canonical FROM canonical_map"),
     "q_res_apply" -> (prefix + """
