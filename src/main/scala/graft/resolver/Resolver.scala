@@ -132,6 +132,27 @@ object Resolver {
     * over the union edge set, bit-for-bit.
     */
   def addEdges(cc: DataFrame, delta: DataFrame): DataFrame = {
+    val (merges, newNodes) = addEdgesParts(cc, delta)
+    val relabeled = cc.join(merges, Seq("cluster"), "left")
+      .select(col("id"), coalesce(col("nlbl"), col("cluster")).as("cluster"))
+    relabeled.unionAll(newNodes)
+  }
+
+  /** The CHANGED rows only — members whose cluster label the batch
+    * merged plus brand-new vertices. This is the O(affected) write set
+    * a persisted resolver state upserts per batch ([[graft.streaming
+    * .ResolveStream]]); [[addEdges]]' full output is `stored state with
+    * these rows upserted on id`.
+    */
+  def addEdgesChanged(cc: DataFrame, delta: DataFrame): DataFrame = {
+    val (merges, newNodes) = addEdgesParts(cc, delta)
+    cc.join(merges, Seq("cluster"))
+      .select(col("id"), col("nlbl").as("cluster"))
+      .unionAll(newNodes)
+  }
+
+  private def addEdgesParts(cc: DataFrame,
+      delta: DataFrame): (DataFrame, DataFrame) = {
     val ids = delta.select(col("src").as("id"))
       .unionAll(delta.select(col("dst").as("id"))).distinct()
     // Δ-touched slice of the stored state: broadcast semi-join, so the
@@ -150,14 +171,12 @@ object Resolver {
     val rcc = connectedComponents(mapped)
     val merges = broadcast(rcc.filter(col("id") =!= col("cluster"))
       .select(col("id").as("cluster"), col("cluster").as("nlbl")))
-    val relabeled = cc.join(merges, Seq("cluster"), "left")
-      .select(col("id"), coalesce(col("nlbl"), col("cluster")).as("cluster"))
     // vertices the batch introduced (not in the stored state): their
     // own id was their reduced-graph label
     val newNodes = ids.join(touched.select(col("id")), Seq("id"), "left_anti")
       .join(rcc.withColumnRenamed("cluster", "nlbl"), Seq("id"), "left")
       .select(col("id"), coalesce(col("nlbl"), col("id")).as("cluster"))
-    relabeled.unionAll(newNodes)
+    (merges, newNodes)
   }
 
   /** Canonical-ID selection per cluster: max by (weight, id) — the
