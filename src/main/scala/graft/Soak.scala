@@ -402,6 +402,73 @@ object Soak {
       return
     }
 
+    if (mode == "resolve") {
+      // Increment-cost proof for the persisted resolver state
+      // (ResolveStream / Resolver.addEdgesChanged): fold three edge
+      // batches 16× apart in size into a synthetic cluster graph of
+      // replicas×100k vertices, then verify the final state equals ONE
+      // full re-cluster of every edge. Per-batch wall and shuffle are
+      // reported; the state-sized term is the merge-on-read snapshot
+      // window (eliminated by a bucketed layout on a cluster — the
+      // MergeLake scaladoc's point (a)), everything else is Δ-sized.
+      import graft.resolver.Resolver
+      import graft.streaming.ResolveStream
+      val nVerts = replicas.toLong * 100000L
+      def v(c: org.apache.spark.sql.Column) = concat(lit("v"), c)
+      // n/2 two-vertex clusters: (v0,v1)(v2,v3)...
+      val baseEdges = spark.range(nVerts / 2)
+        .select(v(col("id") * 2).as("src"), v(col("id") * 2 + 1).as("dst"))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val nEdges = baseEdges.count()
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-resolve-soak").toString + "/state"
+      val t0 = System.nanoTime()
+      ResolveStream.init(Resolver.connectedComponents(baseEdges), path)
+      val initWall = (System.nanoTime() - t0) / 1e9
+      var lastShuffle2 = 0L
+      // batch k: edges (v_{4i+1}, v_{4i+2}) for i % mod == k merge
+      // adjacent pair-clusters into 4-cliques; disjoint slices per mod
+      val deltas = Seq(4096L, 256L, 16L).zipWithIndex.map {
+        case (mod, k) =>
+          val del = spark.range(nVerts / 4)
+            .filter(col("id") % mod === k)
+            .select(v(col("id") * 4 + 1).as("src"),
+              v(col("id") * 4 + 2).as("dst"))
+            .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+          val n = del.count()
+          val t = System.nanoTime()
+          ResolveStream.applyBatch(spark, del, path, s"b$k")
+          val w = (System.nanoTime() - t) / 1e9
+          val sh = (shuffleWrite - lastShuffle2) / 1e6
+          lastShuffle2 = shuffleWrite
+          (n, w, sh)
+      }
+      // equality vs one full re-cluster of the union edge set
+      val allEdges = baseEdges.unionByName(
+        spark.range(nVerts / 4)
+          .filter(col("id") % 4096 === 0 || col("id") % 256 === 1 ||
+            col("id") % 16 === 2)
+          .select(v(col("id") * 4 + 1).as("src"),
+            v(col("id") * 4 + 2).as("dst")))
+      val tF = System.nanoTime()
+      val full = Resolver.connectedComponents(allEdges)
+      val mismatches = ResolveStream.state(spark, path)
+        .join(full.withColumnRenamed("cluster", "want"), Seq("id"), "full")
+        .filter(col("cluster").isNull || col("want").isNull ||
+          col("cluster") =!= col("want")).count()
+      val fullWall = (System.nanoTime() - tF) / 1e9
+      val dJson = deltas.map { case (n, w, sh) =>
+        f"""{"edges":$n,"apply_wall_sec":$w%.2f,"shuffle_mb":$sh%.1f}""" }
+        .mkString("[", ",", "]")
+      println(f"""{"soak":"resolve","replicas":$replicas,""" +
+        f""""vertices":$nVerts,"base_edges":$nEdges,""" +
+        f""""init_wall_sec":$initWall%.1f,"deltas":$dJson,""" +
+        f""""full_recluster_wall_sec":$fullWall%.1f,""" +
+        f""""state_mismatches":$mismatches}""")
+      spark.stop()
+      return
+    }
+
     val stmts = corpus(spark, sfDir, replicas)
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val nStmts = stmts.count()
