@@ -698,6 +698,49 @@ object IndexBuildMain {
   }
 }
 
+/** The persisted resolver state in lake form — the `decide` loop of
+  * the reference run continuously (`resolver/resolver.py:353-401`):
+  * initialize from a clustered edge list, fold approved judgement-edge
+  * batches in O(affected members) via
+  * [[graft.streaming.ResolveStream.applyBatch]], read back the current
+  * components. The streaming twin attaches the same state dir to a
+  * live edge stream.
+  *
+  * {{{
+  *   resolve-state init  <edges.parquet> <stateDir>
+  *   resolve-state add   <edges.parquet> <stateDir>  # O(affected)
+  *   resolve-state state <stateDir> <out>            # (id, cluster)
+  * }}}
+  */
+object ResolveStateMain {
+  def main(args: Array[String]): Unit = {
+    val (pos, flags) = CliArgs.parse(args)
+    require(pos.nonEmpty, "usage: resolve-state <init|add|state> ...")
+    val s = CliArgs.session("resolve-state")
+    import graft.streaming.ResolveStream
+    def edgesOf(path: String) =
+      s.read.parquet(path).select(col("src"), col("dst"))
+    pos.head match {
+      case "init" =>
+        ResolveStream.init(
+          graft.resolver.Resolver.connectedComponents(edgesOf(pos(1))),
+          pos(2))
+        println(s"[resolve-state] initialized ${pos(2)}")
+      case "add" =>
+        ResolveStream.applyBatch(s, edgesOf(pos(1)), pos(2),
+          seen = flags.getOrElse("ts", java.time.Instant.now.toString))
+        println(s"[resolve-state] applied batch to ${pos(2)}")
+      case "state" =>
+        ResolveStream.state(s, pos(1)).write.mode("overwrite")
+          .parquet(pos(2))
+        println(s"[resolve-state] wrote ${pos(2)}")
+      case other => sys.error(s"unknown resolve-state verb: $other")
+    }
+    // no s.stop(): the session is shared when driven from CliSpec, and
+    // a standalone spark-submit run tears it down with the JVM
+  }
+}
+
 /** `nk load` ingestion in lake form: maintain a statement lake with
   * the SQL store's upsert-on-id semantics (`store/sql.py:90-177`)
   * through the [[graft.store.MergeLake]] delta-append layout.

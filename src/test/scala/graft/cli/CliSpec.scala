@@ -141,6 +141,25 @@ class CliSpec extends AnyFunSuite {
     assert(pruned.filter(col("judgement") === "positive").count() > 0)
   }
 
+  test("resolve-state mains: init, O(affected) add, state read-back") {
+    import spark.implicits._
+    val dir = tmp("resolve-state").stripSuffix("/out")
+    Seq(("b", "c"), ("x", "y")).toDF("src", "dst")
+      .write.mode("overwrite").parquet(s"$dir/edges")
+    Seq(("c", "a")).toDF("src", "dst")
+      .write.mode("overwrite").parquet(s"$dir/delta")
+    ResolveStateMain.main(Array("init", s"$dir/edges", s"$dir/state"))
+    ResolveStateMain.main(
+      Array("add", s"$dir/delta", s"$dir/state", "--ts", "t1"))
+    ResolveStateMain.main(Array("state", s"$dir/state", s"$dir/out"))
+    val got = spark.read.parquet(s"$dir/out").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // the delta merged {b,c} with new vertex 'a' (the new min label);
+    // {x,y} untouched
+    assert(got === Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "x", "y" -> "x"))
+  }
+
   test("make-sortable emits id-ordered ijson that aggregates cleanly") {
     val out = tmp("sortable")
     MakeSortableMain.main(Array(fixture, out, "--dataset", "donations"))
