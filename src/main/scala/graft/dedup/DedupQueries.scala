@@ -272,6 +272,39 @@ object DedupQueries {
         (col("id") === col("canonical")).as("keep"))
   }
 
+  /** Split fraction boundaries (percent buckets): <90 train, <95 val,
+    * else test.
+    */
+  val SplitTrainLt = 90L
+  val SplitValLt = 95L
+
+  /** Leakage-free train/val/test split — a training-data pipeline
+    * assigns splits by NEAR-DUP GROUP, not by document: hashing doc
+    * ids directly puts near-duplicates of a test document into train
+    * (the classic contamination channel benchmark decontamination
+    * exists to catch after the fact). Here the split key is the
+    * document's dedup-cluster canonical (its own id when unclustered),
+    * so a whole near-dup cluster lands in ONE split by construction.
+    * Deterministic md5 percent-bucket, the engine's standard hash-split
+    * idiom (proven DuckDB-parity in the LM train gate). Map-only over
+    * the corpus plus one broadcast-sized join against the stored
+    * cluster table.
+    */
+  def splitQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id").cast("string").as("doc_id"))
+    val canon = clustersQ(s, d).select(col("doc_id"), col("canonical"))
+    val keyed = docs.join(canon, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("canonical"), col("doc_id")).as("group_key"))
+    val bucket = conv(substring(md5(col("group_key")), 1, 4), 16, 10)
+      .cast("long") % 100
+    keyed.select(col("doc_id"), col("group_key"),
+      when(bucket < SplitTrainLt, "train")
+        .when(bucket < SplitValLt, "val")
+        .otherwise("test").as("split"))
+  }
+
   /** Per-language sampling rates for the stratified corpus mix —
     * downsample the dominant language, keep the tail whole.
     */
@@ -747,10 +780,46 @@ object DedupQueries {
     "q_dedup_lsh_pairs" -> (lshPairsQ _),
     "q_dedup_incremental" -> (incrementalQ _),
     "q_dedup_clusters" -> (clustersQ _),
+    "q_dedup_split" -> (splitQ _),
     "q_doc_sample" -> (sampleQ _),
     "q_dedup_simhash" -> (simhashQ _),
     "q_dedup_simhash_pairs" -> (simhashPairsQ _),
     "q_dedup_ngram_jaccard" -> (ngramJaccardQ _))
+
+  /** The verified-pair → components → canonical CTE chain shared by
+    * the clusters and split oracles so the two cannot drift.
+    */
+  private val clusterCtes: String = s""",
+      vpairs AS (
+        SELECT CAST(a AS VARCHAR) AS a, CAST(b AS VARCHAR) AS b FROM (
+          SELECT c.a, c.b,
+                 round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                   / (len(sa.s) + len(sb.s)
+                      - len(list_intersect(sa.s, sb.s))), 4) AS jaccard
+          FROM cand c
+          JOIN sh sa ON c.a = sa.doc_id
+          JOIN sh sb ON c.b = sb.doc_id)
+        WHERE jaccard >= $JaccardThreshold
+      ),
+      dverts AS (SELECT a AS id FROM vpairs UNION SELECT b FROM vpairs),
+      dsym AS (SELECT a AS src, b AS dst FROM vpairs
+               UNION SELECT b, a FROM vpairs),
+      dreach AS (
+        SELECT id, id AS lbl FROM dverts
+        UNION
+        SELECT s.dst AS id, r.lbl FROM dreach r JOIN dsym s ON s.src = r.id
+      ),
+      dcc AS (SELECT id, min(lbl) AS cluster FROM dreach GROUP BY id),
+      dwl AS (
+        SELECT dcc.id, dcc.cluster, length(d.text) AS len
+        FROM dcc JOIN documents d ON CAST(d.doc_id AS VARCHAR) = dcc.id
+      ),
+      dml AS (SELECT cluster, max(len) AS mlen FROM dwl GROUP BY cluster),
+      dcanon AS (
+        SELECT w.cluster, min(w.id) AS canonical
+        FROM dwl w JOIN dml m ON w.cluster = m.cluster AND w.len = m.mlen
+        GROUP BY w.cluster
+      )"""
 
   /** Verified word-shingle pair SELECT body — shared by its own oracle
     * and the fused oracle so the two cannot drift.
@@ -945,39 +1014,31 @@ object DedupQueries {
       WHERE rate IS NOT NULL AND bucket < rate * 65536"""
     },
     "q_dedup_clusters" -> ("WITH RECURSIVE " +
-      ctePrefix.trim.stripPrefix("WITH") + s""",
-      vpairs AS (
-        SELECT CAST(a AS VARCHAR) AS a, CAST(b AS VARCHAR) AS b FROM (
-          SELECT c.a, c.b,
-                 round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-                   / (len(sa.s) + len(sb.s)
-                      - len(list_intersect(sa.s, sb.s))), 4) AS jaccard
-          FROM cand c
-          JOIN sh sa ON c.a = sa.doc_id
-          JOIN sh sb ON c.b = sb.doc_id)
-        WHERE jaccard >= $JaccardThreshold
-      ),
-      dverts AS (SELECT a AS id FROM vpairs UNION SELECT b FROM vpairs),
-      dsym AS (SELECT a AS src, b AS dst FROM vpairs
-               UNION SELECT b, a FROM vpairs),
-      dreach AS (
-        SELECT id, id AS lbl FROM dverts
-        UNION
-        SELECT s.dst AS id, r.lbl FROM dreach r JOIN dsym s ON s.src = r.id
-      ),
-      dcc AS (SELECT id, min(lbl) AS cluster FROM dreach GROUP BY id),
-      dwl AS (
-        SELECT dcc.id, dcc.cluster, length(d.text) AS len
-        FROM dcc JOIN documents d ON CAST(d.doc_id AS VARCHAR) = dcc.id
-      ),
-      dml AS (SELECT cluster, max(len) AS mlen FROM dwl GROUP BY cluster),
-      dcanon AS (
-        SELECT w.cluster, min(w.id) AS canonical
-        FROM dwl w JOIN dml m ON w.cluster = m.cluster AND w.len = m.mlen
-        GROUP BY w.cluster
-      )
+      ctePrefix.trim.stripPrefix("WITH") + clusterCtes + """
       SELECT w.id AS doc_id, c.canonical, w.id = c.canonical AS keep
       FROM dwl w JOIN dcanon c ON w.cluster = c.cluster"""),
+    "q_dedup_split" -> ("WITH RECURSIVE " +
+      ctePrefix.trim.stripPrefix("WITH") + clusterCtes + s""",
+      doc_canon AS (
+        SELECT w.id, c.canonical
+        FROM dwl w JOIN dcanon c ON w.cluster = c.cluster
+      ),
+      split_keys AS (
+        SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
+               coalesce(c.canonical, CAST(d.doc_id AS VARCHAR))
+                 AS group_key
+        FROM documents d
+        LEFT JOIN doc_canon c ON CAST(d.doc_id AS VARCHAR) = c.id
+      )
+      SELECT doc_id, group_key,
+             CASE WHEN b < $SplitTrainLt THEN 'train'
+                  WHEN b < $SplitValLt THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT doc_id, group_key,
+               CAST('0x' || substr(md5(group_key), 1, 4) AS BIGINT) % 100
+                 AS b
+        FROM split_keys)"""),
     "q_dedup_simhash" -> (ctePrefix + "SELECT doc_id, simhash FROM sims"),
     "q_dedup_simhash_pairs" -> (ctePrefix + s"""
       SELECT a, b, hamming FROM (

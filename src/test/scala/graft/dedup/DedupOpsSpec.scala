@@ -71,6 +71,28 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(once.count(_._2 == "de").toLong === total)
   }
 
+  test("leak-free split: a near-dup cluster never straddles splits") {
+    val sf = "/root/testdata/sf0.001"
+    val split = DedupQueries.splitQ(spark, sf)
+    // every document of the corpus gets exactly one assignment
+    val total = graft.Tables.documents(spark, sf).count()
+    assert(split.count() === total)
+    // clustered docs share their cluster's split — zero clusters with
+    // more than one distinct split value
+    val straddling = DedupQueries.clustersQ(spark, sf)
+      .select(col("doc_id"), col("canonical"))
+      .join(split, Seq("doc_id"))
+      .groupBy(col("canonical"))
+      .agg(countDistinct(col("split")).as("n"))
+      .filter(col("n") > 1).count()
+    assert(straddling === 0L)
+    // all three splits exist and train dominates
+    val bydist = split.groupBy(col("split")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bydist.keySet === Set("train", "val", "test"))
+    assert(bydist("train") > bydist("val") + bydist("test"))
+  }
+
   /** Signatures for the cap tests: band 0 (sig slots 1-4) is the hot
     * boilerplate key shared by ALL docs; band 1 (slots 5-8) pairs doc
     * 2i with 2i+1; bands 2-3 are unique per doc. MinhashK = 16,
