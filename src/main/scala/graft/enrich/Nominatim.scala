@@ -89,25 +89,35 @@ final class NominatimEnricher(gazetteer: DataFrame,
     // exchange is reused across them
     val g = gazetteer.repartition(par, col("g_num"), col("g_city"))
       .hint("shuffle_hash")
-    // countryful addresses equi-join on the country too — an
-    // `isNull || ===` residual would widen the (num, city) join by the
-    // country-cardinality factor and filter after the fact (measured
-    // 5.6x the oracle at sf0.1); country-less addresses take the wide
-    // join, but they are the minority
-    val withC = ts.filter(col("q_country").isNotNull).join(g,
-      col("q_num") === g("g_num") && col("q_city") === g("g_city") &&
-        col("q_country") === g("g_country"))
-    val noC = ts.filter(col("q_country").isNull).join(g,
-      col("q_num") === g("g_num") && col("q_city") === g("g_city"))
-    val joined = withC.unionByName(noC)
-    // top-1 per address in two cheap steps instead of a window sort
-    // (row_number) or a struct-valued min_by (SortAggregate fallback):
-    // a scalar min() stays in HashAggregate with map-side partials,
-    // then the winning rows broadcast back onto the gazetteer to fetch
-    // their display fields
-    val minids = joined.select(col("id"), col("q_key"), col("osm_id"))
-      .groupBy(col("id"), col("q_key"))
+    // top-1 = min osm_id among matching gazetteer rows — a property of
+    // the GAZETTEER KEY alone, so aggregate the gazetteer to one row
+    // per key BEFORE the join and the per-address candidate fan-out
+    // (key-cardinality × addresses; ~3M intermediate rows at sf0.1,
+    // the two 1.2 s probe stages of the plan dump) never materializes.
+    // The (num, city) exchange satisfies both groupBys by the subset
+    // rule, and map-side partials collapse the aggregate; at gazetteer
+    // scale this is the difference between joining an index and
+    // joining the raw table. Countryful addresses still equi-join on
+    // the country (an `isNull || ===` residual measured 5.6× the
+    // oracle); country-less ones take the (num, city) rollup.
+    val gMinC = g.groupBy(col("g_num"), col("g_city"), col("g_country"))
       .agg(min(col("osm_id")).as("osm_id"))
+    // min is associative: the country-less rollup folds the countryful
+    // one (key-count rows) instead of re-aggregating the gazetteer
+    val gMinNoC = gMinC.groupBy(col("g_num"), col("g_city"))
+      .agg(min(col("osm_id")).as("osm_id"))
+    val picked = Seq(col("id"), col("q_key"), col("osm_id"))
+    val withC = ts.filter(col("q_country").isNotNull).join(gMinC,
+      col("q_num") === gMinC("g_num") && col("q_city") === gMinC("g_city") &&
+        col("q_country") === gMinC("g_country"))
+      .select(picked: _*)
+    val noC = ts.filter(col("q_country").isNull).join(gMinNoC,
+      col("q_num") === gMinNoC("g_num") && col("q_city") === gMinNoC("g_city"))
+      .select(picked: _*)
+    // each address meets exactly one rollup row per branch → already
+    // the winner; the winning ids broadcast back onto the gazetteer to
+    // fetch their display fields
+    val minids = withC.unionByName(noC)
     val fresh = broadcast(minids).join(g, Seq("osm_id"))
       .select(col("id"),
         concat(lit("osm-"), col("osm_type"), lit("-"),
