@@ -748,11 +748,16 @@ object Multimodal {
         SELECT doc_id, simhash, CAST(i AS INT) AS band,
                (simhash >> (CAST(i AS INT) * $AHashBandBits))
                  & ${(1L << AHashBandBits) - 1} AS key
-        FROM sig, unnest(range($AHashBands)) t(i))
+        FROM sig, unnest(range($AHashBands)) t(i)),
+      kept AS (
+        SELECT banded.* FROM banded
+        JOIN (SELECT band, key FROM banded GROUP BY band, key
+              HAVING count(*) <= ${graft.dedup.Dedup.LshBucketCap}) f
+          ON banded.band = f.band AND banded.key = f.key)
       SELECT a, b, hamming FROM (
         SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
                bit_count(xor(l.simhash, r.simhash)) AS hamming
-        FROM banded l JOIN banded r
+        FROM kept l JOIN kept r
           ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)
       WHERE hamming <= $AHashMaxDist""")
 }
