@@ -105,6 +105,10 @@ object BlockerQueries {
     * [[graft.store.StoreQueries.deltaQ]] reports as ADD and
     * [[graft.store.StoreQueries.mergeQ]] lands as delta1). Kept as a
     * COLUMN predicate so it pushes into the TF artifact scan.
+    *
+    * Id-format note: ids are assumed `prefix:number`. Spark's `cast`
+    * yields null (row excluded) on a malformed second segment; the
+    * oracles use TRY_CAST for the same excluded-not-crashed behaviour.
     */
   def isDeltaEntity: org.apache.spark.sql.Column =
     split(col("id"), ":").getItem(1).cast("long") % 7 === 0
@@ -311,7 +315,7 @@ object BlockerQueries {
     "q_blk_delta_pairs" -> (ctePrefix + s""",
       delta_ids AS (
         SELECT DISTINCT id FROM stmts
-        WHERE CAST(split_part(id, ':', 2) AS BIGINT) % 7 = 0
+        WHERE TRY_CAST(split_part(id, ':', 2) AS BIGINT) % 7 = 0
       )
       SELECT lid, rid, score FROM pair_scores
       WHERE lid IN (SELECT id FROM delta_ids)

@@ -223,6 +223,15 @@ object DedupQueries {
       .select(col("a").as("doc_id"), col("b").as("dup_of"), col("jaccard"))
   }
 
+  /** Cluster assignments over the stored verified pair list as a lake
+    * artifact — components are derived resolver-state, computed once
+    * per corpus version (the union-find fast path otherwise billed
+    * ~0.5 s of driver collect into every invocation).
+    */
+  def clusterCcCk(s: SparkSession, d: String): DataFrame =
+    graft.IndexLake.artifact(s, d, "dedup_components")(
+      ccOf(lshPairsCk(s, d)))
+
   /** Near-dup cluster closure — the step a training-data dedup actually
     * ends with: verified LSH pairs → connected components → one
     * surviving representative per cluster (longest text wins, smallest
@@ -236,15 +245,6 @@ object DedupQueries {
     * above — and the length/election joins are per-cluster aggregates
     * over the members, never touching unclustered documents.
     */
-  /** Cluster assignments over the stored verified pair list as a lake
-    * artifact — components are derived resolver-state, computed once
-    * per corpus version (the union-find fast path otherwise billed
-    * ~0.5 s of driver collect into every invocation).
-    */
-  def clusterCcCk(s: SparkSession, d: String): DataFrame =
-    graft.IndexLake.artifact(s, d, "dedup_components")(
-      ccOf(lshPairsCk(s, d)))
-
   def clustersQ(s: SparkSession, d: String): DataFrame =
     clustersFrom(clusterCcCk(s, d), Tables.documents(s, d))
 

@@ -676,7 +676,7 @@ object MatchingQueries {
     "q_xref_delta" -> (prefix + s""",
       delta_ids AS (
         SELECT DISTINCT id FROM stmts
-        WHERE CAST(split_part(id, ':', 2) AS BIGINT) % 7 = 0
+        WHERE TRY_CAST(split_part(id, ':', 2) AS BIGINT) % 7 = 0
       ),
       delta_cand AS (
         SELECT lid, rid FROM pair_scores

@@ -391,13 +391,6 @@ object SimilarityQueries {
         col("hit_pq"), frac(col("hit_pq")).as("recall_pq"))
   }
 
-  /** Embedding near-dup cluster closure — the embedding-side twin of
-    * [[graft.dedup.DedupQueries.clustersQ]]: verified cosine pairs →
-    * connected components → one surviving representative (min vec_id)
-    * per cluster. Same scale shape: components run on the pair list
-    * only (the near-dup set, not the corpus), and unclustered vectors
-    * are implicitly kept and not listed.
-    */
   /** Embedding-side components as a lake artifact (derived resolver
     * state over the stored verified near-pairs — same rationale as
     * [[graft.dedup.DedupQueries.clusterCcCk]]).
@@ -409,6 +402,13 @@ object SimilarityQueries {
           col("a").cast("string").as("src"),
           col("b").cast("string").as("dst"))))
 
+  /** Embedding near-dup cluster closure — the embedding-side twin of
+    * [[graft.dedup.DedupQueries.clustersQ]]: verified cosine pairs →
+    * connected components → one surviving representative (min vec_id)
+    * per cluster. Same scale shape: components run on the pair list
+    * only (the near-dup set, not the corpus), and unclustered vectors
+    * are implicitly kept and not listed.
+    */
   def embedClustersQ(s: SparkSession, d: String): DataFrame = {
     val cc = embedCcCk(s, d)
       .select(col("id").cast("long").as("vec_id"), col("cluster"))
