@@ -425,7 +425,9 @@ object Soak {
       val t0 = System.nanoTime()
       ResolveStream.init(Resolver.connectedComponents(baseEdges), path)
       val initWall = (System.nanoTime() - t0) / 1e9
-      var lastShuffle2 = 0L
+      // start from the running total: otherwise batch 1 is billed the
+      // init's shuffle (the r10 record's inflated first-batch column)
+      var lastShuffle2 = shuffleWrite
       // batch k: edges (v_{4i+1}, v_{4i+2}) for i % mod == k merge
       // adjacent pair-clusters into 4-cliques; disjoint slices per mod
       val deltas = Seq(4096L, 256L, 16L).zipWithIndex.map {

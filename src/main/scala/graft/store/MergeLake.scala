@@ -1,7 +1,11 @@
 package graft.store
 
-import org.apache.hadoop.fs.Path
+import java.nio.charset.StandardCharsets
+import java.util.UUID
+
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Incremental statement-lake MERGE — the upsert-on-statement-id
@@ -15,32 +19,133 @@ import org.apache.spark.sql.functions._
   * plain parquet + Hadoop FS):
   *
   * {{{
-  *   base/bucket=K/...parquet     the compacted corpus
-  *   delta/<seq>/bucket=K/...     appended increments, seq ascending
+  *   manifest-<N>                 the committed state (see below)
+  *   base-<uuid>/bucket=K/...     compacted base generations
+  *   delta-<seq>-<uuid>/bucket=K/ appended increments, manifest-ordered
   * }}}
   *
   * Every file set is hash-partitioned on the upsert key
   * (`pmod(xxhash64(stmt_id), nBuckets)`), which buys two things at
   * scale: (a) a snapshot read resolves each key WITHIN one bucket, so
-  * with the bucket count matched to the cluster the resolve shuffle
-  * moves one bucket per task and never re-partitions the corpus; (b)
-  * compaction rewrites ONLY the buckets the deltas touched (dynamic
-  * partition overwrite) — a small increment touches at most
-  * `delta-rows` buckets, so compaction cost is bounded by touched
-  * data, not corpus size.
+  * with the bucket count matched to the cluster the resolve moves one
+  * bucket per task and never re-partitions the corpus; (b) compaction
+  * rewrites ONLY the buckets the deltas touched — a small increment
+  * touches at most `delta-rows` buckets, so compaction cost is bounded
+  * by touched data, not corpus size.
+  *
+  * '''Crash-atomic publish.''' Nothing is visible until a manifest
+  * names it. A manifest is one file listing, per bucket, the base
+  * directory that currently owns it, plus the ordered live delta
+  * directories; it is written complete to a `.tmp` name and renamed to
+  * `manifest-<N+1>` — a single-file atomic create — and readers always
+  * resolve the highest committed `manifest-<N>`. A crash before the
+  * rename leaves orphan directories no manifest references (invisible;
+  * swept by the next compaction's GC); a crash after it leaves the new
+  * state fully committed. There is never a half-state: compaction does
+  * not delete-and-rename in place, it writes touched buckets to a NEW
+  * base directory and repoints the manifest (MergeLakeCrashSpec kills
+  * the writer between every step and asserts before-or-after, never
+  * hybrid). Single concurrent writer assumed, like the reference's
+  * store; readers racing a compaction's post-publish GC should retain
+  * more than one manifest horizon in production (here the previous
+  * generation is collected immediately).
+  *
+  * '''Exchange-free snapshot.''' The resolved read decomposes
+  * last-writer-wins into `delta_resolved ∪ (base ⟕̸ delta_keys)`: the
+  * base is key-unique by construction (init dedupes, compaction emits
+  * one row per key), so the corpus-sized side is ONE map-only scan
+  * anti-joined against the delta keys — broadcast when the delta is
+  * small (the production increment regime; decided from file-size
+  * metadata, no job) — and the only shuffle in the plan is the
+  * Δ-sized last-writer-wins window over the deltas themselves. At
+  * 100 TB that is the difference between O(Δ) and O(state) per
+  * incremental read: the previous design windowed the whole
+  * base ∪ delta union, one corpus-sized Exchange per uncompacted read
+  * (the ~20 MB/1M-member term the resolve soak measured). A
+  * larger-than-broadcast delta falls back to a shuffled anti-join —
+  * that regime means compaction is overdue.
   *
   * Writes are append-only until [[compact]]; the resolve rule is
-  * last-writer-wins per `stmt_id` (higher seq wins; within one batch
-  * the tie breaks on (last_seen, value) descending, deterministic on
-  * any engine — the reference's writer dedupes a batch in a Set the
-  * same way).
+  * last-writer-wins per `stmt_id` (higher manifest position wins;
+  * within one batch the tie breaks on (last_seen, value) descending,
+  * deterministic on any engine — the reference's writer dedupes a
+  * batch in a Set the same way).
   */
 object MergeLake {
 
   val DefaultBuckets = 32
 
-  private def fs(s: SparkSession, p: Path) =
+  /** The committed lake state a manifest file encodes. `bucketDirs`
+    * maps each non-empty bucket to the root-relative base directory
+    * that owns it; `deltas` is the ordered list of live delta
+    * directories (position = seq for last-writer-wins).
+    */
+  private[graft] case class Manifest(version: Int, nBuckets: Int,
+      bucketDirs: Map[Int, String], deltas: Seq[String])
+
+  /** Test-only failpoint: invoked with a step name at every
+    * side-effect boundary; a spec that throws from here simulates a
+    * crash between steps (MergeLakeCrashSpec).
+    */
+  private[store] var onStep: String => Unit = _ => ()
+
+  private def fs(s: SparkSession, p: Path): FileSystem =
     p.getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  // ---- manifest I/O ------------------------------------------------
+
+  private val ManifestRe = "manifest-([0-9]{8})".r
+
+  private[graft] def readManifest(s: SparkSession, root: Path): Manifest = {
+    val f = fs(s, root)
+    val versions =
+      if (!f.exists(root)) Array.empty[Int]
+      else f.listStatus(root).map(_.getPath.getName).collect {
+        case ManifestRe(n) => n.toInt
+      }
+    require(versions.nonEmpty, s"not a MergeLake (no manifest under $root)")
+    val v = versions.max
+    val in = f.open(new Path(root, f"manifest-$v%08d"))
+    val text =
+      try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+      finally in.close()
+    var nBuckets = DefaultBuckets
+    val dirs = Map.newBuilder[Int, String]
+    val deltas = Seq.newBuilder[String]
+    text.linesIterator.map(_.trim).filter(_.nonEmpty).foreach { line =>
+      line.split(' ') match {
+        case Array("graft-mergelake", "1") => ()
+        case Array("nbuckets", n) => nBuckets = n.toInt
+        case Array("bucket", k, d) => dirs += (k.toInt -> d)
+        case Array("delta", d) => deltas += d
+        case other => sys.error(s"bad manifest line: ${other.mkString(" ")}")
+      }
+    }
+    Manifest(v, nBuckets, dirs.result(), deltas.result())
+  }
+
+  /** Atomic commit: write the complete manifest body to a tmp name,
+    * then rename to `manifest-<version+1>` (create, not overwrite — a
+    * lost race fails loudly rather than clobbering).
+    */
+  private def publish(s: SparkSession, root: Path, m: Manifest): Unit = {
+    val f = fs(s, root)
+    val body = new StringBuilder("graft-mergelake 1\n")
+    body ++= s"nbuckets ${m.nBuckets}\n"
+    m.bucketDirs.toSeq.sortBy(_._1).foreach { case (k, d) =>
+      body ++= s"bucket $k $d\n" }
+    m.deltas.foreach(d => body ++= s"delta $d\n")
+    val next = m.version + 1
+    val tmp = new Path(root, f"manifest-$next%08d.tmp-${UUID.randomUUID()}")
+    val out = f.create(tmp, false)
+    try out.write(body.toString.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val dst = new Path(root, f"manifest-$next%08d")
+    if (!f.rename(tmp, dst))
+      sys.error(s"manifest publish lost a race: $dst already committed")
+  }
+
+  // ---- writes ------------------------------------------------------
 
   /** Bucket column + one shuffle onto it before every write: without
     * it each of the writer's input partitions opens a file in every
@@ -54,110 +159,181 @@ object MergeLake {
     df.withColumn("bucket", pmod(xxhash64(col("stmt_id")), lit(nBuckets)))
       .repartition(col("bucket"))
 
-  /** Initialize (or reset) the lake with a base corpus. */
+  /** Within-batch last-writer-wins. Planned AFTER the bucket
+    * repartition so the window's (bucket, stmt_id) clustering is
+    * already satisfied (HashPartitioning(bucket) ⊆ the window keys) —
+    * a sort, not a second Exchange.
+    */
+  private def dedupeBatch(bucketed: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("bucket"), col("stmt_id"))
+      .orderBy(col("last_seen").desc, col("value").desc)
+    bucketed.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
+  private def bucketsIn(f: FileSystem, dir: Path): Seq[Int] =
+    f.listStatus(dir).map(_.getPath.getName)
+      .collect { case n if n.startsWith("bucket=") =>
+        n.stripPrefix("bucket=").toInt }.toSeq.sorted
+
+  /** Initialize (or reset) the lake with a base corpus. The batch is
+    * deduped to one row per key here — the base's key-uniqueness is
+    * what lets [[snapshot]] skip the corpus-sized window.
+    */
   def init(stmts: DataFrame, path: String,
       nBuckets: Int = DefaultBuckets): Unit = {
     val s = stmts.sparkSession
     val root = new Path(path)
     val f = fs(s, root)
     if (f.exists(root)) f.delete(root, true)
-    withBucket(stmts, nBuckets)
+    val dir = s"base-${UUID.randomUUID()}"
+    dedupeBatch(withBucket(stmts, nBuckets))
       .write.mode("overwrite").partitionBy("bucket")
-      .parquet(new Path(root, "base").toString)
+      .parquet(new Path(root, dir).toString)
+    onStep("init-written")
+    val owned = bucketsIn(f, new Path(root, dir)).map(_ -> dir).toMap
+    publish(s, root, Manifest(0, nBuckets, owned, Seq.empty))
   }
 
   /** Append one increment — cost O(delta): no read of the base, no
-    * rewrite, one partitioned write of the batch.
+    * rewrite, one partitioned write of the batch plus a manifest
+    * commit. The batch is NOT deduped here; cross- and intra-batch
+    * duplicates resolve in [[snapshot]]'s Δ-sized window. Returns the
+    * batch's seq (position in the live delta list). `nBuckets` must
+    * match the lake's (the manifest's value is authoritative).
     */
   def append(delta: DataFrame, path: String,
       nBuckets: Int = DefaultBuckets): Int = {
     val s = delta.sparkSession
     val root = new Path(path)
-    val seq = nextSeq(s, root)
-    withBucket(delta, nBuckets)
+    val m = readManifest(s, root)
+    val seq = m.deltas.size + 1
+    val dir = f"delta-$seq%06d-${UUID.randomUUID()}"
+    withBucket(delta, m.nBuckets)
       .write.mode("overwrite").partitionBy("bucket")
-      .parquet(new Path(root, f"delta/$seq%06d").toString)
+      .parquet(new Path(root, dir).toString)
+    onStep("append-written")
+    publish(s, root, m.copy(version = m.version, deltas = m.deltas :+ dir))
     seq
   }
 
-  private def nextSeq(s: SparkSession, root: Path): Int = {
-    val d = new Path(root, "delta")
-    val f = fs(s, d)
-    if (!f.exists(d)) 1
-    else f.listStatus(d).map(_.getPath.getName.toInt).foldLeft(0)(math.max) + 1
-  }
+  // ---- reads -------------------------------------------------------
 
-  private def deltaDirs(s: SparkSession, root: Path): Seq[(Int, Path)] = {
-    val d = new Path(root, "delta")
-    val f = fs(s, d)
-    if (!f.exists(d)) Seq.empty
-    else f.listStatus(d).map(st => (st.getPath.getName.toInt, st.getPath))
-      .sortBy(_._1).toSeq
-  }
+  /** The key-unique base under a manifest: one scan per distinct base
+    * generation, each pruned (partition-level, metadata only) to the
+    * buckets that generation still owns.
+    */
+  private def readBase(s: SparkSession, root: Path, m: Manifest): DataFrame =
+    m.bucketDirs.groupBy(_._2).toSeq.sortBy(_._1).map { case (dir, owned) =>
+      val df = s.read.parquet(new Path(root, dir).toString)
+      // a generation keeps superseded buckets on disk until GC; read
+      // only the ones the manifest still points here
+      if (owned.size == bucketsIn(fs(s, root), new Path(root, dir)).size) df
+      else df.filter(col("bucket").isin(owned.keys.toSeq: _*))
+    }.reduce(_ unionByName _)
 
-  /** The resolved current state (merge-on-read): base ∪ deltas with
-    * last-writer-wins per stmt_id. `buckets` restricts the read to a
-    * bucket subset (partition pruning does the rest) — the compaction
-    * path.
+  private def dirBytes(f: FileSystem, dir: Path): Long =
+    f.getContentSummary(dir).getLength
+
+  /** The resolved current state (merge-on-read). `buckets` restricts
+    * the read to a bucket subset (partition pruning does the rest) —
+    * the compaction path. See the class doc for the plan shape: with
+    * no deltas this is a bare scan (zero Exchange); with deltas the
+    * base side stays map-only behind a (broadcast) anti-join and only
+    * delta rows shuffle.
     */
   def snapshot(s: SparkSession, path: String,
       buckets: Option[Seq[Int]] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val root = new Path(path)
-    val base = s.read.parquet(new Path(root, "base").toString)
-      .withColumn("_seq", lit(0))
-    val all = deltaDirs(s, root).foldLeft(base) { case (acc, (seq, p)) =>
-      acc.unionByName(
-        s.read.parquet(p.toString).withColumn("_seq", lit(seq)))
+    val m = readManifest(s, root)
+    def scoped(df: DataFrame): DataFrame = buckets match {
+      case Some(bs) => df.filter(col("bucket").isin(bs: _*))
+      case None => df
     }
-    val scoped = buckets match {
-      case Some(bs) => all.filter(col("bucket").isin(bs: _*))
-      case None => all
-    }
-    // one window over (bucket, stmt_id): the bucket column is a cheap
-    // prefix of the partition key, so at scale a bucketed layout
-    // satisfies the clustering without re-shuffling the corpus
+    val base = scoped(readBase(s, root, m))
+    if (m.deltas.isEmpty) return base
+    val deltas = m.deltas.zipWithIndex.map { case (dir, i) =>
+      s.read.parquet(new Path(root, dir).toString)
+        .withColumn("_seq", lit(i + 1))
+    }.reduce(_ unionByName _)
     val w = Window.partitionBy(col("bucket"), col("stmt_id"))
       .orderBy(col("_seq").desc, col("last_seen").desc, col("value").desc)
-    scoped.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .drop("_rn", "_seq")
+    val deltaResolved = scoped(deltas)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn", "_seq")
+    // broadcast the delta keys when the delta files are small (file
+    // metadata, no job): the base then never shuffles. Above the
+    // broadcast threshold let Catalyst shuffle both sides — that
+    // regime means compaction is overdue.
+    val f = fs(s, root)
+    val deltaBytes = m.deltas.map(d => dirBytes(f, new Path(root, d))).sum
+    val raw = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val threshold =
+      if (raw.trim.startsWith("-")) -1L
+      else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
+    val keys = deltaResolved.select(col("stmt_id"))
+    val kept =
+      if (threshold > 0 && deltaBytes <= threshold)
+        base.join(broadcast(keys), Seq("stmt_id"), "left_anti")
+      else base.join(keys, Seq("stmt_id"), "left_anti")
+    val order = base.columns.map(col).toSeq
+    kept.select(order: _*).unionByName(deltaResolved.select(order: _*))
   }
 
-  /** Fold the accumulated deltas into the base and drop them. Only the
-    * buckets the deltas touched are rewritten (their ids are plain
-    * directory names — no data read to discover them). The resolved
-    * buckets land in a temp sibling first and swap in per bucket
-    * directory (Spark refuses to overwrite a path it reads, and the
-    * swap is the object-store-safe publish order anyway — a production
-    * deployment commits the swap through a manifest, the IndexLake
-    * marker pattern); untouched base buckets are never opened.
+  // ---- compaction --------------------------------------------------
+
+  /** Fold the accumulated deltas into the base. Only the buckets the
+    * deltas touched are resolved and rewritten (their ids are plain
+    * directory names — no data read to discover them), into a NEW base
+    * generation; untouched buckets keep their old generation pointers
+    * and are never opened. The swap is the manifest commit; the old
+    * generation stays readable until it, and directories no manifest
+    * references are garbage-collected after publish.
     */
   def compact(s: SparkSession, path: String): Seq[Int] = {
     val root = new Path(path)
-    val dirs = deltaDirs(s, root)
-    if (dirs.isEmpty) return Seq.empty
+    val m = readManifest(s, root)
+    if (m.deltas.isEmpty) return Seq.empty
     val f = fs(s, root)
-    val touched = dirs.flatMap { case (_, p) =>
-      f.listStatus(p).map(_.getPath.getName)
-        .filter(_.startsWith("bucket="))
-        .map(_.stripPrefix("bucket=").toInt)
-    }.distinct.sorted
-    val tmp = new Path(root, "base.tmp")
-    if (f.exists(tmp)) f.delete(tmp, true)
+    val touched = m.deltas.flatMap(d => bucketsIn(f, new Path(root, d)))
+      .distinct.sorted
+    val newDir = s"base-${UUID.randomUUID()}"
     snapshot(s, path, Some(touched))
       .repartition(col("bucket")) // one file set per bucket dir
       .write.mode("overwrite").partitionBy("bucket")
-      .parquet(tmp.toString)
-    val base = new Path(root, "base")
-    f.listStatus(tmp).filter(_.getPath.getName.startsWith("bucket="))
-      .foreach { st =>
-        val dst = new Path(base, st.getPath.getName)
-        if (f.exists(dst)) f.delete(dst, true)
-        f.rename(st.getPath, dst)
-      }
-    f.delete(tmp, true)
-    dirs.foreach { case (_, p) => f.delete(p, true) }
+      .parquet(new Path(root, newDir).toString)
+    onStep("compact-written")
+    // re-read before publishing: appends that landed while we resolved
+    // are NOT folded into newDir, so they must survive as deltas (they
+    // are newer than everything folded — last-writer-wins order holds)
+    val m2 = readManifest(s, root)
+    val folded = m.deltas.toSet
+    val owned = m2.bucketDirs ++ touched.map(_ -> newDir).toMap
+    publish(s, root, m2.copy(bucketDirs = owned,
+      deltas = m2.deltas.filterNot(folded)))
+    onStep("compact-published")
+    gc(s, root)
     touched
+  }
+
+  /** Drop lake directories (and stale manifests) the current manifest
+    * no longer references. Only `base-*`/`delta-*`/`manifest-*` names
+    * are ever touched — callers may keep their own markers in the
+    * root. Crash-safe: everything deleted here is already unreachable.
+    */
+  private def gc(s: SparkSession, root: Path): Unit = {
+    val f = fs(s, root)
+    val m = readManifest(s, root)
+    val live = m.bucketDirs.values.toSet ++ m.deltas.toSet
+    f.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      val stale =
+        ((n.startsWith("base-") || n.startsWith("delta-")) && !live(n)) ||
+          (n match {
+            case ManifestRe(v) => v.toInt < m.version
+            case _ => n.startsWith("manifest-") && n.contains(".tmp-")
+          })
+      if (stale) f.delete(st.getPath, true): Unit
+    }
   }
 }

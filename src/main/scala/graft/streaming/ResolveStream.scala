@@ -53,15 +53,20 @@ object ResolveStream {
   def applyBatch(s: SparkSession, edges: DataFrame, path: String,
       seen: String, nBuckets: Int = MergeLake.DefaultBuckets): Unit = {
     // pin the merge-on-read resolve ONCE per batch: addEdgesChanged
-    // consumes the state in two map-side passes plus the reduced-graph
-    // evaluation — without the pin each pass re-ran the snapshot's
-    // last-writer-wins window (measured 14 s/batch → one window pass
-    // at 1M members in the resolve soak)
+    // consumes the state in 4-5 passes (touched slice ×3, final
+    // relabel join) — even with the exchange-free snapshot, repeated
+    // re-evaluation measured slower than one pinned materialization
+    // (14-19 s vs 8-11 s per batch at 1M members in the resolve soak).
+    // The Δ-sized changed set is pinned too: it is evaluated twice
+    // (emptiness gate, then the append) and each evaluation would
+    // otherwise re-run the relabel join over the full state.
     val cc = graft.Caches.pin(state(s, path))
     try {
-      val changed = Resolver.addEdgesChanged(cc, edges)
-      if (!changed.isEmpty)
-        MergeLake.append(asRows(changed, seen), path, nBuckets): Unit
+      val changed = graft.Caches.pin(Resolver.addEdgesChanged(cc, edges))
+      try {
+        if (!changed.isEmpty)
+          MergeLake.append(asRows(changed, seen), path, nBuckets): Unit
+      } finally { changed.unpersist(); () }
     } finally { cc.unpersist(); () }
   }
 

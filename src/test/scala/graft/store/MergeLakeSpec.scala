@@ -55,22 +55,66 @@ class MergeLakeSpec extends AnyFunSuite {
     val base = (1 to 64).map(i => (s"e$i#name", s"N$i", "v1"))
     MergeLake.init(df(base: _*), path, nBuckets = 16)
     MergeLake.append(df(("e1#name", "N1b", "v2")), path, nBuckets = 16)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val basePath = new org.apache.hadoop.fs.Path(path, "base")
-    def mtimes: Map[String, Long] =
-      fs.listStatus(basePath).filter(_.getPath.getName.startsWith("bucket="))
-        .map(st => st.getPath.getName ->
-          fs.listStatus(st.getPath).map(_.getModificationTime).max).toMap
-    val before = mtimes
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = MergeLake.readManifest(spark, root)
+    // mtimes of every base bucket dir across generations — untouched
+    // buckets must keep their exact files through the compaction
+    def mtimes(m: MergeLake.Manifest): Map[Int, Long] =
+      m.bucketDirs.map { case (k, d) =>
+        val p = new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(root, d), s"bucket=$k")
+        k -> fs.listStatus(p).map(_.getModificationTime).max
+      }
+    val mtBefore = mtimes(before)
     Thread.sleep(20)
     val touched = MergeLake.compact(spark, path)
-    val after = mtimes
+    val after = MergeLake.readManifest(spark, root)
     assert(touched.size < 16, "a one-row delta must not touch every bucket")
-    val untouched = before.keySet.filterNot(k =>
-      touched.map(t => s"bucket=$t").contains(k))
+    assert(after.deltas.isEmpty)
+    val untouched = before.bucketDirs.keySet -- touched.toSet
     assert(untouched.nonEmpty)
-    untouched.foreach(k => assert(before(k) === after(k),
-      s"untouched bucket $k was rewritten"))
+    // untouched buckets keep their old generation pointer AND files
+    untouched.foreach { k =>
+      assert(after.bucketDirs(k) === before.bucketDirs(k),
+        s"untouched bucket $k was repointed")
+      assert(mtimes(after)(k) === mtBefore(k),
+        s"untouched bucket $k was rewritten")
+    }
+    touched.foreach(k => assert(after.bucketDirs(k) !== before.bucketDirs(k),
+      s"touched bucket $k still points at the old generation"))
+  }
+
+  test("snapshot stays exchange-free on the base side") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val path = java.nio.file.Files
+      .createTempDirectory("mergelake").toString + "/lake"
+    val base = (1 to 200).map(i => (s"e$i#name", s"N$i", "v1"))
+    MergeLake.init(df(base: _*), path, nBuckets = 8)
+    MergeLake.compact(spark, path) // no deltas: no-op
+    def shuffles(p: SparkPlan): Seq[ShuffleExchangeExec] =
+      p.collect { case e: ShuffleExchangeExec => e }
+    // post-compact (no deltas): a bare pruned scan, zero Exchange
+    val clean = MergeLake.snapshot(spark, path)
+      .queryExecution.executedPlan
+    assert(shuffles(clean).isEmpty,
+      s"delta-free snapshot plans a shuffle:\n$clean")
+    // with a small delta: the base never shuffles — every shuffle in
+    // the plan reads ONLY delta files (the Δ-sized resolve window),
+    // and the base is kept behind a broadcast anti-join
+    MergeLake.append(df(("e1#name", "N1b", "v2")), path, nBuckets = 8)
+    val plan = MergeLake.snapshot(spark, path)
+      .queryExecution.executedPlan
+    assert(plan.toString.contains("LeftAnti"),
+      s"snapshot lost the anti-join decomposition:\n$plan")
+    val offenders = shuffles(plan).flatMap { ex =>
+      ex.collect { case scan: FileSourceScanExec => scan }
+        .filterNot(_.relation.location.rootPaths
+          .forall(_.toString.contains("/delta-")))
+    }
+    assert(offenders.isEmpty,
+      s"corpus-sized data under a shuffle in the snapshot plan:\n$plan")
   }
 }

@@ -49,12 +49,10 @@ class ResolveStreamSpec extends AnyFunSuite {
       (base ++ batch1 ++ batch2).toDF("src", "dst")))
     assert(ccMap(ResolveStream.state(spark, path)) === want)
 
-    // the no-op replay wrote nothing: delta seq stopped at 2
-    val f = new org.apache.hadoop.fs.Path(path, "delta")
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val seqs = f.listStatus(new org.apache.hadoop.fs.Path(path, "delta"))
-      .map(_.getPath.getName.toInt).sorted.toSeq
-    assert(seqs === Seq(1, 2))
+    // the no-op replay wrote nothing: the manifest lists two deltas
+    val m = graft.store.MergeLake.readManifest(spark,
+      new org.apache.hadoop.fs.Path(path))
+    assert(m.deltas.size === 2)
   }
 
   test("a batch's write set is only the affected members") {
