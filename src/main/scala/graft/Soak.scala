@@ -258,21 +258,8 @@ object Soak {
 
       // -- ingest: fixture → statements ×N → bucketed statement lake
       val (nStmts, ingestWall) = timed {
-        // parse the fixture ONCE — each of the N union legs otherwise
-        // re-runs the ijson parse (measured 43 s → 9 s at 100×)
-        val base = Caches.pin(EntityStore.statements(
-          EntityStore.readIjson(spark, fixture), "donations"))
-        val reps = (0 until replicas).map { i =>
-          val sfx = lit(s"-r$i")
-          base
-            .withColumn("canonical_id", concat(col("canonical_id"), sfx))
-            .withColumn("entity_id", concat(col("entity_id"), sfx))
-            .withColumn("value", when(col("prop_type") === "entity",
-              concat(col("value"), sfx)).otherwise(col("value")))
-            .withColumn("id", md5(concat_ws("|", col("canonical_id"),
-              col("prop"), col("value"), sfx)))
-        }.reduce(_.unionByName(_))
-        reps.write.mode("overwrite").parquet(s"$scratch/lake")
+        donationsCorpus(spark, fixture, replicas)
+          .write.mode("overwrite").parquet(s"$scratch/lake")
         spark.read.parquet(s"$scratch/lake").count()
       }
       val ingestShuffle = stageShuffleMb()
@@ -471,6 +458,174 @@ object Soak {
       return
     }
 
+    if (mode == "loop") {
+      // The COMPOSED incremental loop at corpus scale — the production
+      // shape of the nomenklatura dataflow operating continuously (the
+      // batch analogue of `resolver/resolver.py:353-401`): day 0 lands
+      // and resolves a corpus; day 1 is the measured increment —
+      // MERGE ingest → index refresh → delta xref → incremental decide
+      // → Δ-scoped apply — and the END STATE must be bit-equal to one
+      // from-scratch batch run (full xref → full re-cluster → full
+      // apply) over the same post-merge corpus. Every increment stage
+      // is Δ-sized except the index refresh, which is the ingest's
+      // corpus-scan artifact rebuild (Bench bills the same work
+      // separately as index_build_sec for the same reason).
+      import graft.cli.CliArgs
+      import graft.resolver.Resolver
+      import graft.store.{EntityStore, MergeLake}
+      import graft.streaming.ResolveStream
+      import graft.xref.Xref
+      import spark.implicits._
+      var last = 0L
+      def stageMb(): Double = {
+        val d = (shuffleWrite - last) / 1e6; last = shuffleWrite; d
+      }
+      def timed[A](f: => A): (A, Double) = {
+        val t = System.nanoTime(); val a = f
+        (a, (System.nanoTime() - t) / 1e9)
+      }
+      val scratch = java.nio.file.Files
+        .createTempDirectory("graft-loop-soak").toString
+      val fixture = "/root/reference/tests/fixtures/donations.ijson"
+      // Δ = the replica-0 entities in one xxhash bucket (~1/8 of 474)
+      // — fixed-size while the corpus scales with N
+      def isDeltaId(c: org.apache.spark.sql.Column) =
+        c.endsWith("-r0") && pmod(xxhash64(c), lit(8)) === 0
+      val rows = donationsCorpus(spark, fixture, replicas)
+        .withColumn("stmt_id", col("id"))
+        .withColumn("last_seen", lit("d0")) // lake tie-break key only
+      val day0 = rows.filter(!isDeltaId(col("canonical_id")))
+      val delta = rows.filter(isDeltaId(col("canonical_id")))
+        .withColumn("last_seen", lit("d1"))
+      val lakePath = s"$scratch/lake"
+      val statePath = s"$scratch/state"
+      val threshold = args.lift(3).map(_.toDouble).getOrElse(0.4)
+      // the equality oracle needs the blocker's top-N cut to never
+      // bind (a binding cut makes day0 ∪ delta vs the union run
+      // incomparable at the rank margin); pair-cost cap scales with N
+      // like every soak ("knobs that must scale")
+      val cfg = Xref.Config(autoThreshold = Some(threshold),
+        limit = 400000,
+        blocker = graft.blocker.Blocker.Config.reference.copy(
+          maxPairCost = graft.blocker.Blocker.Config.reference
+            .maxPairCost * replicas))
+      val decidedNone = Seq.empty[(String, String)].toDF("src", "dst")
+      def corpus() = MergeLake.snapshot(spark, lakePath)
+        .drop("stmt_id", "bucket")
+      // every stage hands off through the lake, like production (the
+      // reference persists xref decisions in its judgement store) —
+      // and NOT as a pin: a pinned handoff caches the data but keeps
+      // the cumulative LOGICAL plan, and Catalyst analysis
+      // (DeduplicateRelations) over the stacked xref trees measured
+      // 60 s/decide + 200 s/apply of pure driver time at 10×
+      def land(df: DataFrame, name: String): DataFrame = {
+        df.write.mode("overwrite").parquet(s"$scratch/$name")
+        spark.read.parquet(s"$scratch/$name")
+      }
+
+      // ---- day 0: land + resolve the base corpus (batch setup)
+      val (_, d0IngestW) = timed(MergeLake.init(day0, lakePath))
+      val c0 = Caches.pin(corpus())
+      val (merges0, d0XrefW) = timed {
+        val (m, _) = Xref.run(spark, c0, decidedNone, cfg)
+        land(m.select("src", "dst"), "merges0")
+      }
+      val nM0 = merges0.count()
+      val (_, d0DecideW) = timed(ResolveStream.init(
+        Resolver.connectedComponents(merges0), statePath))
+      c0.unpersist()
+      val d0Mb = stageMb()
+
+      // ---- day 1: the increment, measured per stage
+      val (_, mergeW) = timed(MergeLake.append(delta, lakePath): Unit)
+      val mergeMb = stageMb()
+      val c1 = Caches.pin(corpus())
+      val (tf, idxW) = timed {
+        val v = EntityStore.view(c1, withExternal = cfg.external)
+        Caches.pin(graft.blocker.Blocker.termFrequencies(
+          graft.blocker.EntityTokenizer.entries(v), Xref.compatDf(spark),
+          Xref.boostsDf(spark), cfg.blocker,
+          dampFields = graft.blocker.EntityTokenizer.DampFields))
+      }
+      val idxMb = stageMb()
+      val (deltaEdges, dxW) = timed {
+        land(Xref.scoredDeltaPairs(spark, c1, merges0,
+          isDeltaId(col("id")), cfg, Some(tf))
+          .filter(col("score") > threshold)
+          .select(col("lid").as("src"), col("rid").as("dst")),
+          "delta-edges")
+      }
+      val nDx = deltaEdges.count()
+      val dxMb = stageMb()
+      val (changed, decideW) = timed(
+        ResolveStream.applyBatchChanged(spark, deltaEdges, statePath, "d1"))
+      val nChanged = changed.count()
+      val decideMb = stageMb()
+      // Δ-scoped apply: re-elect canonicals for the clusters the batch
+      // touched, rewrite ONLY their members' statements — the write
+      // set a production increment actually lands
+      val (nApplied, applyW) = timed {
+        val st1 = ResolveStream.state(spark, statePath)
+        val touched = changed.select(col("cluster")).distinct()
+        val members = st1.join(broadcast(touched), Seq("cluster"),
+          "left_semi")
+        val cm = Resolver.canonicalMap(members, CliArgs.idWeight)
+        val slice = c1.join(
+          broadcast(members.select(col("id").as("canonical_id"))),
+          Seq("canonical_id"), "left_semi")
+        CliArgs.applyCanonical(slice, cm)
+          .write.mode("overwrite").parquet(s"$scratch/apply-delta")
+        spark.read.parquet(s"$scratch/apply-delta").count()
+      }
+      val applyMb = stageMb()
+      changed.unpersist()
+
+      // ---- the oracle: loop end state ≡ one from-scratch batch run
+      val stLoop = Caches.pin(ResolveStream.state(spark, statePath))
+      val outLoop = CliArgs.applyCanonical(c1,
+          Resolver.canonicalMap(stLoop, CliArgs.idWeight))
+        .select(col("id"), col("canonical_id"), col("prop"), col("value"))
+      val (mergesF, fullXrefW) = timed {
+        val (m, _) = Xref.run(spark, c1, decidedNone, cfg)
+        land(m.select("src", "dst"), "merges-full")
+      }
+      val (outFull, fullRestW) = timed {
+        val o = CliArgs.applyCanonical(c1, CliArgs.canonicalMapOf(mergesF))
+          .select(col("id"), col("canonical_id"), col("prop"), col("value"))
+          .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        o.count(); o
+      }
+      val mismatches = outLoop.exceptAll(outFull).count() +
+        outFull.exceptAll(outLoop).count()
+      def undirected(e: DataFrame): DataFrame = e.select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b")).distinct()
+      val eLoop = undirected(merges0.unionByName(deltaEdges))
+      val eFull = undirected(mergesF)
+      val edgeDiff = eLoop.exceptAll(eFull).count() +
+        eFull.exceptAll(eLoop).count()
+
+      println(f"""{"soak":"loop","fixture":"donations","replicas":$replicas,""" +
+        f""""stmts":${c1.count()},"day0_merges":$nM0,""" +
+        f""""day0_ingest_wall_sec":$d0IngestW%.1f,""" +
+        f""""day0_xref_wall_sec":$d0XrefW%.1f,""" +
+        f""""day0_decide_wall_sec":$d0DecideW%.1f,""" +
+        f""""day0_shuffle_mb":$d0Mb%.1f,""" +
+        f""""merge_wall_sec":$mergeW%.2f,"merge_shuffle_mb":$mergeMb%.1f,""" +
+        f""""index_refresh_wall_sec":$idxW%.1f,"index_refresh_shuffle_mb":$idxMb%.1f,""" +
+        f""""delta_xref_wall_sec":$dxW%.2f,"delta_xref_shuffle_mb":$dxMb%.1f,""" +
+        f""""delta_edges":$nDx,""" +
+        f""""decide_wall_sec":$decideW%.2f,"decide_shuffle_mb":$decideMb%.1f,""" +
+        f""""changed_members":$nChanged,""" +
+        f""""apply_wall_sec":$applyW%.2f,"apply_shuffle_mb":$applyMb%.1f,""" +
+        f""""applied_rows":$nApplied,""" +
+        f""""full_xref_wall_sec":$fullXrefW%.1f,""" +
+        f""""full_rest_wall_sec":$fullRestW%.1f,""" +
+        f""""edge_diff":$edgeDiff,"state_mismatches":$mismatches}""")
+      spark.stop()
+      return
+    }
+
     val stmts = corpus(spark, sfDir, replicas)
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val nStmts = stmts.count()
@@ -502,6 +657,30 @@ object Soak {
       f""""shuffle_write_mb":${shuffleWrite / 1e6}%.1f,""" +
       f""""peak_stage_shuffle_mb":${peakStageWrite / 1e6}%.1f}""")
     spark.stop()
+  }
+
+  /** N replicas of the donations fixture as statements (474 entities
+    * each, suffixed ids, entity refs re-pointed inside each replica —
+    * every entity ends up with N−1 exact duplicates, the worst case
+    * for the blocker). The fixture is parsed ONCE and pinned — each of
+    * the N union legs otherwise re-runs the ijson parse (measured
+    * 43 s → 9 s at 100×).
+    */
+  def donationsCorpus(s: SparkSession, fixture: String,
+      replicas: Int): DataFrame = {
+    import graft.store.EntityStore
+    val base = Caches.pin(EntityStore.statements(
+      EntityStore.readIjson(s, fixture), "donations"))
+    (0 until replicas).map { i =>
+      val sfx = lit(s"-r$i")
+      base
+        .withColumn("canonical_id", concat(col("canonical_id"), sfx))
+        .withColumn("entity_id", concat(col("entity_id"), sfx))
+        .withColumn("value", when(col("prop_type") === "entity",
+          concat(col("value"), sfx)).otherwise(col("value")))
+        .withColumn("id", md5(concat_ws("|", col("canonical_id"),
+          col("prop"), col("value"), sfx)))
+    }.reduce(_.unionByName(_))
   }
 
   /** N replicas of the document corpus with distinct ids but IDENTICAL

@@ -52,6 +52,17 @@ object ResolveStream {
     */
   def applyBatch(s: SparkSession, edges: DataFrame, path: String,
       seen: String, nBuckets: Int = MergeLake.DefaultBuckets): Unit = {
+    applyBatchChanged(s, edges, path, seen, nBuckets).unpersist(): Unit
+  }
+
+  /** [[applyBatch]] variant returning the changed-member set
+    * `(id, cluster)` — the batch's Δ-sized write set, still pinned —
+    * for callers that scope downstream work (canonical re-election,
+    * statement rewrite) to the members the batch actually touched.
+    * Callers unpersist it when done.
+    */
+  def applyBatchChanged(s: SparkSession, edges: DataFrame, path: String,
+      seen: String, nBuckets: Int = MergeLake.DefaultBuckets): DataFrame = {
     // pin the merge-on-read resolve ONCE per batch: addEdgesChanged
     // consumes the state in 4-5 passes (touched slice ×3, final
     // relabel join) — even with the exchange-free snapshot, repeated
@@ -63,10 +74,9 @@ object ResolveStream {
     val cc = graft.Caches.pin(state(s, path))
     try {
       val changed = graft.Caches.pin(Resolver.addEdgesChanged(cc, edges))
-      try {
-        if (!changed.isEmpty)
-          MergeLake.append(asRows(changed, seen), path, nBuckets): Unit
-      } finally { changed.unpersist(); () }
+      if (!changed.isEmpty)
+        MergeLake.append(asRows(changed, seen), path, nBuckets): Unit
+      changed
     } finally { cc.unpersist(); () }
   }
 

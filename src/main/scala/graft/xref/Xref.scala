@@ -59,16 +59,76 @@ object Xref {
       cfg.blocker, dampFields = EntityTokenizer.DampFields)
     val pairs = Blocker.pairs(tf, compat,
       cfg.blocker.copy(maxPairs = cfg.limit * cfg.limitFactor))
-    // skip already-decided pairs (check_candidate, resolver.py:284-288)
-    // no broadcast hint: the judgement set grows with every xref round
-    // and is unbounded — AQE broadcasts it while small, and the anti
-    // join degrades gracefully to a shuffle once it is not
+    scoreCandidates(s, stmts, undecidedOf(pairs, decided), cfg)
+  }
+
+  /** Incremental xref candidates: pairs touching the delta entity set
+    * only, generated in O(|Δ| × postings) by
+    * [[graft.blocker.Blocker.deltaPairScores]] and scored through the
+    * SAME tail as [[scoredPairs]] — the post-MERGE re-xref shape
+    * (`xref.py:29-160` run on an increment). `isDelta` is a column
+    * predicate over the TF rows (id/schema/field/token); pass a
+    * prebuilt `tf` to reuse the ingest-maintained index artifact
+    * instead of re-deriving it (Blocker TF is lake-persisted in
+    * production — the soak's index_refresh stage).
+    */
+  def scoredDeltaPairs(s: SparkSession, stmts0: DataFrame,
+      decided: DataFrame, isDelta: org.apache.spark.sql.Column,
+      cfg: Config, tfPrebuilt: Option[DataFrame] = None): DataFrame = {
+    val stmts = EntityStore.view(stmts0, withExternal = cfg.external)
+    val compat = compatDf(s)
+    val tf = tfPrebuilt.getOrElse {
+      Blocker.termFrequencies(EntityTokenizer.entries(stmts), compat,
+        boostsDf(s), cfg.blocker, dampFields = EntityTokenizer.DampFields)
+    }
+    val cand = Blocker.deltaPairScores(tf, isDelta, compat)
+    // pin the candidate table (Δ-sized by contract) before the
+    // fan-out: it feeds the endpoint slice AND the scoring join, and
+    // the slice is consumed by every analysis view — unpinned, the
+    // O(|Δ|·postings) candidate join re-evaluates per consumer
+    // (measured 7 s → 86 s on the 10× loop soak)
+    val undecided = graft.Caches.pin(undecidedOf(cand, decided))
+    // restrict the scoring corpus to the pair endpoints: the analysis
+    // views (assemble, per-entity aggregates, dataset meta) are
+    // corpus-sized aggregations, but a delta batch only needs the
+    // Δ ∪ partners slice — per-entity derivations are identical on the
+    // slice, so results match the full-corpus path row for row while
+    // the increment's scoring stays O(|Δ|) instead of O(corpus).
+    // The endpoint set is COLLECTED (bounded: ≤ 2× the Δ-candidate
+    // count, the union-find-fast-path idiom) so the slice's logical
+    // plan stays one literal relation — referencing the candidate
+    // subtree from every analysis view instead sent Catalyst's
+    // DeduplicateRelations quadratic (measured 7 s → 86 s at 10×)
+    val ids = undecided.select(col("lid").as("cid"))
+      .unionAll(undecided.select(col("rid").as("cid"))).distinct()
+      .collect().map(_.getString(0)).toIndexedSeq
+    import s.implicits._
+    val slice = stmts.join(broadcast(ids.toDF("cid")),
+      stmts("canonical_id") === col("cid"), "left_semi")
+    scoreCandidates(s, slice, undecided, cfg)
+  }
+
+  /** Skip already-decided pairs (check_candidate,
+    * `resolver.py:284-288`). No broadcast hint: the judgement set
+    * grows with every xref round and is unbounded — AQE broadcasts it
+    * while small, and the anti join degrades gracefully to a shuffle
+    * once it is not.
+    */
+  private def undecidedOf(pairs: DataFrame, decided: DataFrame): DataFrame = {
     val dec = decided.select(
       least(col("src"), col("dst")).as("da"),
       greatest(col("src"), col("dst")).as("db")).distinct()
-    val undecided = pairs.join(dec,
+    pairs.join(dec,
       least(col("lid"), col("rid")) === col("da") &&
         greatest(col("lid"), col("rid")) === col("db"), "left_anti")
+  }
+
+  /** The scoring tail shared by the full and delta candidate paths:
+    * assemble views, score with the configured algorithm, gate on
+    * focus/range, discount same-dataset pairs, threshold.
+    */
+  private def scoreCandidates(s: SparkSession, stmts: DataFrame,
+      undecided: DataFrame, cfg: Config): DataFrame = {
     val assembled = EntityStore.assemble(stmts)
     val views = EntityMatch.views(assembled, stmts)
     val algoCol = cfg.algorithm.replace("-", "_")
