@@ -157,8 +157,10 @@ object SimilarityQueries {
   // replaced the fixed mod-37 seeding whose ~14 lists capped the
   // sf0.01 sweep), then KMeans.trainedCentroids adapts the seeds with
   // Lloyd iterations. The probed fraction is nprobe/√n, shrinking
-  // with corpus size. NProbe re-swept at C≈23/sf0.01 (PLANS.md r7).
-  val NProbe = 5
+  // with corpus size. NProbe swept r11 at C≈71/sf0.01: recall 0.58/
+  // 0.73/0.88/0.95 at nprobe 5/8/12/16, arm wall flat — 12 is the
+  // knee (probed fraction 17% locally, nprobe/√n at scale).
+  val NProbe = 12
 
   /** Corpus-scaled coarse-list modulus: mod = n ÷ ⌊√n⌋, giving C ≈ √n
     * seed lists (the IVF design point — probed fraction nprobe/√n
