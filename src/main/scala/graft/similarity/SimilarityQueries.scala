@@ -373,6 +373,8 @@ object SimilarityQueries {
     // to quantization error), so the same exact-cosine baseline applies
     val pq = Pq.pqTopK(s, d).select(col("qid"), col("vec_id"))
       .withColumn("pq_hit", lit(1))
+    val pqrr = Pq.pqRerankTopK(s, d).select(col("qid"), col("vec_id"))
+      .withColumn("pqrr_hit", lit(1))
     def frac(n: Column): Column =
       floor(n.cast("double") / col("n_exact").cast("double")
         * 10000 + lit(0.5)) / 10000
@@ -382,15 +384,18 @@ object SimilarityQueries {
     exact.join(broadcast(lsh), Seq("qid", "vec_id"), "left_outer")
       .join(broadcast(ivf), Seq("qid", "vec_id"), "left_outer")
       .join(broadcast(pq), Seq("qid", "vec_id"), "left_outer")
+      .join(broadcast(pqrr), Seq("qid", "vec_id"), "left_outer")
       .groupBy(col("qid"))
       .agg(count(lit(1)).as("n_exact"),
         count(col("lsh_hit")).as("hit_lsh"),
         count(col("ivf_hit")).as("hit_ivf"),
-        count(col("pq_hit")).as("hit_pq"))
+        count(col("pq_hit")).as("hit_pq"),
+        count(col("pqrr_hit")).as("hit_pq_rr"))
       .select(col("qid"), col("n_exact"),
         col("hit_lsh"), frac(col("hit_lsh")).as("recall_lsh"),
         col("hit_ivf"), frac(col("hit_ivf")).as("recall_ivf"),
-        col("hit_pq"), frac(col("hit_pq")).as("recall_pq"))
+        col("hit_pq"), frac(col("hit_pq")).as("recall_pq"),
+        col("hit_pq_rr"), frac(col("hit_pq_rr")).as("recall_pq_rr"))
   }
 
   /** Embedding-side components as a lake artifact (derived resolver
@@ -738,6 +743,35 @@ object SimilarityQueries {
         WHERE rn <= ${Pq.TopK}
       )"""
 
+  /** PQ-with-exact-re-rank CTE chain ([[Pq.pqRerankTopK]]'s twin):
+    * shortlist by ADC, re-score the shortlist against the full unit
+    * vectors, exact-cosine top-K. Shared by the q_sim_pq_rerank oracle
+    * and the recall oracle's pq_rr arm.
+    */
+  private val pqRerankCtes: String = s""",
+      pqshort AS (
+        SELECT qid, vec_id FROM (
+          SELECT qid, vec_id,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY ad6 ASC, vec_id ASC) AS srn
+          FROM pqadc)
+        WHERE srn <= ${Pq.TopK * Pq.RerankFactor}
+      ),
+      pqrr AS (
+        SELECT qid, vec_id, cosine, rn FROM (
+          SELECT s.qid, s.vec_id,
+                 round(list_sum(list_transform(list_zip(q.v, x.v),
+                   t -> t[1] * t[2])) / (q.nrm * x.nrm), 5) AS cosine,
+                 row_number() OVER (PARTITION BY s.qid
+                   ORDER BY round(list_sum(list_transform(list_zip(q.v, x.v),
+                     t -> t[1] * t[2])) / (q.nrm * x.nrm), 5) DESC,
+                     s.vec_id ASC) AS rn
+          FROM pqshort s
+          JOIN normed q ON s.qid = q.vec_id
+          JOIN normed x ON s.vec_id = x.vec_id)
+        WHERE rn <= ${Pq.TopK}
+      )"""
+
   /** The trained-centroid CTE chain: seed from every [[CentroidMod]]-th
     * vector, then unroll [[KMeans.IvfIterations]] Lloyd steps — the
     * exact fixed-point math of [[KMeans.lloydStep]] (e6 integer sums,
@@ -947,7 +981,7 @@ object SimilarityQueries {
         SELECT cluster, min(vec_id) AS canonical FROM ecc GROUP BY cluster)
       SELECT c.vec_id, n.canonical, c.vec_id = n.canonical AS keep
       FROM ecc c JOIN ecanon n USING (cluster)"""),
-    "q_sim_recall" -> (ctePrefix + ivfCtes + pqCtes + s""",
+    "q_sim_recall" -> (ctePrefix + ivfCtes + pqCtes + pqRerankCtes + s""",
       ex AS ($cosineTopkBody),
       ap AS ($annLshBody),
       iv AS ($ivfSelect)
@@ -963,14 +997,21 @@ object SimilarityQueries {
              count(pv.vec_id) AS hit_pq,
              floor(CAST(count(pv.vec_id) AS DOUBLE) /
                CAST(count(*) AS DOUBLE) * 10000 + CAST(0.5 AS DOUBLE))
-               / 10000 AS recall_pq
+               / 10000 AS recall_pq,
+             count(rr.vec_id) AS hit_pq_rr,
+             floor(CAST(count(rr.vec_id) AS DOUBLE) /
+               CAST(count(*) AS DOUBLE) * 10000 + CAST(0.5 AS DOUBLE))
+               / 10000 AS recall_pq_rr
       FROM ex
       LEFT JOIN ap ON ex.qid = ap.qid AND ex.vec_id = ap.vec_id
       LEFT JOIN iv ON ex.qid = iv.qid AND ex.vec_id = iv.vec_id
       LEFT JOIN pqtop pv ON ex.qid = pv.qid AND ex.vec_id = pv.vec_id
+      LEFT JOIN pqrr rr ON ex.qid = rr.qid AND ex.vec_id = rr.vec_id
       GROUP BY ex.qid"""),
     "q_sim_pq" -> (ctePrefix + pqCtes + """
       SELECT qid, vec_id, ad6, rn FROM pqtop"""),
+    "q_sim_pq_rerank" -> (ctePrefix + pqCtes + pqRerankCtes + """
+      SELECT qid, vec_id, cosine, rn FROM pqrr"""),
     "q_sim_ivfpq" -> (ctePrefix + ivfCtes + pqCtes + s"""
       SELECT qid, vec_id, ad6, rn FROM (
         SELECT qid, vec_id, ad6,
