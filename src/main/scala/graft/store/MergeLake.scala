@@ -96,15 +96,21 @@ object MergeLake {
 
   private val ManifestRe = "manifest-([0-9]{8})".r
 
+  private def manifestVersions(f: FileSystem, root: Path): Seq[Int] =
+    if (!f.exists(root)) Seq.empty
+    else f.listStatus(root).map(_.getPath.getName).collect {
+      case ManifestRe(n) => n.toInt
+    }.toSeq
+
   private[graft] def readManifest(s: SparkSession, root: Path): Manifest = {
     val f = fs(s, root)
-    val versions =
-      if (!f.exists(root)) Array.empty[Int]
-      else f.listStatus(root).map(_.getPath.getName).collect {
-        case ManifestRe(n) => n.toInt
-      }
+    val versions = manifestVersions(f, root)
     require(versions.nonEmpty, s"not a MergeLake (no manifest under $root)")
-    val v = versions.max
+    readManifestVersion(f, root, versions.max)
+  }
+
+  private def readManifestVersion(f: FileSystem, root: Path,
+      v: Int): Manifest = {
     val in = f.open(new Path(root, f"manifest-$v%08d"))
     val text =
       try new String(in.readAllBytes(), StandardCharsets.UTF_8)
@@ -316,21 +322,38 @@ object MergeLake {
     touched
   }
 
-  /** Drop lake directories (and stale manifests) the current manifest
-    * no longer references. Only `base-*`/`delta-*`/`manifest-*` names
-    * are ever touched — callers may keep their own markers in the
-    * root. Crash-safe: everything deleted here is already unreachable.
+  /** GC horizon: how many committed manifests (current included) stay
+    * readable, with everything they reference. A reader that resolved
+    * manifest N races a concurrent compaction's GC; retaining the
+    * previous generation gives it a full compaction cycle of grace —
+    * the snapshot-isolation horizon a production lake sizes by reader
+    * latency. Override with `graft.mergelake.retain` /
+    * `GRAFT_MERGELAKE_RETAIN` (≥ 1).
+    */
+  private def retained: Int =
+    sys.props.get("graft.mergelake.retain")
+      .orElse(sys.env.get("GRAFT_MERGELAKE_RETAIN"))
+      .map(_.toInt).getOrElse(2).max(1)
+
+  /** Drop lake directories (and stale manifests) that no manifest
+    * inside the retention horizon references. Only
+    * `base-*`/`delta-*`/`manifest-*` names are ever touched — callers
+    * may keep their own markers in the root. Crash-safe: everything
+    * deleted here is unreachable from every retained manifest.
     */
   private def gc(s: SparkSession, root: Path): Unit = {
     val f = fs(s, root)
-    val m = readManifest(s, root)
-    val live = m.bucketDirs.values.toSet ++ m.deltas.toSet
+    val keep = manifestVersions(f, root).sorted.takeRight(retained).toSet
+    val live = keep.toSeq.flatMap { v =>
+      val m = readManifestVersion(f, root, v)
+      m.bucketDirs.values ++ m.deltas
+    }.toSet
     f.listStatus(root).foreach { st =>
       val n = st.getPath.getName
       val stale =
         ((n.startsWith("base-") || n.startsWith("delta-")) && !live(n)) ||
           (n match {
-            case ManifestRe(v) => v.toInt < m.version
+            case ManifestRe(v) => !keep(v.toInt)
             case _ => n.startsWith("manifest-") && n.contains(".tmp-")
           })
       if (stale) f.delete(st.getPath, true): Unit

@@ -91,17 +91,48 @@ class MergeLakeCrashSpec extends AnyFunSuite {
     // replayed compact is a clean no-op on the already-committed state
     assert(MergeLake.compact(spark, path) === Seq.empty)
     assert(stateOf(path) === resolved)
-    // the skipped GC is caught up by the next real compaction: nothing
-    // unreferenced remains under the root afterwards
-    MergeLake.append(df(("d#name", "Dan", "v3")), path, 4)
-    MergeLake.compact(spark, path)
+    // the skipped GC is caught up by the next real compaction: with
+    // the retention horizon collapsed to 1, nothing unreferenced by
+    // the CURRENT manifest remains under the root afterwards
+    sys.props.put("graft.mergelake.retain", "1")
+    try {
+      MergeLake.append(df(("d#name", "Dan", "v3")), path, 4)
+      MergeLake.compact(spark, path)
+      val root = new Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val m2 = MergeLake.readManifest(spark, root)
+      val live = m2.bucketDirs.values.toSet ++ m2.deltas.toSet
+      val stray = fs.listStatus(root).map(_.getPath.getName).filter(n =>
+        (n.startsWith("base-") || n.startsWith("delta-")) && !live(n))
+      assert(stray.isEmpty, s"unreferenced dirs survived GC: ${stray.toSeq}")
+      assert(stateOf(path) === resolved + (("d#name", "Dan")))
+    } finally sys.props.remove("graft.mergelake.retain")
+  }
+
+  test("GC retains the previous manifest horizon for in-flight readers") {
+    val path = freshLake()
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val m2 = MergeLake.readManifest(spark, root)
-    val live = m2.bucketDirs.values.toSet ++ m2.deltas.toSet
-    val stray = fs.listStatus(root).map(_.getPath.getName).filter(n =>
-      (n.startsWith("base-") || n.startsWith("delta-")) && !live(n))
-    assert(stray.isEmpty, s"unreferenced dirs survived GC: ${stray.toSeq}")
-    assert(stateOf(path) === resolved + (("d#name", "Dan")))
+    MergeLake.append(df(("b#name", "Bobby", "v2")), path, 4)
+    // the manifest an in-flight reader holds while the compaction runs
+    val before = MergeLake.readManifest(spark, root)
+    MergeLake.compact(spark, path) // default retain=2: previous kept
+    val names = fs.listStatus(root).map(_.getPath.getName).toSet
+    // a reader that resolved the pre-compaction manifest still finds
+    // the file AND every directory it references
+    assert(names.exists(_.endsWith(f"manifest-${before.version}%08d")
+      || names(f"manifest-${before.version}%08d")),
+      s"previous manifest collected: $names")
+    (before.bucketDirs.values.toSet ++ before.deltas).foreach {
+      (d: String) =>
+        assert(names(d), s"dir $d of the previous horizon collected") }
+    // ... and one more compaction cycle retires it
+    MergeLake.append(df(("c#name", "Carla", "v3")), path, 4)
+    MergeLake.compact(spark, path)
+    val names2 = fs.listStatus(root).map(_.getPath.getName).toSet
+    assert(!names2(f"manifest-${before.version}%08d"),
+      "two-generations-old manifest survived")
+    assert(stateOf(path) === base - (("b#name", "Bob")) -
+      (("c#name", "Carol")) + (("b#name", "Bobby")) + (("c#name", "Carla")))
   }
 }
