@@ -462,11 +462,12 @@ object Soak {
       // The COMPOSED incremental loop at corpus scale — the production
       // shape of the nomenklatura dataflow operating continuously (the
       // batch analogue of `resolver/resolver.py:353-401`): day 0 lands
-      // and resolves a corpus; day 1 is the measured increment —
-      // MERGE ingest → index refresh → delta xref → incremental decide
-      // → Δ-scoped apply — and the END STATE must be bit-equal to one
-      // from-scratch batch run (full xref → full re-cluster → full
-      // apply) over the same post-merge corpus. Every increment stage
+      // and resolves a corpus; days 1..K are CHAINED measured
+      // increments — MERGE ingest → index refresh → delta xref →
+      // incremental decide → Δ-scoped apply, each batch xrefing
+      // against the corpus as grown by the earlier ones — and the END
+      // STATE must be bit-equal to one from-scratch batch run (full
+      // xref → full re-cluster → full apply) over the final corpus. Every increment stage
       // is Δ-sized except the index refresh, which is the ingest's
       // corpus-scan artifact rebuild (Bench bills the same work
       // separately as index_build_sec for the same reason).
@@ -536,49 +537,76 @@ object Soak {
       c0.unpersist()
       val d0Mb = stageMb()
 
-      // ---- day 1: the increment, measured per stage
-      val (_, mergeW) = timed(MergeLake.append(delta, lakePath): Unit)
-      val mergeMb = stageMb()
-      val c1 = Caches.pin(corpus())
-      val (tf, idxW) = timed {
-        val v = EntityStore.view(c1, withExternal = cfg.external)
-        Caches.pin(graft.blocker.Blocker.termFrequencies(
-          graft.blocker.EntityTokenizer.entries(v), Xref.compatDf(spark),
-          Xref.boostsDf(spark), cfg.blocker,
-          dampFields = graft.blocker.EntityTokenizer.DampFields))
+      // ---- days 1..K: the increments, CHAINED (the continuous
+      // production shape) — each batch re-lands, re-xrefs against the
+      // corpus AS GROWN BY the earlier batches (its decided set is
+      // day-0's edges plus every earlier batch's), folds into the
+      // persisted resolver state, and Δ-applies. Measured per batch.
+      val Batches = 3
+      final case class Inc(rows: Long, mergeW: Double, mergeMb: Double,
+        idxW: Double, idxMb: Double, dxW: Double, dxMb: Double,
+        edges: Long, decideW: Double, decideMb: Double, changed: Long,
+        applyW: Double, applyMb: Double, applied: Long)
+      var c1: DataFrame = null
+      var deltaEdgesAll: DataFrame = merges0.limit(0)
+      val incs = (0 until Batches).map { k =>
+        val deltaK = delta
+          .filter(pmod(xxhash64(col("canonical_id")), lit(Batches)) === k)
+          .withColumn("last_seen", lit(s"d${k + 1}"))
+        val nRows = deltaK.count()
+        val (_, mergeW) = timed(MergeLake.append(deltaK, lakePath): Unit)
+        val mergeMb = stageMb()
+        if (c1 != null) c1.unpersist()
+        c1 = Caches.pin(corpus())
+        val (tf, idxW) = timed {
+          val v = EntityStore.view(c1, withExternal = cfg.external)
+          Caches.pin(graft.blocker.Blocker.termFrequencies(
+            graft.blocker.EntityTokenizer.entries(v), Xref.compatDf(spark),
+            Xref.boostsDf(spark), cfg.blocker,
+            dampFields = graft.blocker.EntityTokenizer.DampFields))
+        }
+        val idxMb = stageMb()
+        val decided = land(merges0.unionByName(deltaEdgesAll), "decided")
+        val isDeltaK = isDeltaId(col("id")) &&
+          pmod(xxhash64(col("id")), lit(Batches)) === k
+        val (edgesK, dxW) = timed {
+          land(Xref.scoredDeltaPairs(spark, c1, decided, isDeltaK, cfg,
+            Some(tf))
+            .filter(col("score") > threshold)
+            .select(col("lid").as("src"), col("rid").as("dst")),
+            s"delta-edges-$k")
+        }
+        val nDx = edgesK.count()
+        val dxMb = stageMb()
+        val (changed, decideW) = timed(ResolveStream
+          .applyBatchChanged(spark, edgesK, statePath, s"d${k + 1}"))
+        val nChanged = changed.count()
+        val decideMb = stageMb()
+        // Δ-scoped apply: re-elect canonicals for the clusters the
+        // batch touched, rewrite ONLY their members' statements — the
+        // write set a production increment actually lands
+        val (nApplied, applyW) = timed {
+          val st1 = ResolveStream.state(spark, statePath)
+          val touched = changed.select(col("cluster")).distinct()
+          val members = st1.join(broadcast(touched), Seq("cluster"),
+            "left_semi")
+          val cm = Resolver.canonicalMap(members, CliArgs.idWeight)
+          val slice = c1.join(
+            broadcast(members.select(col("id").as("canonical_id"))),
+            Seq("canonical_id"), "left_semi")
+          CliArgs.applyCanonical(slice, cm)
+            .write.mode("overwrite").parquet(s"$scratch/apply-delta-$k")
+          spark.read.parquet(s"$scratch/apply-delta-$k").count()
+        }
+        val applyMb = stageMb()
+        changed.unpersist()
+        tf.unpersist()
+        deltaEdgesAll = land(deltaEdgesAll.unionByName(edgesK),
+          s"edges-all-$k")
+        Inc(nRows, mergeW, mergeMb, idxW, idxMb, dxW, dxMb, nDx,
+          decideW, decideMb, nChanged, applyW, applyMb, nApplied)
       }
-      val idxMb = stageMb()
-      val (deltaEdges, dxW) = timed {
-        land(Xref.scoredDeltaPairs(spark, c1, merges0,
-          isDeltaId(col("id")), cfg, Some(tf))
-          .filter(col("score") > threshold)
-          .select(col("lid").as("src"), col("rid").as("dst")),
-          "delta-edges")
-      }
-      val nDx = deltaEdges.count()
-      val dxMb = stageMb()
-      val (changed, decideW) = timed(
-        ResolveStream.applyBatchChanged(spark, deltaEdges, statePath, "d1"))
-      val nChanged = changed.count()
-      val decideMb = stageMb()
-      // Δ-scoped apply: re-elect canonicals for the clusters the batch
-      // touched, rewrite ONLY their members' statements — the write
-      // set a production increment actually lands
-      val (nApplied, applyW) = timed {
-        val st1 = ResolveStream.state(spark, statePath)
-        val touched = changed.select(col("cluster")).distinct()
-        val members = st1.join(broadcast(touched), Seq("cluster"),
-          "left_semi")
-        val cm = Resolver.canonicalMap(members, CliArgs.idWeight)
-        val slice = c1.join(
-          broadcast(members.select(col("id").as("canonical_id"))),
-          Seq("canonical_id"), "left_semi")
-        CliArgs.applyCanonical(slice, cm)
-          .write.mode("overwrite").parquet(s"$scratch/apply-delta")
-        spark.read.parquet(s"$scratch/apply-delta").count()
-      }
-      val applyMb = stageMb()
-      changed.unpersist()
+      val deltaEdges = deltaEdgesAll
 
       // ---- the oracle: loop end state ≡ one from-scratch batch run
       val stLoop = Caches.pin(ResolveStream.state(spark, statePath))
@@ -605,20 +633,28 @@ object Soak {
       val edgeDiff = eLoop.exceptAll(eFull).count() +
         eFull.exceptAll(eLoop).count()
 
+      val incJson = incs.map { i =>
+        f"""{"rows":${i.rows},"merge_wall_sec":${i.mergeW}%.2f,""" +
+          f""""merge_shuffle_mb":${i.mergeMb}%.1f,""" +
+          f""""index_refresh_wall_sec":${i.idxW}%.1f,""" +
+          f""""index_refresh_shuffle_mb":${i.idxMb}%.1f,""" +
+          f""""delta_xref_wall_sec":${i.dxW}%.2f,""" +
+          f""""delta_xref_shuffle_mb":${i.dxMb}%.1f,""" +
+          f""""delta_edges":${i.edges},""" +
+          f""""decide_wall_sec":${i.decideW}%.2f,""" +
+          f""""decide_shuffle_mb":${i.decideMb}%.1f,""" +
+          f""""changed_members":${i.changed},""" +
+          f""""apply_wall_sec":${i.applyW}%.2f,""" +
+          f""""apply_shuffle_mb":${i.applyMb}%.1f,""" +
+          f""""applied_rows":${i.applied}}"""
+      }.mkString("[", ",", "]")
       println(f"""{"soak":"loop","fixture":"donations","replicas":$replicas,""" +
         f""""stmts":${c1.count()},"day0_merges":$nM0,""" +
         f""""day0_ingest_wall_sec":$d0IngestW%.1f,""" +
         f""""day0_xref_wall_sec":$d0XrefW%.1f,""" +
         f""""day0_decide_wall_sec":$d0DecideW%.1f,""" +
         f""""day0_shuffle_mb":$d0Mb%.1f,""" +
-        f""""merge_wall_sec":$mergeW%.2f,"merge_shuffle_mb":$mergeMb%.1f,""" +
-        f""""index_refresh_wall_sec":$idxW%.1f,"index_refresh_shuffle_mb":$idxMb%.1f,""" +
-        f""""delta_xref_wall_sec":$dxW%.2f,"delta_xref_shuffle_mb":$dxMb%.1f,""" +
-        f""""delta_edges":$nDx,""" +
-        f""""decide_wall_sec":$decideW%.2f,"decide_shuffle_mb":$decideMb%.1f,""" +
-        f""""changed_members":$nChanged,""" +
-        f""""apply_wall_sec":$applyW%.2f,"apply_shuffle_mb":$applyMb%.1f,""" +
-        f""""applied_rows":$nApplied,""" +
+        f""""increments":$incJson,""" +
         f""""full_xref_wall_sec":$fullXrefW%.1f,""" +
         f""""full_rest_wall_sec":$fullRestW%.1f,""" +
         f""""edge_diff":$edgeDiff,"state_mismatches":$mismatches}""")
