@@ -46,9 +46,10 @@ import org.apache.spark.sql.functions._
   * base directory and repoints the manifest (MergeLakeCrashSpec kills
   * the writer between every step and asserts before-or-after, never
   * hybrid). Single concurrent writer assumed, like the reference's
-  * store; readers racing a compaction's post-publish GC should retain
-  * more than one manifest horizon in production (here the previous
-  * generation is collected immediately).
+  * store; readers racing a compaction's post-publish GC get a
+  * retention horizon — by default the previous committed manifest and
+  * everything it references stay on disk for one extra compaction
+  * cycle (`GRAFT_MERGELAKE_RETAIN`, default 2; see [[retained]]).
   *
   * '''Exchange-free snapshot.''' The resolved read decomposes
   * last-writer-wins into `delta_resolved ∪ (base ⟕̸ delta_keys)`: the
@@ -81,7 +82,8 @@ object MergeLake {
     * directories (position = seq for last-writer-wins).
     */
   private[graft] case class Manifest(version: Int, nBuckets: Int,
-      bucketDirs: Map[Int, String], deltas: Seq[String])
+      bucketDirs: Map[Int, String], deltas: Seq[String],
+      schemaJson: String = "")
 
   /** Test-only failpoint: invoked with a step name at every
     * side-effect boundary; a spec that throws from here simulates a
@@ -116,6 +118,7 @@ object MergeLake {
       try new String(in.readAllBytes(), StandardCharsets.UTF_8)
       finally in.close()
     var nBuckets = DefaultBuckets
+    var schemaJson = ""
     val dirs = Map.newBuilder[Int, String]
     val deltas = Seq.newBuilder[String]
     text.linesIterator.map(_.trim).filter(_.nonEmpty).foreach { line =>
@@ -124,20 +127,35 @@ object MergeLake {
         case Array("nbuckets", n) => nBuckets = n.toInt
         case Array("bucket", k, d) => dirs += (k.toInt -> d)
         case Array("delta", d) => deltas += d
+        case Array("schema", b64) => schemaJson = new String(
+          java.util.Base64.getDecoder.decode(b64), StandardCharsets.UTF_8)
         case other => sys.error(s"bad manifest line: ${other.mkString(" ")}")
       }
     }
-    Manifest(v, nBuckets, dirs.result(), deltas.result())
+    Manifest(v, nBuckets, dirs.result(), deltas.result(), schemaJson)
   }
 
   /** Atomic commit: write the complete manifest body to a tmp name,
-    * then rename to `manifest-<version+1>` (create, not overwrite — a
-    * lost race fails loudly rather than clobbering).
+    * then rename to `manifest-<version+1>`. Loud-failure guard for the
+    * two-writer race: on HDFS rename-onto-existing fails by itself, but
+    * on RawLocalFileSystem and POSIX-rename object-store connectors it
+    * silently OVERWRITES — so the destination is exists()-checked
+    * immediately before the rename, and the committed file is read back
+    * and compared after it. A loser of the race therefore errors
+    * (either pre-rename, or post-rename when the read-back shows
+    * another writer's body) instead of silently clobbering or being
+    * clobbered. The check is best-effort — a sub-millisecond mutual
+    * window remains on overwrite-rename filesystems — which is why
+    * single-concurrent-writer stays the documented production
+    * assumption (the class doc); the guard turns the likely races loud.
     */
   private def publish(s: SparkSession, root: Path, m: Manifest): Unit = {
     val f = fs(s, root)
     val body = new StringBuilder("graft-mergelake 1\n")
     body ++= s"nbuckets ${m.nBuckets}\n"
+    if (m.schemaJson.nonEmpty)
+      body ++= s"schema ${java.util.Base64.getEncoder.encodeToString(
+        m.schemaJson.getBytes(StandardCharsets.UTF_8))}\n"
     m.bucketDirs.toSeq.sortBy(_._1).foreach { case (k, d) =>
       body ++= s"bucket $k $d\n" }
     m.deltas.foreach(d => body ++= s"delta $d\n")
@@ -146,9 +164,24 @@ object MergeLake {
     val out = f.create(tmp, false)
     try out.write(body.toString.getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    onStep("publish-staged")
     val dst = new Path(root, f"manifest-$next%08d")
-    if (!f.rename(tmp, dst))
-      sys.error(s"manifest publish lost a race: $dst already committed")
+    def lost(): Nothing = {
+      f.delete(tmp, false)
+      sys.error(s"manifest publish lost a race: $dst already committed " +
+        "by another writer (single-writer assumption violated); this " +
+        "batch's data directories are unreferenced and will be GC'd — " +
+        "re-read the manifest and retry the write")
+    }
+    if (f.exists(dst)) lost()
+    if (!f.rename(tmp, dst)) lost()
+    val in = f.open(dst)
+    val committed =
+      try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+      finally in.close()
+    if (committed != body.toString)
+      sys.error(s"manifest publish raced and was clobbered: $dst holds " +
+        "another writer's commit (single-writer assumption violated)")
   }
 
   // ---- writes ------------------------------------------------------
@@ -161,8 +194,18 @@ object MergeLake {
     * shuffle is O(rows written); AQE sizes the task count to the
     * batch.
     */
+  /** A null upsert key would hash to a null bucket, land as
+    * `bucket=__HIVE_DEFAULT_PARTITION__`, and crash every later
+    * manifest/bucket walk with a NumberFormatException (while the
+    * snapshot anti-join silently never matched it) — fail fast with a
+    * clear message instead, row-level so only batches that actually
+    * contain a null pay the error path.
+    */
   private def withBucket(df: DataFrame, nBuckets: Int): DataFrame =
-    df.withColumn("bucket", pmod(xxhash64(col("stmt_id")), lit(nBuckets)))
+    df.withColumn("bucket",
+        when(col("stmt_id").isNull, raise_error(
+          lit("MergeLake: null upsert key (stmt_id) in batch")))
+          .otherwise(pmod(xxhash64(col("stmt_id")), lit(nBuckets))))
       .repartition(col("bucket"))
 
   /** Within-batch last-writer-wins. Planned AFTER the bucket
@@ -179,7 +222,11 @@ object MergeLake {
 
   private def bucketsIn(f: FileSystem, dir: Path): Seq[Int] =
     f.listStatus(dir).map(_.getPath.getName)
-      .collect { case n if n.startsWith("bucket=") =>
+      // only numeric bucket= names: a foreign partition dir (e.g. a
+      // hand-placed __HIVE_DEFAULT_PARTITION__) must not crash the walk
+      .collect { case n if n.startsWith("bucket=") &&
+          n.stripPrefix("bucket=").nonEmpty &&
+          n.stripPrefix("bucket=").forall(_.isDigit) =>
         n.stripPrefix("bucket=").toInt }.toSeq.sorted
 
   /** Initialize (or reset) the lake with a base corpus. The batch is
@@ -193,12 +240,19 @@ object MergeLake {
     val f = fs(s, root)
     if (f.exists(root)) f.delete(root, true)
     val dir = s"base-${UUID.randomUUID()}"
-    dedupeBatch(withBucket(stmts, nBuckets))
+    val bucketed = dedupeBatch(withBucket(stmts, nBuckets))
+    bucketed
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(new Path(root, dir).toString)
     onStep("init-written")
+    // the schema rides in the manifest so an EMPTY init (day-0 of a
+    // stream, zero merge edges yet) leaves a readable lake: an empty
+    // partitioned write produces no bucket dirs and no parquet footers,
+    // so without this every later snapshot would have nothing to infer
+    // a frame from
     val owned = bucketsIn(f, new Path(root, dir)).map(_ -> dir).toMap
-    publish(s, root, Manifest(0, nBuckets, owned, Seq.empty))
+    publish(s, root,
+      Manifest(0, nBuckets, owned, Seq.empty, bucketed.schema.json))
   }
 
   /** Append one increment — cost O(delta): no read of the base, no
@@ -215,11 +269,16 @@ object MergeLake {
     val m = readManifest(s, root)
     val seq = m.deltas.size + 1
     val dir = f"delta-$seq%06d-${UUID.randomUUID()}"
-    withBucket(delta, m.nBuckets)
+    val bucketed = withBucket(delta, m.nBuckets)
+    bucketed
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(new Path(root, dir).toString)
     onStep("append-written")
-    publish(s, root, m.copy(version = m.version, deltas = m.deltas :+ dir))
+    // backfill the schema line for lakes initialized before it existed
+    val schemaJson =
+      if (m.schemaJson.nonEmpty) m.schemaJson else bucketed.schema.json
+    publish(s, root, m.copy(version = m.version, deltas = m.deltas :+ dir,
+      schemaJson = schemaJson))
     seq
   }
 
@@ -236,7 +295,16 @@ object MergeLake {
       // only the ones the manifest still points here
       if (owned.size == bucketsIn(fs(s, root), new Path(root, dir)).size) df
       else df.filter(col("bucket").isin(owned.keys.toSeq: _*))
-    }.reduce(_ unionByName _)
+    }.reduceOption(_ unionByName _).getOrElse {
+      // zero owned buckets = the lake was initialized from an empty
+      // frame; serve an empty base with the manifest-recorded schema
+      require(m.schemaJson.nonEmpty,
+        s"MergeLake $root has no base buckets and no recorded schema " +
+          "(pre-schema manifest from an empty init) — re-init the lake")
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+    }
 
   private def dirBytes(f: FileSystem, dir: Path): Long =
     f.getContentSummary(dir).getLength

@@ -82,26 +82,38 @@ object Xref {
         boostsDf(s), cfg.blocker, dampFields = EntityTokenizer.DampFields)
     }
     val cand = Blocker.deltaPairScores(tf, isDelta, compat)
-    // pin the candidate table (Δ-sized by contract) before the
-    // fan-out: it feeds the endpoint slice AND the scoring join, and
-    // the slice is consumed by every analysis view — unpinned, the
-    // O(|Δ|·postings) candidate join re-evaluates per consumer
-    // (measured 7 s → 86 s on the 10× loop soak)
-    val undecided = graft.Caches.pin(undecidedOf(cand, decided))
+    // COLLECT the undecided candidate table (Δ-sized by contract,
+    // bounded by the blocker pair budget — the union-find-fast-path
+    // idiom) into ONE literal relation: it feeds the endpoint slice
+    // AND the scoring join, and the slice is consumed by every
+    // analysis view — referencing the O(|Δ|·postings) candidate
+    // SUBTREE from each consumer both re-evaluated the join per
+    // consumer and sent Catalyst's DeduplicateRelations quadratic
+    // (measured 7 s → 86 s at 10×). A pin fixed the re-evaluation but
+    // leaked one cached frame per batch in the continuous-increment
+    // regime; the literal relation needs no cache at all, and the
+    // endpoint id set falls out of the same collected rows with no
+    // second job.
+    val candRows = undecidedOf(cand, decided)
+      .select(col("lid"), col("rid"), col("score")).collect()
+    val undecided = s.createDataFrame(
+      java.util.Arrays.asList(candRows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("lid",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("rid",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("score",
+          org.apache.spark.sql.types.DoubleType))))
     // restrict the scoring corpus to the pair endpoints: the analysis
     // views (assemble, per-entity aggregates, dataset meta) are
     // corpus-sized aggregations, but a delta batch only needs the
     // Δ ∪ partners slice — per-entity derivations are identical on the
     // slice, so results match the full-corpus path row for row while
     // the increment's scoring stays O(|Δ|) instead of O(corpus).
-    // The endpoint set is COLLECTED (bounded: ≤ 2× the Δ-candidate
-    // count, the union-find-fast-path idiom) so the slice's logical
-    // plan stays one literal relation — referencing the candidate
-    // subtree from every analysis view instead sent Catalyst's
-    // DeduplicateRelations quadratic (measured 7 s → 86 s at 10×)
-    val ids = undecided.select(col("lid").as("cid"))
-      .unionAll(undecided.select(col("rid").as("cid"))).distinct()
-      .collect().map(_.getString(0)).toIndexedSeq
+    val ids = candRows.iterator
+      .flatMap(r => Iterator(r.getString(0), r.getString(1)))
+      .toIndexedSeq.distinct
     import s.implicits._
     val slice = stmts.join(broadcast(ids.toDF("cid")),
       stmts("canonical_id") === col("cid"), "left_semi")
