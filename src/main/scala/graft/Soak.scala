@@ -524,9 +524,21 @@ object Soak {
         spark.read.parquet(s"$scratch/$name")
       }
 
-      // ---- day 0: land + resolve the base corpus (batch setup)
-      val (_, d0IngestW) = timed(MergeLake.init(day0, lakePath))
+      // ---- day 0: land + resolve the base corpus (batch setup).
+      // The statement lake buckets by ENTITY (bucketBy canonical_id —
+      // immutable per stmt_id here), so the per-increment slice read of
+      // a touched entity's post-merge statements is a pruned point
+      // lookup, and the blocker index is built once (corpus-sized, the
+      // same work Bench bills as index_build_sec) then FOLDED FORWARD
+      // per increment by BlockerIndex.refresh in O(|Δ|·tokens).
+      val (_, d0IngestW) = timed(
+        MergeLake.init(day0, lakePath, bucketBy = "canonical_id"))
       val c0 = Caches.pin(corpus())
+      val tokenize = (st: DataFrame) => graft.blocker.EntityTokenizer
+        .entries(EntityStore.view(st, withExternal = cfg.external))
+      val idxPath = s"$scratch/blkidx"
+      val (_, d0IdxW) = timed(
+        graft.blocker.BlockerIndex.init(c0, idxPath, tokenize))
       val (merges0, d0XrefW) = timed {
         val (m, _) = Xref.run(spark, c0, decidedNone, cfg)
         land(m.select("src", "dst"), "merges0")
@@ -558,14 +570,30 @@ object Soak {
         val mergeMb = stageMb()
         if (c1 != null) c1.unpersist()
         c1 = Caches.pin(corpus())
-        val (tf, idxW) = timed {
-          val v = EntityStore.view(c1, withExternal = cfg.external)
-          Caches.pin(graft.blocker.Blocker.termFrequencies(
-            graft.blocker.EntityTokenizer.entries(v), Xref.compatDf(spark),
-            Xref.boostsDf(spark), cfg.blocker,
-            dampFields = graft.blocker.EntityTokenizer.DampFields))
+        // index refresh is now the O(|Δ|·tokens) fold: read the touched
+        // entities' post-merge statements back from the entity-bucketed
+        // lake (pruned point read), retokenize ONLY them, fold the
+        // signed stat deltas into the stored artifacts (r11's 13.5-21 s
+        // / 62 MB corpus rebuild per batch was the loop's one
+        // corpus-proportional stage)
+        val touchedIds = deltaK.select(col("canonical_id")).distinct()
+          .collect().map(_.getString(0)).toIndexedSeq
+        val (_, idxW) = timed {
+          val bs = MergeLake.bucketsOf(spark, lakePath, touchedIds)
+          val slice = MergeLake.snapshot(spark, lakePath, Some(bs))
+            .join(broadcast(touchedIds.toDF("cid")),
+              col("canonical_id") === col("cid"), "left_semi")
+            .drop("bucket")
+          graft.blocker.BlockerIndex.refresh(spark, idxPath, slice,
+            touchedIds, s"d${k + 1}", tokenize)
         }
         val idxMb = stageMb()
+        // the TF the delta xref consumes is a lazy VIEW over the
+        // maintained artifacts — no corpus pass, no pin to leak
+        val tf = graft.blocker.BlockerIndex.termFrequencies(spark,
+          idxPath, Xref.compatDf(spark), Xref.boostsDf(spark),
+          cfg.blocker,
+          dampFields = graft.blocker.EntityTokenizer.DampFields)
         val decided = land(merges0.unionByName(deltaEdgesAll), "decided")
         val isDeltaK = isDeltaId(col("id")) &&
           pmod(xxhash64(col("id")), lit(Batches)) === k
@@ -600,7 +628,6 @@ object Soak {
         }
         val applyMb = stageMb()
         changed.unpersist()
-        tf.unpersist()
         deltaEdgesAll = land(deltaEdgesAll.unionByName(edgesK),
           s"edges-all-$k")
         Inc(nRows, mergeW, mergeMb, idxW, idxMb, dxW, dxMb, nDx,
@@ -651,6 +678,7 @@ object Soak {
       println(f"""{"soak":"loop","fixture":"donations","replicas":$replicas,""" +
         f""""stmts":${c1.count()},"day0_merges":$nM0,""" +
         f""""day0_ingest_wall_sec":$d0IngestW%.1f,""" +
+        f""""day0_index_build_wall_sec":$d0IdxW%.1f,""" +
         f""""day0_xref_wall_sec":$d0XrefW%.1f,""" +
         f""""day0_decide_wall_sec":$d0DecideW%.1f,""" +
         f""""day0_shuffle_mb":$d0Mb%.1f,""" +

@@ -109,9 +109,15 @@ object Blocker {
     val n = entries.agg(countDistinct(col("id")).as("n_entities"))
     entries.groupBy(col("token")).agg(countDistinct(col("id")).as("tdf"))
       .crossJoin(broadcast(n))
-      .select(col("token"),
-        (lit(1.0) + log(col("n_entities") / col("tdf"))).as("idf"))
+      .select(col("token"), idfExpr.as("idf"))
   }
+
+  /** The IDF expression over (tdf, n_entities) longs — ONE expression
+    * tree shared with the incrementally-maintained index
+    * ([[BlockerIndex.idfView]]) so both paths produce bit-equal doubles.
+    */
+  private[blocker] def idfExpr: Column =
+    lit(1.0) + log(col("n_entities") / col("tdf"))
 
   /** Per-entity name-token mass, for alias damping
     * (`blocker/index.py:514-519`).
@@ -136,15 +142,26 @@ object Blocker {
     val sw = stopwords(stats, compat, cfg).select(col("token"))
     val i = idf(e)
     val nc = nameCounts(e)
+    weightSelect(
+      e.join(sw, Seq("token"), "left_anti")
+        .join(i, Seq("token"))
+        .join(nc, Seq("id"), "left_outer")
+        .join(broadcast(boosts), Seq("field"), "left_outer"),
+      dampFields)
+  }
+
+  /** The weighting tail over a joined frame carrying `idf`, `boost`
+    * (nullable) and `n_names` (nullable) — ONE expression tree shared
+    * with [[BlockerIndex.termFrequencies]] so the batch build and the
+    * incrementally-maintained index produce bit-equal weights.
+    */
+  private[blocker] def weightSelect(joined: DataFrame,
+      dampFields: Seq[String]): DataFrame = {
     val base = col("idf") * coalesce(col("boost"), lit(1.0))
-    e.join(sw, Seq("token"), "left_anti")
-      .join(i, Seq("token"))
-      .join(nc, Seq("id"), "left_outer")
-      .join(broadcast(boosts), Seq("field"), "left_outer")
-      .select(col("schema"), col("id"), col("field"), col("token"),
-        when(col("field").isin(dampFields: _*),
-          base / sqrt(coalesce(col("n_names"), lit(1L))))
-          .otherwise(base).as("weight"))
+    joined.select(col("schema"), col("id"), col("field"), col("token"),
+      when(col("field").isin(dampFields: _*),
+        base / sqrt(coalesce(col("n_names"), lit(1L))))
+        .otherwise(base).as("weight"))
   }
 
   /** Score shared-token groups: per (left, right, field) take the best

@@ -124,6 +124,64 @@ object BlockerQueries {
       .orderBy(col("score").desc, col("lid").asc, col("rid").asc)
       .limit(cfg.maxPairs)
 
+  /** Incremental index maintenance end to end: build the blocker index
+    * from the stale v1 base of the MERGE scenario
+    * ([[graft.store.StoreQueries.mergeQ]] — every 7th entity missing,
+    * every 3rd name stale), fold forward two increments (the new
+    * entities, then the corrections) with
+    * [[BlockerIndex.refresh]]'s O(|Δ|·tokens) stat folding, and read
+    * the maintained TF back. The oracle is the FULL-REBUILD tf over the
+    * final corpus (byte-identical SQL to q_blk_tf, because the merged
+    * end state IS the clean statement table) — a hash match proves
+    * N incremental index folds ≡ one from-scratch build, the same
+    * proof shape as q_store_merge/q_res_add_edges.
+    *
+    * Like mergeQ, the init/refresh/refresh sequence is the operator
+    * under test and runs inside the query (marker-gated per data dir;
+    * the sequence is deterministic, so a rebuilt dir is
+    * byte-equivalent).
+    */
+  def indexAddQ(s: SparkSession, d: String): DataFrame = {
+    val num = split(col("id"), ":").getItem(1).cast("long")
+    val all = StarStatements(s, d).withColumn("num", num)
+    val cols = Seq("id", "schema", "field", "value").map(col)
+    val tokenize = (df: DataFrame) => Blocker.entries(df, cfg)
+    val path = "/tmp/graft-blkidx-" +
+      sys.props.getOrElse("user.name", "anon") + "/" +
+      graft.IndexLake.fingerprint(d)
+    val marker = new org.apache.hadoop.fs.Path(path, "_APPLIED")
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      val base = all.filter(col("num") % 7 =!= 0)
+        .withColumn("value",
+          when(col("field") === "name" && col("num") % 3 === 0,
+            concat(lit("OLD "), col("value"))).otherwise(col("value")))
+      BlockerIndex.init(base.select(cols: _*), path, tokenize)
+      // increment 1: the entities the v2 merge ADDs (every 7th) —
+      // their post-merge statements are exactly their batch rows
+      val t1 = all.filter(col("num") % 7 === 0)
+      val ids1 = t1.select(col("id")).distinct()
+        .collect().map(_.getString(0)).toSeq
+      BlockerIndex.refresh(s, path, t1.select(cols: _*), ids1, "v2",
+        tokenize)
+      // increment 2: the v3 corrections touch every entity that got a
+      // corrected name (num % 3) or a re-asserted type row (Parts,
+      // num % 5); their post-merge statements are the CLEAN rows
+      val touched2 = (col("num") % 3 === 0) ||
+        (col("schema") === "Part" && col("num") % 5 === 0)
+      val t2 = all.filter(touched2)
+      val ids2 = t2.select(col("id")).distinct()
+        .collect().map(_.getString(0)).toSeq
+      BlockerIndex.refresh(s, path,
+        all.join(t2.select(col("id")).distinct(), Seq("id"), "left_semi")
+          .select(cols: _*),
+        ids2, "v3", tokenize)
+      fs.create(marker, true).close()
+    }
+    BlockerIndex.termFrequencies(s, path, compatDf(s), boostsDf(s), cfg)
+      .withColumn("weight", round(col("weight"), 6))
+  }
+
   /** Symbol-token emission (`sy:` families) over the star names —
     * the blocking analogue of the reference's symbol spans
     * (`blocker/tokenizer.py:71-78`). Map-only until the distinct.
@@ -253,6 +311,7 @@ object BlockerQueries {
     "q_blk_stopword_stats" -> (stopwordStatsQ _),
     "q_blk_top_stopwords" -> (topStopwordsQ _),
     "q_blk_tf" -> (tfRounded _),
+    "q_blk_index_add" -> (indexAddQ _),
     "q_blk_pairs" -> (pairsQ _),
     "q_blk_delta_pairs" -> (deltaPairsQ _),
     "q_blk_match_topk" -> (matchTopKQ _))
@@ -308,6 +367,11 @@ object BlockerQueries {
       SELECT token, cost FROM costs
       ORDER BY cost DESC, token ASC LIMIT 10"""),
     "q_blk_tf" -> (ctePrefix +
+      "SELECT schema, id, field, token, round(weight, 6) AS weight FROM tf"),
+    // the incremental-maintenance proof: same full-rebuild SQL as
+    // q_blk_tf — the engine side got there by folding two deltas into
+    // stored artifacts instead of rebuilding
+    "q_blk_index_add" -> (ctePrefix +
       "SELECT schema, id, field, token, round(weight, 6) AS weight FROM tf"),
     "q_blk_pairs" -> (ctePrefix +
       s"""SELECT lid, rid, score FROM pair_scores

@@ -788,3 +788,54 @@ object MergeLakeMain {
     s.stop()
   }
 }
+
+/** The composed incremental loop as a continuous streaming driver —
+  * the `loop-stream` CLI (r12): day-0 init from a statement corpus,
+  * then every parquet file landing in `<incoming>` is one micro-batch
+  * through the full production increment (MERGE ingest → blocker-index
+  * fold → delta xref → incremental decide → Δ-scoped canonical apply;
+  * [[graft.streaming.LoopStream]]).
+  *
+  * {{{
+  *   loop-stream init <day0.(parquet|ijson)> <rootDir> [--auto-threshold 0.4]
+  *   loop-stream run  <incomingDir> <rootDir> [--drain] [--auto-threshold 0.4]
+  * }}}
+  *
+  * `--drain` processes everything currently in `<incoming>` and stops
+  * (Trigger.AvailableNow — the batch-shaped load run); without it the
+  * query tails the directory until killed.
+  */
+object LoopStreamMain {
+  def main(args: Array[String]): Unit = {
+    val (pos, flags) = CliArgs.parse(args)
+    require(pos.size >= 3, "usage: loop-stream <init|run> <in> <root>")
+    val s = CliArgs.session("loop-stream")
+    import graft.streaming.LoopStream
+    val cfg = CliArgs.xrefConfig(flags).copy(
+      autoThreshold = Some(flags.get("auto-threshold")
+        .map(_.toDouble).getOrElse(0.4)))
+    val p = LoopStream.Paths(pos(2))
+    pos.head match {
+      case "init" =>
+        val day0 = CliArgs.readStatements(s, pos(1),
+            flags.getOrElse("dataset", "default"))
+          .withColumn("stmt_id", col("id"))
+        LoopStream.init(s, day0, p, cfg)
+        println(s"[loop-stream] initialized ${pos(2)}")
+      case "run" =>
+        // schema from the lake the init committed — a file stream
+        // cannot infer it
+        val schema = graft.store.MergeLake.snapshot(s, p.lake)
+          .drop("bucket").schema
+        val incoming = s.readStream.schema(schema).parquet(pos(1))
+        val writer = LoopStream.sink(incoming, p, cfg)
+        val q = (if (flags.contains("drain"))
+          writer.trigger(org.apache.spark.sql.streaming.Trigger
+            .AvailableNow())
+        else writer).start()
+        q.awaitTermination()
+        println(s"[loop-stream] drained ${pos(1)} into ${pos(2)}")
+      case other => sys.error(s"unknown loop-stream verb: $other")
+    }
+  }
+}

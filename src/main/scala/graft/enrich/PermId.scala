@@ -28,6 +28,18 @@ final class PermIdEnricher(orgs: DataFrame, maxRecords: Int = 999) {
 
   /** Queries `(id, schema, names: array, countries: array, lei)` →
     * one row per matched mirror organization, deduplicated.
+    *
+    * Plan shape (the r12 fold of this query's fixed overhead): the
+    * mirror is scanned ONCE — a Generate emits each org under its two
+    * join keys (`name`, and `lei` when present) — and joined once
+    * against ONE broadcast record table holding both the (name ×
+    * country) product rows and the standard-identifier rows. The two
+    * channels are DISJOINT by residuals (a wildcard-country record
+    * skips countries the exact records already cover; a name record
+    * skips an org the same query's lei record will also match), so
+    * the reference's `seen_matches` dedup (`permid.py:190-194`) holds
+    * with no distinct shuffle at all: scan → generate → broadcast-join,
+    * map-only end to end.
     */
   def matchOrganizations(s: SparkSession, queries: DataFrame): DataFrame = {
     val q = queries.filter(col("schema").isin("Organization", "Company",
@@ -42,26 +54,41 @@ final class PermIdEnricher(orgs: DataFrame, maxRecords: Int = 999) {
       .otherwise(when(
         size(col("names")) * (size(base) + 1) < maxRecords,
         array_union(base, array(lit("")))).otherwise(base))
-    val recs = q.select(col("id").as("query_id"), col("lei"),
-      explode(slice(flatten(transform(col("names"), n =>
+    val nameRecs = q.select(col("id").as("query_id"),
+      col("lei").as("q_lei"), base.as("base"),
+      explode(slice(flatten(transform(array_distinct(col("names")), n =>
         transform(countrySet, c => struct(n.as("q_name"),
           c.as("q_country"))))), 1, maxRecords)).as("rec"))
-      .select(col("query_id"), col("lei"), col("rec.q_name"),
-        col("rec.q_country"))
+      .select(col("query_id"), lit("name").as("kind"),
+        col("rec.q_name").as("key"), col("rec.q_country"), col("q_lei"),
+        col("base"))
+    val leiRecs = q.filter(col("lei").isNotNull)
+      .select(col("id").as("query_id"), lit("lei").as("kind"),
+        col("lei").as("key"), lit("").as("q_country"),
+        col("lei").as("q_lei"),
+        array().cast("array<string>").as("base"))
+    val spec = nameRecs.unionByName(leiRecs)
 
-    val m = orgs
-    val byName = recs.join(m,
-      recs("q_name") === m("name") &&
-        (recs("q_country") === "" ||
-          recs("q_country") === upper(m("country"))))
-    val byLei = q.filter(col("lei").isNotNull)
-      .select(col("id").as("query_id"), col("lei").as("q_lei"))
-      .join(m, col("q_lei") === m("lei"))
-    byName.select((Seq(col("query_id")) ++
-      m.columns.map(c => m(c))): _*)
-      .unionByName(byLei.select((Seq(col("query_id")) ++
-        m.columns.map(c => m(c))): _*))
-      .dropDuplicates("query_id", "perm_id")
+    // one mirror pass: each org exploded under its join keys
+    val keyed = orgs.select((orgs.columns.map(col) :+
+      explode(when(col("lei").isNotNull,
+        array(struct(lit("name").as("kind"), col("name").as("key")),
+          struct(lit("lei").as("kind"), col("lei").as("key"))))
+        .otherwise(array(struct(lit("name").as("kind"),
+          col("name").as("key"))))).as("k")): _*)
+    val matched = keyed.join(broadcast(spec),
+      col("k.kind") === spec("kind") && col("k.key") === spec("key") &&
+        (spec("kind") === "lei" ||
+          // name channel: country gate (wildcard rows skip countries
+          // the exact records already matched) + lei-channel overlap
+          // suppression
+          ((col("q_country") === upper(col("country")) ||
+            (col("q_country") === "" &&
+              !array_contains(col("base"), upper(col("country"))))) &&
+            (col("q_lei").isNull || col("lei").isNull ||
+              col("lei") =!= col("q_lei")))))
+    matched.select((Seq(col("query_id")) ++
+      orgs.columns.map(c => matched(c))): _*)
   }
 
   /** `fetch_perm_org` shaping over matched rows. */

@@ -193,6 +193,62 @@ object Multimodal {
     graft.dedup.Dedup.simhashPairsFrom(ahashSigsCk(s, d),
       "doc_id", AHashBands, AHashBandBits, AHashMaxDist)
 
+  /** aHash signatures of the REAL decode path: the 8×8 average-hash
+    * [[decodeMedia]] computes from the ImageIO-decoded raster (header
+    * parse, bottom-up rows, BGR packing — the full codec round-trip),
+    * stored as a lake artifact like every signature table. Two 32-bit
+    * words; they stay separate because a 64-bit pack overflows DuckDB's
+    * checked `<<` in the oracle.
+    */
+  def decodedAhashSigsCk(s: SparkSession, d: String): DataFrame =
+    graft.IndexLake.artifact(s, d, "ahash_decoded_sigs")(
+      decodeQ(s, d).select(col("doc_id"), col("ahash_lo"),
+        col("ahash_hi")))
+
+  /** Decoded-phash banding: all 8 byte-wide bands of the 64-bit hash
+    * (4 over each word), so the pigeonhole guarantee covers distance
+    * ≤ 7 — the decoded aHash separates much harder than the 32-bit
+    * payload hash (measured: the corpus' closest decoded pairs sit at
+    * hamming 7 where the payload hash has pairs at ≤ 3).
+    */
+  val DecAHashBands = 8
+  val DecAHashMaxDist = 7
+
+  /** Perceptual near-duplicate pairs over DECODED pixels — the
+    * image-dedup channel exercising the real BMP decode end to end
+    * (r11 verdict #6: q_mm_phash hashed the honestly-stubbed ASCII
+    * intensity source while real decoders existed in this file).
+    * Same hot-bucket cap and exact post-join hamming as
+    * [[phashPairsQ]]; bands span both hash words ([[DecAHashBands]]
+    * bands of [[AHashBandBits]] bits = the full 64, complete for
+    * distance ≤ [[DecAHashMaxDist]]).
+    */
+  def phashDecodedQ(s: SparkSession, d: String): DataFrame = {
+    val mask = (1L << AHashBandBits) - 1
+    val banded = graft.dedup.Dedup.dropHotBuckets(
+      decodedAhashSigsCk(s, d).select(col("doc_id"), col("ahash_lo"),
+        col("ahash_hi"),
+        explode(array((0 until DecAHashBands).map { i =>
+          val word = if (i < 4) "ahash_lo" else "ahash_hi"
+          struct(lit(i).as("band"),
+            expr(s"shiftright($word, ${AHashBandBits * (i % 4)}) & $mask")
+              .as("key"))
+        }: _*)).as("bk"))
+        .select(col("doc_id"), col("ahash_lo"), col("ahash_hi"),
+          col("bk.band").as("band"), col("bk.key").as("key")),
+      graft.dedup.Dedup.LshBucketCap)
+    val l = banded.select(col("band"), col("key"), col("doc_id").as("a"),
+      col("ahash_lo").as("lo_a"), col("ahash_hi").as("hi_a"))
+    val r = banded.select(col("band"), col("key"), col("doc_id").as("b"),
+      col("ahash_lo").as("lo_b"), col("ahash_hi").as("hi_b"))
+    l.join(r, Seq("band", "key")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        expr("bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b)")
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= DecAHashMaxDist)
+  }
+
 
   // ---------------------------------------------- real container decode
 
@@ -628,27 +684,18 @@ object Multimodal {
     "q_mm_frames" -> (framesQ _),
     "q_mm_features" -> (featuresQ _),
     "q_mm_phash" -> (phashPairsQ _),
+    "q_mm_phash_decoded" -> (phashDecodedQ _),
     "q_mm_decode" -> (decodeQ _),
     "q_mm_decode_jpeg" -> (decodeJpegQ _),
     "q_mm_decode_png" -> (decodePngQ _),
     "q_mm_audio" -> (decodeWavQ _))
 
-  val oracles: Map[String, String] = Map(
-    "q_mm_meta" -> s"""
-      SELECT doc_id, length(text) AS n_bytes,
-             md5(text) AS digest,
-             upper(hex(substring(text, 1, 4))) AS magic
-      FROM documents""",
-    "q_mm_frames" -> (framesCte + """
-      SELECT doc_id, frame_no, md5(frame) AS frame_digest,
-             length(frame) AS frame_bytes
-      FROM frames"""),
-    "q_mm_features" -> (framesCte + s"""
-      SELECT doc_id, count(*) AS n_frames,
-             round(avg(CAST(${Hashing.hash60Sql("frame")}
-               % 1000 AS DOUBLE) / 1000.0), 6) AS mean_feature
-      FROM frames GROUP BY doc_id"""),
-    "q_mm_decode" -> s"""
+  /** Shared decode CTE chain: the arithmetically re-derived raster of
+    * the BMP round-trip (what [[decodeMedia]] must produce if the
+    * codec parsed header/rows/channels correctly) through to the 8×8
+    * aHash words — the prefix of q_mm_decode AND q_mm_phash_decoded.
+    */
+  private val decodeCte: String = s"""
       WITH b AS (
         SELECT doc_id,
                list_transform(range(${DecW * DecH * 3}), i ->
@@ -677,18 +724,58 @@ object Multimodal {
       m AS (
         SELECT doc_id, gs, ks,
                CAST(list_sum(ks) AS BIGINT) // 64 AS km
-        FROM blk)
+        FROM blk),
+      dsig AS (
+        SELECT doc_id, gs,
+               CAST(list_sum(list_transform(range(32), q ->
+                 CASE WHEN ks[CAST(q AS INT) + 1] >= km
+                   THEN CAST(1 AS BIGINT) << CAST(q AS INT)
+                   ELSE 0 END)) AS BIGINT) AS ahash_lo,
+               CAST(list_sum(list_transform(range(32), q ->
+                 CASE WHEN ks[CAST(q AS INT) + 33] >= km
+                   THEN CAST(1 AS BIGINT) << CAST(q AS INT)
+                   ELSE 0 END)) AS BIGINT) AS ahash_hi
+        FROM m)"""
+
+  val oracles: Map[String, String] = Map(
+    "q_mm_meta" -> s"""
+      SELECT doc_id, length(text) AS n_bytes,
+             md5(text) AS digest,
+             upper(hex(substring(text, 1, 4))) AS magic
+      FROM documents""",
+    "q_mm_frames" -> (framesCte + """
+      SELECT doc_id, frame_no, md5(frame) AS frame_digest,
+             length(frame) AS frame_bytes
+      FROM frames"""),
+    "q_mm_features" -> (framesCte + s"""
+      SELECT doc_id, count(*) AS n_frames,
+             round(avg(CAST(${Hashing.hash60Sql("frame")}
+               % 1000 AS DOUBLE) / 1000.0), 6) AS mean_feature
+      FROM frames GROUP BY doc_id"""),
+    "q_mm_decode" -> (decodeCte + s"""
       SELECT doc_id, $DecW AS width, $DecH AS height,
              CAST(list_sum(gs) AS BIGINT) // ${DecW * DecH} AS mean_gray,
-             CAST(list_sum(list_transform(range(32), q ->
-               CASE WHEN ks[CAST(q AS INT) + 1] >= km
-                 THEN CAST(1 AS BIGINT) << CAST(q AS INT)
-                 ELSE 0 END)) AS BIGINT) AS ahash_lo,
-             CAST(list_sum(list_transform(range(32), q ->
-               CASE WHEN ks[CAST(q AS INT) + 33] >= km
-                 THEN CAST(1 AS BIGINT) << CAST(q AS INT)
-                 ELSE 0 END)) AS BIGINT) AS ahash_hi
-      FROM m""",
+             ahash_lo, ahash_hi
+      FROM dsig"""),
+    "q_mm_phash_decoded" -> (decodeCte + s""",
+      dbanded AS (
+        SELECT doc_id, ahash_lo, ahash_hi, CAST(i AS INT) AS band,
+               (CASE WHEN i < 4 THEN ahash_lo ELSE ahash_hi END
+                 >> (CAST(i % 4 AS INT) * $AHashBandBits))
+                 & ${(1L << AHashBandBits) - 1} AS key
+        FROM dsig, unnest(range($DecAHashBands)) t(i)),
+      dkept AS (
+        SELECT dbanded.* FROM dbanded
+        JOIN (SELECT band, key FROM dbanded GROUP BY band, key
+              HAVING count(*) <= ${graft.dedup.Dedup.LshBucketCap}) f
+          ON dbanded.band = f.band AND dbanded.key = f.key)
+      SELECT a, b, hamming FROM (
+        SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+               bit_count(xor(l.ahash_lo, r.ahash_lo))
+                 + bit_count(xor(l.ahash_hi, r.ahash_hi)) AS hamming
+        FROM dkept l JOIN dkept r
+          ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)
+      WHERE hamming <= $DecAHashMaxDist"""),
     "q_mm_decode_jpeg" -> """
       WITH q AS (
         SELECT doc_id,

@@ -83,7 +83,7 @@ object MergeLake {
     */
   private[graft] case class Manifest(version: Int, nBuckets: Int,
       bucketDirs: Map[Int, String], deltas: Seq[String],
-      schemaJson: String = "")
+      schemaJson: String = "", bucketCol: String = "stmt_id")
 
   /** Test-only failpoint: invoked with a step name at every
     * side-effect boundary; a spec that throws from here simulates a
@@ -104,6 +104,12 @@ object MergeLake {
       case ManifestRe(n) => n.toInt
     }.toSeq
 
+  /** Version of the current committed manifest — the pin a caller-side
+    * manifest records for later [[snapshot]] reads at this exact state.
+    */
+  def currentVersion(s: SparkSession, path: String): Int =
+    readManifest(s, new Path(path)).version
+
   private[graft] def readManifest(s: SparkSession, root: Path): Manifest = {
     val f = fs(s, root)
     val versions = manifestVersions(f, root)
@@ -119,12 +125,14 @@ object MergeLake {
       finally in.close()
     var nBuckets = DefaultBuckets
     var schemaJson = ""
+    var bucketCol = "stmt_id"
     val dirs = Map.newBuilder[Int, String]
     val deltas = Seq.newBuilder[String]
     text.linesIterator.map(_.trim).filter(_.nonEmpty).foreach { line =>
       line.split(' ') match {
         case Array("graft-mergelake", "1") => ()
         case Array("nbuckets", n) => nBuckets = n.toInt
+        case Array("bucketcol", c) => bucketCol = c
         case Array("bucket", k, d) => dirs += (k.toInt -> d)
         case Array("delta", d) => deltas += d
         case Array("schema", b64) => schemaJson = new String(
@@ -132,7 +140,8 @@ object MergeLake {
         case other => sys.error(s"bad manifest line: ${other.mkString(" ")}")
       }
     }
-    Manifest(v, nBuckets, dirs.result(), deltas.result(), schemaJson)
+    Manifest(v, nBuckets, dirs.result(), deltas.result(), schemaJson,
+      bucketCol)
   }
 
   /** Atomic commit: write the complete manifest body to a tmp name,
@@ -153,6 +162,7 @@ object MergeLake {
     val f = fs(s, root)
     val body = new StringBuilder("graft-mergelake 1\n")
     body ++= s"nbuckets ${m.nBuckets}\n"
+    if (m.bucketCol != "stmt_id") body ++= s"bucketcol ${m.bucketCol}\n"
     if (m.schemaJson.nonEmpty)
       body ++= s"schema ${java.util.Base64.getEncoder.encodeToString(
         m.schemaJson.getBytes(StandardCharsets.UTF_8))}\n"
@@ -200,13 +210,34 @@ object MergeLake {
     * snapshot anti-join silently never matched it) — fail fast with a
     * clear message instead, row-level so only batches that actually
     * contain a null pay the error path.
+    *
+    * `bucketCol` is the clustering column (default = the upsert key).
+    * A different column — e.g. the ENTITY id of a statement lake, so
+    * point reads by entity prune to one bucket — must be immutable per
+    * key: every write of a given `stmt_id` must carry the same
+    * `bucketCol` value, or last-writer-wins would straddle buckets and
+    * compaction could resurrect superseded rows.
     */
-  private def withBucket(df: DataFrame, nBuckets: Int): DataFrame =
+  private def withBucket(df: DataFrame, nBuckets: Int,
+      bucketCol: String): DataFrame =
     df.withColumn("bucket",
-        when(col("stmt_id").isNull, raise_error(
-          lit("MergeLake: null upsert key (stmt_id) in batch")))
-          .otherwise(pmod(xxhash64(col("stmt_id")), lit(nBuckets))))
+        when(col("stmt_id").isNull || col(bucketCol).isNull, raise_error(
+          lit(s"MergeLake: null upsert key (stmt_id) or bucket column " +
+            s"($bucketCol) in batch")))
+          .otherwise(pmod(xxhash64(col(bucketCol)), lit(nBuckets))))
       .repartition(col("bucket"))
+
+  /** Bucket ids a set of `bucketCol` values hashes to — the partition
+    * pruning set for a point read ([[snapshot]]'s `buckets` argument).
+    */
+  def bucketsOf(s: SparkSession, path: String,
+      values: Seq[String]): Seq[Int] = {
+    val m = readManifest(s, new Path(path))
+    import s.implicits._
+    values.toDF("v")
+      .select(pmod(xxhash64(col("v")), lit(m.nBuckets)).as("b"))
+      .distinct().collect().map(_.getLong(0).toInt).toSeq.sorted
+  }
 
   /** Within-batch last-writer-wins. Planned AFTER the bucket
     * repartition so the window's (bucket, stmt_id) clustering is
@@ -234,13 +265,13 @@ object MergeLake {
     * what lets [[snapshot]] skip the corpus-sized window.
     */
   def init(stmts: DataFrame, path: String,
-      nBuckets: Int = DefaultBuckets): Unit = {
+      nBuckets: Int = DefaultBuckets, bucketBy: String = "stmt_id"): Unit = {
     val s = stmts.sparkSession
     val root = new Path(path)
     val f = fs(s, root)
     if (f.exists(root)) f.delete(root, true)
     val dir = s"base-${UUID.randomUUID()}"
-    val bucketed = dedupeBatch(withBucket(stmts, nBuckets))
+    val bucketed = dedupeBatch(withBucket(stmts, nBuckets, bucketBy))
     bucketed
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(new Path(root, dir).toString)
@@ -252,7 +283,8 @@ object MergeLake {
     // a frame from
     val owned = bucketsIn(f, new Path(root, dir)).map(_ -> dir).toMap
     publish(s, root,
-      Manifest(0, nBuckets, owned, Seq.empty, bucketed.schema.json))
+      Manifest(0, nBuckets, owned, Seq.empty, bucketed.schema.json,
+        bucketBy))
   }
 
   /** Append one increment — cost O(delta): no read of the base, no
@@ -269,7 +301,7 @@ object MergeLake {
     val m = readManifest(s, root)
     val seq = m.deltas.size + 1
     val dir = f"delta-$seq%06d-${UUID.randomUUID()}"
-    val bucketed = withBucket(delta, m.nBuckets)
+    val bucketed = withBucket(delta, m.nBuckets, m.bucketCol)
     bucketed
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(new Path(root, dir).toString)
@@ -317,9 +349,16 @@ object MergeLake {
     * delta rows shuffle.
     */
   def snapshot(s: SparkSession, path: String,
-      buckets: Option[Seq[Int]] = None): DataFrame = {
+      buckets: Option[Seq[Int]] = None,
+      version: Option[Int] = None): DataFrame = {
     val root = new Path(path)
-    val m = readManifest(s, root)
+    val m = version match {
+      // pinned read: a caller whose own manifest references a specific
+      // lake version (the blocker index) resolves THAT committed state,
+      // not whatever a concurrent append published since
+      case Some(v) => readManifestVersion(fs(s, root), root, v)
+      case None => readManifest(s, root)
+    }
     def scoped(df: DataFrame): DataFrame = buckets match {
       case Some(bs) => df.filter(col("bucket").isin(bs: _*))
       case None => df

@@ -115,7 +115,20 @@ object Xref {
       .flatMap(r => Iterator(r.getString(0), r.getString(1)))
       .toIndexedSeq.distinct
     import s.implicits._
-    val slice = stmts.join(broadcast(ids.toDF("cid")),
+    // close the slice over addressEntity dereferences: the view
+    // builder resolves an entity's address THROUGH the referenced
+    // Address entity's statements (EntityMatch.views refFull join), so
+    // an endpoint slice without them scores the address features
+    // against missing data (measured on donations: a cross-batch pair
+    // scored 0.221 on the unclosed slice vs 0.472 on the full corpus —
+    // a silently dropped merge edge). One Δ-sized lookup, collected
+    // under the same bounded-endpoint contract.
+    val refIds = stmts.filter(col("prop") === "addressEntity")
+      .join(broadcast(ids.toDF("cid")),
+        stmts("canonical_id") === col("cid"), "left_semi")
+      .select(col("value")).distinct()
+      .collect().map(_.getString(0)).toIndexedSeq
+    val slice = stmts.join(broadcast((ids ++ refIds).distinct.toDF("cid")),
       stmts("canonical_id") === col("cid"), "left_semi")
     scoreCandidates(s, slice, undecided, cfg)
   }
