@@ -274,11 +274,73 @@ object BlockerIndex {
     writeStats(s, indexPath, statsDir,
       statRows(newEntries, 1).unionByName(statRows(oldExploded, -1)))
     MergeLake.append(packedBatch(newEntries, touchedDf, gen), lake)
-    if (MergeLake.readManifest(s, new Path(lake)).deltas.size >=
-        compactEvery)
-      MergeLake.compact(s, lake): Unit
     commit(s, indexPath, IdxManifest(m.version + 1,
       MergeLake.currentVersion(s, lake), m.statsDirs :+ statsDir))
+    // scheduled maintenance: past the threshold, fold everything so
+    // reads stay one bare scan + one folded stats scan
+    if (m.statsDirs.size + 1 >= compactEvery) compact(s, indexPath)
+  }
+
+  /** Fold the index's maintenance state: compact the entries lake
+    * (merge-on-read union → bare scan) and fold the signed stat log
+    * into ONE generation, committing a manifest that pins both — the
+    * scheduled maintenance a deployment runs every K increments, and
+    * what keeps the TF view's read cost flat as generations accumulate
+    * (each uncompacted delta adds a window leg to every snapshot and a
+    * log dir to every stats fold). Crash-safe like refresh: nothing is
+    * visible until the final manifest commit; the folded stats dir is
+    * deterministic per target version, so a replay reuses it.
+    */
+  def compact(s: SparkSession, indexPath: String): Unit = {
+    val m = readManifest(s, indexPath)
+    val lake = entriesPath(indexPath)
+    val dir = f"stats-compact-${m.version + 1}%08d"
+    val folded = statsLog(s, indexPath)
+      .groupBy(col("kind"), col("token"), col("schema"), col("field"))
+      .agg(sum(col("df")).as("df"), sum(col("freq")).as("freq"),
+        sum(col("tdf")).as("tdf"), sum(col("n")).as("n"))
+      // fully-retracted rows fold to zero — drop them so the vocab
+      // stays tight (the corpus-count row always survives)
+      .filter(col("kind") === "n" ||
+        coalesce(col("df"), lit(0L)) =!= 0 ||
+        coalesce(col("freq"), lit(0L)) =!= 0 ||
+        coalesce(col("tdf"), lit(0L)) =!= 0)
+    writeStats(s, indexPath, dir, folded)
+    MergeLake.compact(s, lake): Unit
+    commit(s, indexPath, IdxManifest(m.version + 1,
+      MergeLake.currentVersion(s, lake), Seq(dir)))
+    gc(s, indexPath)
+  }
+
+  /** Drop stats generations and blkidx manifests outside the retention
+    * horizon (current + previous manifest — the same in-flight-reader
+    * grace MergeLake keeps). Everything deleted is unreachable from
+    * every retained manifest.
+    */
+  private def gc(s: SparkSession, indexPath: String): Unit = {
+    val root = new Path(indexPath)
+    val f = fs(s, root)
+    val keep = versions(f, root).sorted.takeRight(2)
+    val live = keep.flatMap { v =>
+      // re-read via the single-version path: readManifest resolves max
+      val in = f.open(new Path(root, f"blkidx-$v%08d"))
+      val text =
+        try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+        finally in.close()
+      text.linesIterator.map(_.trim).collect {
+        case l if l.startsWith("stats ") => l.stripPrefix("stats ")
+      }
+    }.toSet
+    f.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      val stale =
+        (n.startsWith("stats-") && !live(n)) ||
+          (n match {
+            case IdxRe(v) => !keep.contains(v.toInt)
+            case _ => n.startsWith("blkidx-") && n.contains(".tmp-")
+          })
+      if (stale) f.delete(st.getPath, true): Unit
+    }
   }
 
   // ---- reads ---------------------------------------------------------

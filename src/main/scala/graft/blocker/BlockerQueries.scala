@@ -176,6 +176,11 @@ object BlockerQueries {
         all.join(t2.select(col("id")).distinct(), Seq("id"), "left_semi")
           .select(cols: _*),
         ids2, "v3", tokenize)
+      // production maintenance after the increment burst: fold the
+      // stat log + compact the entries lake so every later TF read is
+      // one bare scan + one folded stats scan (the uncompacted view
+      // measured 25 jobs / 3.3 s at sf0.1; compacted ~8 jobs)
+      BlockerIndex.compact(s, path)
       fs.create(marker, true).close()
     }
     BlockerIndex.termFrequencies(s, path, compatDf(s), boostsDf(s), cfg)

@@ -55,7 +55,8 @@ object Search {
     Queries.flatMap { case (qid, text) => text.split(" ").map(qid -> _) }
 
   def bm25Q(s: SparkSession, d: String): DataFrame =
-    bm25Core(s, postingsCk(s, d), QueryTerms)
+    bm25Core(s, postingsCk(s, d), QueryTerms,
+      statsPre = Some(postingsStatsCk(s, d)))
 
   def bm25Of(s: SparkSession, docs: DataFrame,
       queryTerms: Seq[(Int, String)]): DataFrame =
@@ -144,14 +145,24 @@ object Search {
   def clearCache(): Unit = { postingsCache.clear(); statsCache.clear() }
 
   def bm25Core(s: SparkSession, tf: DataFrame,
-      queryTerms: Seq[(Int, String)]): DataFrame = {
+      queryTerms: Seq[(Int, String)],
+      statsPre: Option[DataFrame] = None): DataFrame = {
     // (n_docs, avgdl) from the postings: docs with ≥ 1 word ⇔ docs
     // with ≥ 1 posting row, so this equals the base-table aggregate
-    // the oracle computes
-    val stats = tf.select(col("doc_id"), col("dl")).distinct().agg(
-      count(lit(1)).as("n_docs"),
-      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-    val dfs = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // the oracle computes. Callers with a stored postings artifact
+    // pass the 1-row stats artifact instead (postingsStatsCk) — the
+    // live recompute here cost one full corpus-distinct scan per
+    // query (a 1.4 s / 32-task stage at sf0.1).
+    val stats = statsPre.getOrElse(
+      tf.select(col("doc_id"), col("dl")).distinct().agg(
+        count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl")))
+    // df only matters for the ≤|queryTerms| joined terms — the filter
+    // reaches the parquet scan (PushedFilters), where the unrestricted
+    // groupBy aggregated the whole vocabulary per query
+    val dfs = tf
+      .filter(col("term").isInCollection(queryTerms.map(_._2).distinct))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val qt = s.createDataFrame(queryTerms).toDF("qid", "term")
     // (qid, term, idf, avgdl): ≤ |query terms| rows → broadcast side
     val qidf = broadcast(qt.join(dfs, Seq("term")).crossJoin(stats)
