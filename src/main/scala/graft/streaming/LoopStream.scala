@@ -152,8 +152,18 @@ object LoopStream {
     // its whole cluster into the map) — without the closure an upsert
     // would regress a day-0 rewrite back to a raw id.
     val st = ResolveStream.state(s, p.state)
+    // the write-set clusters derive from the batch's TOUCHED entities,
+    // not from `changed`: every cluster this batch's edges merged
+    // contains a touched entity (delta edges always have a Δ
+    // endpoint), so clusters-of-touched ⊇ changed-clusters — and
+    // unlike `changed` (empty on a replay, whose edges are already
+    // intra-cluster) it is REPLAY-STABLE: a batch whose decide
+    // committed but whose apply crashed still rewrites the flipped
+    // members when re-run
     val members0 = st.join(
-      broadcast(changed.select(col("cluster")).distinct()),
+      broadcast(st.join(broadcast(touched.toDF("tid")),
+          st("id") === col("tid"), "left_semi")
+        .select(col("cluster")).distinct()),
       Seq("cluster"), "left_semi")
     // referrers key on ALL members of the touched clusters, not just
     // the relabeled ids: a batch that merges into an existing cluster

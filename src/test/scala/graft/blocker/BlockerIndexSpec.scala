@@ -126,6 +126,13 @@ class BlockerIndexSpec extends AnyFunSuite {
     assert(e.getMessage.contains("already committed"))
   }
 
+  // The index-manifest commit's two-writer loud-failure guard is the
+  // same exists-check + rename + read-back protocol MergeLake.publish
+  // uses, whose interleavings MergeLakeRaceSpec pins through the
+  // publish-staged failpoint; BlockerIndex has no failpoint of its
+  // own, and a pre-planted manifest is not a race (readManifest simply
+  // resolves it as the current state and builds on top).
+
   test("forced per-refresh compaction preserves equality") {
     val path = java.nio.file.Files
       .createTempDirectory("blkidx").toString + "/idx"

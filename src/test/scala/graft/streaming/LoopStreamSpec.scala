@@ -66,6 +66,21 @@ class LoopStreamSpec extends AnyFunSuite {
       q.processAllAvailable()
     } finally q.stop()
 
+    // at-least-once replay: foreachBatch may re-run a whole committed
+    // batch — re-apply the LAST micro-batch verbatim (same gen b1) and
+    // require the canonical lake unchanged (the index fold skips its
+    // committed generation, the duplicate lake append resolves LWW to
+    // identical content, the decide finds its edges intra-cluster, and
+    // the re-applied write set re-elects the same canonicals)
+    val before = MergeLake.snapshot(spark, p.canonical)
+      .select(col("id"), col("canonical_id"), col("prop"), col("value"))
+      .collect().map(_.toString).sorted.toSeq
+    LoopStream.processBatch(spark, half(1).toDF(), "b1", p, cfg)
+    val after = MergeLake.snapshot(spark, p.canonical)
+      .select(col("id"), col("canonical_id"), col("prop"), col("value"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(after === before, "replaying a committed batch changed state")
+
     // from-scratch batch run over the final corpus
     val none = Seq.empty[(String, String)].toDF("src", "dst")
     val (m, _) = Xref.run(spark, all, none, cfg)
