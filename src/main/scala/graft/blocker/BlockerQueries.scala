@@ -146,23 +146,24 @@ object BlockerQueries {
     val all = StarStatements(s, d).withColumn("num", num)
     val cols = Seq("id", "schema", "field", "value").map(col)
     val tokenize = (df: DataFrame) => Blocker.entries(df, cfg)
-    val path = "/tmp/graft-blkidx-" +
+    // built under a scratch dir, published atomically (BuildOnce):
+    // racing sessions can't init() over each other's half-built index,
+    // and the engine-build hash inside the fingerprint retires stale
+    // artifacts
+    val path = graft.store.BuildOnce(s, "/tmp/graft-blkidx-" +
       sys.props.getOrElse("user.name", "anon") + "/" +
-      graft.IndexLake.fingerprint(d)
-    val marker = new org.apache.hadoop.fs.Path(path, "_APPLIED")
-    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker)) {
+      graft.IndexLake.fingerprint(d)) { tmp =>
       val base = all.filter(col("num") % 7 =!= 0)
         .withColumn("value",
           when(col("field") === "name" && col("num") % 3 === 0,
             concat(lit("OLD "), col("value"))).otherwise(col("value")))
-      BlockerIndex.init(base.select(cols: _*), path, tokenize)
+      BlockerIndex.init(base.select(cols: _*), tmp, tokenize)
       // increment 1: the entities the v2 merge ADDs (every 7th) —
       // their post-merge statements are exactly their batch rows
       val t1 = all.filter(col("num") % 7 === 0)
       val ids1 = t1.select(col("id")).distinct()
         .collect().map(_.getString(0)).toSeq
-      BlockerIndex.refresh(s, path, t1.select(cols: _*), ids1, "v2",
+      BlockerIndex.refresh(s, tmp, t1.select(cols: _*), ids1, "v2",
         tokenize)
       // increment 2: the v3 corrections touch every entity that got a
       // corrected name (num % 3) or a re-asserted type row (Parts,
@@ -172,7 +173,7 @@ object BlockerQueries {
       val t2 = all.filter(touched2)
       val ids2 = t2.select(col("id")).distinct()
         .collect().map(_.getString(0)).toSeq
-      BlockerIndex.refresh(s, path,
+      BlockerIndex.refresh(s, tmp,
         all.join(t2.select(col("id")).distinct(), Seq("id"), "left_semi")
           .select(cols: _*),
         ids2, "v3", tokenize)
@@ -180,8 +181,7 @@ object BlockerQueries {
       // stat log + compact the entries lake so every later TF read is
       // one bare scan + one folded stats scan (the uncompacted view
       // measured 25 jobs / 3.3 s at sf0.1; compacted ~8 jobs)
-      BlockerIndex.compact(s, path)
-      fs.create(marker, true).close()
+      BlockerIndex.compact(s, tmp)
     }
     BlockerIndex.termFrequencies(s, path, compatDf(s), boostsDf(s), cfg)
       .withColumn("weight", round(col("weight"), 6))

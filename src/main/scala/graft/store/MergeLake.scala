@@ -110,6 +110,13 @@ object MergeLake {
   def currentVersion(s: SparkSession, path: String): Int =
     readManifest(s, new Path(path)).version
 
+  /** Number of live (uncompacted) delta directories — each one adds a
+    * window leg to every [[snapshot]]; schedulers compare this against
+    * their compaction threshold (manifest read only, no data touched).
+    */
+  def deltaCount(s: SparkSession, path: String): Int =
+    readManifest(s, new Path(path)).deltas.size
+
   private[graft] def readManifest(s: SparkSession, root: Path): Manifest = {
     val f = fs(s, root)
     val versions = manifestVersions(f, root)
@@ -306,6 +313,16 @@ object MergeLake {
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(new Path(root, dir).toString)
     onStep("append-written")
+    // empty-batch no-op: a zero-row partitioned write leaves no bucket
+    // dirs and no parquet footers, so committing it would both add a
+    // schema-less delta every later snapshot fails to read AND grow the
+    // live-delta list for nothing (continuous callers — the loop's edge
+    // lake — legitimately produce empty increments)
+    val f = fs(s, root)
+    if (bucketsIn(f, new Path(root, dir)).isEmpty) {
+      f.delete(new Path(root, dir), true)
+      return m.deltas.size
+    }
     // backfill the schema line for lakes initialized before it existed
     val schemaJson =
       if (m.schemaJson.nonEmpty) m.schemaJson else bucketed.schema.json

@@ -226,21 +226,16 @@ object StoreQueries {
       .withColumn("last_seen", lit("v3"))
     val cols = Seq("stmt_id", "id", "schema", "field", "value", "last_seen")
       .map(col)
-    val path = "/tmp/graft-merge-" +
+    // read-or-build like every stored artifact, built under a scratch
+    // dir and published atomically (BuildOnce) — the apply sequence is
+    // deterministic per data dir, so a raced rebuild is byte-equivalent
+    val path = BuildOnce(s, "/tmp/graft-merge-" +
       sys.props.getOrElse("user.name", "anon") + "/" +
-      graft.IndexLake.fingerprint(d)
-    // read-or-build like every stored artifact (the lake build is the
-    // ingest; the marker gates readers exactly like IndexLake's): the
-    // apply sequence is deterministic per data dir, so a rebuilt dir
-    // is byte-equivalent
-    val marker = new org.apache.hadoop.fs.Path(path, "_APPLIED")
-    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker)) {
-      MergeLake.init(base.select(cols: _*), path)
-      MergeLake.append(delta1.select(cols: _*), path)
-      MergeLake.append(delta2.select(cols: _*), path)
-      MergeLake.compact(s, path)
-      fs.create(marker, true).close()
+      graft.IndexLake.fingerprint(d)) { tmp =>
+      MergeLake.init(base.select(cols: _*), tmp)
+      MergeLake.append(delta1.select(cols: _*), tmp)
+      MergeLake.append(delta2.select(cols: _*), tmp)
+      MergeLake.compact(s, tmp): Unit
     }
     MergeLake.snapshot(s, path).select(cols: _*)
   }
@@ -259,12 +254,86 @@ object StoreQueries {
                 ELSE 'v1' END AS last_seen
     FROM numbered"""
 
+  /** Incremental inverted-reference maintenance end to end
+    * ([[RefIndex]] — the stored `get_inverted` of reference
+    * `store/sql.py:219-237`): orders are entities whose `customer`
+    * property REFERENCES a customer entity. The v1 base misses every
+    * 7th order and points every 3rd at a STALE (nonexistent) customer;
+    * increment 1 adds the missing orders, increment 2 corrects the
+    * stale references — so the fold must both ADD postings and RETRACT
+    * the stale ones (tombstones), then a production compaction folds
+    * the posting lake. The read-back aggregates live postings per
+    * referenced customer; the oracle computes the same from the CLEAN
+    * orders table, so a hash match proves N incremental ref folds ≡
+    * one full-corpus inverted scan — the same proof shape as
+    * q_blk_index_add. A non-entity statement per order (the order
+    * date) rides along to prove the prop_type gate.
+    */
+  def refIndexAddQ(s: SparkSession, d: String): DataFrame = {
+    val o = graft.Tables.orders(s, d)
+    val num = col("o_orderkey").cast("long")
+    val oid = concat(lit("o:"), col("o_orderkey").cast("string"))
+    val cref = concat(lit("c:"), col("o_custkey").cast("string"))
+    val all = o.select(
+        concat(oid, lit("#c")).as("stmt_id"), oid.as("canonical_id"),
+        lit("entity").as("prop_type"), cref.as("value"), num.as("num"))
+      .unionByName(o.select(
+        concat(oid, lit("#d")).as("stmt_id"), oid.as("canonical_id"),
+        lit("date").as("prop_type"),
+        col("o_orderdate").cast("string").as("value"), num.as("num")))
+    val cols = Seq("stmt_id", "canonical_id", "prop_type", "value",
+      "last_seen").map(col)
+    val base = all.filter(col("num") % 7 =!= 0)
+      .withColumn("value",
+        when(col("prop_type") === "entity" && col("num") % 3 === 0,
+          concat(lit("c:stale-"), col("value"))).otherwise(col("value")))
+      .withColumn("last_seen", lit("v1"))
+    val d1 = all.filter(col("num") % 7 === 0)
+      .withColumn("last_seen", lit("v2"))
+    val d2 = all.filter(col("num") % 3 === 0)
+      .withColumn("last_seen", lit("v3"))
+    val path = BuildOnce(s, "/tmp/graft-refidx-" +
+      sys.props.getOrElse("user.name", "anon") + "/" +
+      graft.IndexLake.fingerprint(d)) { tmp =>
+      val lakeP = s"$tmp/lake"
+      val idxP = s"$tmp/refidx"
+      MergeLake.init(base.select(cols: _*), lakeP,
+        bucketBy = "canonical_id")
+      RefIndex.init(s, idxP, lakeP)
+      def fold(delta: DataFrame, gen: String): Unit = {
+        val ids = delta.select(col("canonical_id")).distinct()
+          .collect().map(_.getString(0)).toSeq
+        MergeLake.append(delta.select(cols: _*), lakeP)
+        RefIndex.refresh(s, idxP, lakeP, ids, gen)
+      }
+      fold(d1, "v2")
+      fold(d2, "v3")
+      // production maintenance after the increment burst: fold the
+      // posting deltas (and their tombstones) into the base
+      RefIndex.maintain(s, idxP, compactEvery = 1)
+    }
+    RefIndex.postings(s, s"$path/refidx")
+      .groupBy(col("ref"))
+      .agg(count(lit(1)).as("n_referrers"),
+        min(col("referrer")).as("min_referrer"),
+        max(col("referrer")).as("max_referrer"))
+  }
+
+  val refIndexAddSql: String = """
+    SELECT 'c:' || CAST(o_custkey AS VARCHAR) AS ref,
+           count(*) AS n_referrers,
+           min('o:' || CAST(o_orderkey AS VARCHAR)) AS min_referrer,
+           max('o:' || CAST(o_orderkey AS VARCHAR)) AS max_referrer
+    FROM orders
+    GROUP BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_store_assemble" -> (assembleQ _),
     "q_store_entity_by_id" -> (entityByIdQ _),
     "q_store_adjacency" -> (adjacencyQ _),
     "q_store_delta" -> (deltaQ _),
     "q_store_merge" -> (mergeQ _),
+    "q_ref_index_add" -> (refIndexAddQ _),
     "q_store_pack" -> (packQ _))
 
   val oracles: Map[String, String] = Map(
@@ -273,5 +342,6 @@ object StoreQueries {
     "q_store_adjacency" -> adjacencySql,
     "q_store_delta" -> deltaSql,
     "q_store_merge" -> mergeSql,
+    "q_ref_index_add" -> refIndexAddSql,
     "q_store_pack" -> packSql)
 }
