@@ -458,6 +458,129 @@ object Soak {
       return
     }
 
+    if (mode == "loopstream") {
+      // The composed loop through the ACTUAL STREAMING DRIVER at
+      // corpus scale — LoopStreamSpec's oracle at donations×N: day-0
+      // init, then the delta lands as parquet files in an incoming
+      // directory and Trigger.AvailableNow drains them one micro-batch
+      // per file through LoopStream.sink (persistent checkpoint,
+      // foreachBatch, the full five-stage increment + scheduled lake
+      // maintenance). Recorded per stage per batch: wall, shuffle
+      // delta; per batch: live delta-dir count and snapshot wall of
+      // the statement lake (the flatness claim — r13's maintenance
+      // work is what keeps both bounded). End state must be bit-equal
+      // to one from-scratch batch run over the final corpus.
+      import graft.store.MergeLake
+      import graft.streaming.LoopStream
+      import graft.xref.Xref
+      import spark.implicits._
+      val scratch = java.nio.file.Files
+        .createTempDirectory("graft-loopstream-soak").toString
+      val fixture = "/root/reference/tests/fixtures/donations.ijson"
+      def isDeltaId(c: org.apache.spark.sql.Column) =
+        c.endsWith("-r0") && pmod(xxhash64(c), lit(8)) === 0
+      val rows = donationsCorpus(spark, fixture, replicas)
+        .withColumn("stmt_id", col("id"))
+        .withColumn("last_seen", lit("d0"))
+      val day0 = rows.filter(!isDeltaId(col("canonical_id")))
+      val delta = rows.filter(isDeltaId(col("canonical_id")))
+      val threshold = args.lift(3).map(_.toDouble).getOrElse(0.4)
+      val batches = args.lift(4).map(_.toInt).getOrElse(4)
+      // maintenance must actually trigger inside the run to prove the
+      // flatness claim: threshold 2 with >= 4 batches crosses it twice
+      val maintainEvery = 2
+      val cfg = Xref.Config(autoThreshold = Some(threshold),
+        limit = 400000,
+        blocker = graft.blocker.Blocker.Config.reference.copy(
+          maxPairCost = graft.blocker.Blocker.Config.reference
+            .maxPairCost * replicas))
+      val p = LoopStream.Paths(s"$scratch/loop")
+
+      val (_, initW) = {
+        val t = System.nanoTime()
+        LoopStream.init(spark, day0, p, cfg)
+        ((), (System.nanoTime() - t) / 1e9)
+      }
+
+      // land the delta as ONE single-file parquet per micro-batch
+      val incoming = s"$scratch/incoming"
+      new java.io.File(incoming).mkdirs()
+      (0 until batches).foreach { k =>
+        val stage = s"$scratch/stage-$k"
+        delta.filter(
+            pmod(xxhash64(col("canonical_id")), lit(batches)) === k)
+          .withColumn("last_seen", lit(s"d${k + 1}"))
+          .coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(s"$incoming/batch-$k.parquet"))
+        Thread.sleep(1100) // distinct mtimes => deterministic file order
+      }
+
+      // per-stage instrumentation via the LoopStream hook
+      val stageLog = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Double, Double, Int, Double)]
+      var lastSh = 0L
+      LoopStream.stageHook = (stage, wall) => {
+        val sh = (shuffleWrite - lastSh) / 1e6
+        lastSh = shuffleWrite
+        if (stage == "maintain") {
+          // end of a batch: record the statement lake's live delta
+          // count and its resolved-snapshot wall (the flatness rows)
+          val t = System.nanoTime()
+          val dirs = MergeLake.deltaCount(spark, p.lake)
+          MergeLake.snapshot(spark, p.lake).count(): Unit
+          val readW = (System.nanoTime() - t) / 1e9
+          stageLog += ((stage, wall, sh, dirs, readW))
+        } else stageLog += ((stage, wall, sh, -1, -1.0))
+      }
+      val schema = MergeLake.snapshot(spark, p.lake).drop("bucket").schema
+      val t0 = System.nanoTime()
+      val q = LoopStream.sink(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(incoming),
+        p, cfg, maintainEvery = maintainEvery)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val drainW = (System.nanoTime() - t0) / 1e9
+      LoopStream.stageHook = (_, _) => ()
+
+      // end-state oracle: one from-scratch batch run over the final
+      // corpus (the LoopStreamSpec assertion at scale)
+      val tF = System.nanoTime()
+      val all = MergeLake.snapshot(spark, p.lake).drop("bucket")
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      all.count()
+      val none = Seq.empty[(String, String)].toDF("src", "dst")
+      val (m, _) = Xref.run(spark, all, none, cfg)
+      val cm = cli.CliArgs.canonicalMapOf(
+        m.filter(col("score") > threshold)
+          .select(col("src"), col("dst")))
+      val want = cli.CliArgs.applyCanonical(all, cm)
+        .select(col("id"), col("canonical_id"), col("prop"), col("value"))
+      val got = MergeLake.snapshot(spark, p.canonical)
+        .select(col("id"), col("canonical_id"), col("prop"), col("value"))
+      val mismatches = got.exceptAll(want).count() +
+        want.exceptAll(got).count()
+      val fullW = (System.nanoTime() - tF) / 1e9
+
+      val stagesJson = stageLog.map { case (st, w, sh, dirs, readW) =>
+        val extra = if (dirs >= 0)
+          f""","live_deltas":$dirs,"lake_read_sec":$readW%.2f""" else ""
+        f"""{"stage":"$st","wall_sec":$w%.2f,"shuffle_mb":$sh%.1f$extra}"""
+      }.mkString("[", ",", "]")
+      println(f"""{"soak":"loopstream","fixture":"donations","replicas":$replicas,""" +
+        f""""batches":$batches,"maintain_every":$maintainEvery,""" +
+        f""""init_wall_sec":$initW%.1f,"drain_wall_sec":$drainW%.1f,""" +
+        f""""stages":$stagesJson,""" +
+        f""""full_run_wall_sec":$fullW%.1f,""" +
+        f""""state_mismatches":$mismatches}""")
+      spark.stop()
+      return
+    }
+
     if (mode == "loop") {
       // The COMPOSED incremental loop at corpus scale — the production
       // shape of the nomenklatura dataflow operating continuously (the

@@ -58,13 +58,35 @@ class LoopStreamSpec extends AnyFunSuite {
 
     implicit val sc = spark.sqlContext
     val src = MemoryStream[Stmt]
-    val q = LoopStream.sink(src.toDF(), p, cfg).start()
+    // maintainEvery = 1: every micro-batch triggers a mid-stream
+    // compaction of every lake the loop appends to (statement,
+    // canonical, state, edges, ref-index postings) — the bit-equality
+    // oracle below then also proves compaction preserves the resolve
+    // in the continuous regime, and the dir-count assertions prove the
+    // loop's on-disk footprint stays bounded
+    val q = LoopStream.sink(src.toDF(), p, cfg, maintainEvery = 1).start()
     try {
       src.addData(half(0): _*)
       q.processAllAvailable()
       src.addData(half(1): _*)
       q.processAllAvailable()
     } finally q.stop()
+
+    // bounded footprint: after compaction every lake is back to zero
+    // live deltas (so snapshot reads are one bare scan) — the r12
+    // shape grew one delta dir per lake per batch forever
+    for (lake <- Seq(p.lake, p.canonical, p.state, p.edges))
+      assert(MergeLake.deltaCount(spark, lake) === 0,
+        s"$lake not compacted")
+
+    // upsert-key uniqueness on the canonical lake: its bucket column
+    // is the upsert key itself, so a later batch flipping a cluster's
+    // elected canonical rewrites the same stmt_id in place — bucketing
+    // by the (mutable) canonical_id let superseded rows survive in
+    // their old bucket (r12 ADVICE)
+    val dup = MergeLake.snapshot(spark, p.canonical)
+      .groupBy(col("stmt_id")).count().filter(col("count") > 1).count()
+    assert(dup === 0, s"$dup duplicate stmt_ids in the canonical lake")
 
     // at-least-once replay: foreachBatch may re-run a whole committed
     // batch — re-apply the LAST micro-batch verbatim (same gen b1) and
