@@ -83,8 +83,15 @@ final class PermIdEnricher(orgs: DataFrame, maxRecords: Int = 999) {
           // the exact records already matched) + lei-channel overlap
           // suppression
           ((col("q_country") === upper(col("country")) ||
+            // null-safe wildcard residual: a mirror org with a NULL
+            // country (array_contains → NULL) and a query with NULL
+            // countries (base itself NULL) must both still match the
+            // wildcard record, like the reference's unconditional
+            // wildcard row — a bare NULL here silently dropped them
             (col("q_country") === "" &&
-              !array_contains(col("base"), upper(col("country"))))) &&
+              !coalesce(array_contains(
+                coalesce(col("base"), array().cast("array<string>")),
+                upper(col("country"))), lit(false)))) &&
             (col("q_lei").isNull || col("lei").isNull ||
               col("lei") =!= col("q_lei")))))
     matched.select((Seq(col("query_id")) ++

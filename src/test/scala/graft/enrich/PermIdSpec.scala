@@ -56,6 +56,30 @@ class PermIdSpec extends AnyFunSuite {
     assert(rows("permid-P2") === ("Inactive", "Rue 2, Paris", null))
   }
 
+  test("null-safe wildcard: NULL org country and NULL query countries") {
+    // the wildcard record must match an org whose mirror row has no
+    // country at all (array_contains over NULL is NULL, not false) and
+    // a query whose countries column is NULL rather than empty (the
+    // exact-country set itself is NULL) — both silently dropped before
+    // the r13 null-safe residual
+    val withNullCountry = orgs.unionByName(Seq(
+      ("P4", Option.empty[String], "Null Country Org",
+        Option.empty[String], "2005-01-01", "Addr 4",
+        "tr-org:statusActive", Option.empty[String]))
+      .toDF("perm_id", "lei", "name", "country", "incorporation_date",
+        "address_raw", "status_uri", "ticker"))
+    val qs = Seq(
+      ("q5", "Organization", Seq("Null Country Org"),
+        Option(Seq("de")), Option.empty[String]),
+      ("q6", "Company", Seq("Null Country Org"),
+        Option.empty[Seq[String]], Option.empty[String]))
+      .toDF("id", "schema", "names", "countries", "lei")
+    val out = new PermIdEnricher(withNullCountry).enrich(spark, qs)
+      .select("query_id", "match_id").as[(String, String)]
+      .collect().toSet
+    assert(out === Set("q5" -> "permid-P4", "q6" -> "permid-P4"))
+  }
+
   test("cap: the record product slices to maxRecords") {
     val many = Seq(("qx", "Organization",
       (1 to 60).map(i => s"Name $i"), (1 to 30).map(_ => "de"), null))
