@@ -369,11 +369,33 @@ object BlockerIndex {
       m.statsDirs.map(d => new Path(indexPath, d).toString): _*)
   }
 
+  /** The signed log folded ONCE at its finest grain — every reader
+    * below (tokenFieldStats for stopwords/tokenStats, idfView's tdf
+    * and N rollups) filters this same frame, so within one plan the
+    * planner reuses a single Exchange over a single log scan instead
+    * of paying one scan + shuffle per consumer (r12 measured three
+    * separate folds inside every termFrequencies read). Two load-
+    * bearing details: the grouping EXCLUDES `kind` — the three kinds
+    * have disjoint (token, schema, field) null patterns, so nothing
+    * merges across kinds and the key set stays identical — and `kind`
+    * is re-emitted as an AGGREGATE output (its value is functionally
+    * determined by the key), so a consumer's `kind` filter cannot be
+    * pushed below the aggregation; a grouping-column filter would be,
+    * and each consumer would get its own filtered scan + Exchange
+    * again.
+    */
+  private def foldedLog(s: SparkSession, indexPath: String): DataFrame =
+    statsLog(s, indexPath)
+      .groupBy(col("token"), col("schema"), col("field"))
+      .agg(max(col("kind")).as("kind"),
+        sum(col("df")).as("df"), sum(col("freq")).as("freq"),
+        sum(col("tdf")).as("tdf"), sum(col("n")).as("n"))
+
   /** Folded per-(token, schema, field) stats — vocabulary-sized. */
   def tokenFieldStats(s: SparkSession, indexPath: String): DataFrame =
-    statsLog(s, indexPath).filter(col("kind") === "tfs")
-      .groupBy(col("token"), col("schema"), col("field"))
-      .agg(sum(col("df")).as("df"), sum(col("freq")).as("freq"))
+    foldedLog(s, indexPath).filter(col("kind") === "tfs")
+      .select(col("token"), col("schema"), col("field"), col("df"),
+        col("freq"))
       .filter(col("df") > 0)
 
   /** [[Blocker.tokenStats]] folded from the log: identical longs, and
@@ -390,11 +412,11 @@ object BlockerIndex {
     * scalar recompute" half of the design; same expression tree.
     */
   def idfView(s: SparkSession, indexPath: String): DataFrame = {
-    val log = statsLog(s, indexPath)
+    val log = foldedLog(s, indexPath)
     val n = log.filter(col("kind") === "n")
       .agg(sum(col("n")).as("n_entities"))
     log.filter(col("kind") === "tdf")
-      .groupBy(col("token")).agg(sum(col("tdf")).as("tdf"))
+      .select(col("token"), col("tdf"))
       .filter(col("tdf") > 0)
       .crossJoin(broadcast(n))
       .select(col("token"), Blocker.idfExpr.as("idf"))

@@ -131,20 +131,25 @@ object EntityStore {
   /** Adjacency expansion (`store/base.py:165-176`): for a set of subject
     * ids, both directions of entity-reference statements —
     * out: subject's own `entity`-type props; in: statements elsewhere
-    * pointing at the subject. Two equi-joins on a statement table
-    * pre-filtered to `prop_type = 'entity'` (at scale: a fraction of the
-    * statement lake, and the subject side is broadcast).
+    * pointing at the subject. ONE scan of the statement table
+    * (pre-filtered to `prop_type = 'entity'`): each ref row emits its
+    * two (direction, probe-key) pairs through a Generate and a single
+    * broadcast-hash join serves both directions — the r12 two-join
+    * shape evaluated the (union-of-base-tables) statement side twice,
+    * which at lake scale is twice the scan bytes for the same rows
+    * (the q_enrich_permid one-scan restructure, applied here).
     */
   def adjacency(refStmts: DataFrame, subjects: DataFrame): DataFrame = {
     val refs = refStmts.filter(col("prop_type") === "entity")
       .select(col("entity_id"), col("prop"), col("value"))
     val subj = broadcast(subjects.select(col("sid")))
-    val out = refs.join(subj, refs("entity_id") === subj("sid"))
-      .select(col("sid").as("id"), lit("out").as("dir"), col("prop"),
-        col("value").as("other"))
-    val in = refs.join(subj, refs("value") === subj("sid"))
-      .select(col("sid").as("id"), lit("in").as("dir"), col("prop"),
-        col("entity_id").as("other"))
-    out.unionByName(in)
+    refs.select(col("entity_id"), col("prop"), col("value"),
+        explode(array(
+          struct(lit("out").as("dir"), col("entity_id").as("key")),
+          struct(lit("in").as("dir"), col("value").as("key")))).as("k"))
+      .join(subj, col("k.key") === col("sid"))
+      .select(col("sid").as("id"), col("k.dir").as("dir"), col("prop"),
+        when(col("k.dir") === "out", col("value"))
+          .otherwise(col("entity_id")).as("other"))
   }
 }

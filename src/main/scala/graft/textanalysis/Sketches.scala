@@ -75,7 +75,19 @@ object Sketches {
     * frame too (stateless projections + one max aggregation), which is
     * what [[graft.streaming.DocumentStream.hllRegisters]] runs.
     */
-  def registersOf(post: DataFrame): DataFrame = {
+  def registersOf(post: DataFrame): DataFrame =
+    registersAndCountsOf(post).drop("cnt")
+
+  /** [[registersOf]] plus the per-(source, register) input-row count —
+    * ONE aggregation serving both the sketch state and the exact
+    * distinct counts [[hllQ]] reports next to it (postings are
+    * distinct triples, so summing `cnt` over registers IS the exact
+    * count): every consumer then hangs off the same (source, reg)
+    * Exchange, which the planner reuses, instead of re-scanning the
+    * postings artifact once per aggregate (the r12 shape paid three
+    * scans + three shuffles).
+    */
+  def registersAndCountsOf(post: DataFrame): DataFrame = {
     val h = Hashing.hash60(concat_ws("|", col("term"), col("doc_id")))
     val rr = post
       .select(col("source"), h.as("h"))
@@ -85,7 +97,8 @@ object Sketches {
       .select(col("source"), col("reg"),
         when(col("w") === 0, lit(WBits + 1))
           .otherwise(lit(WBits + 1) - length(bin(col("w")))).as("rank"))
-    rr.groupBy(col("source"), col("reg")).agg(max(col("rank")).as("m"))
+    rr.groupBy(col("source"), col("reg"))
+      .agg(max(col("rank")).as("m"), count(lit(1)).as("cnt"))
   }
 
   /** Estimate from the register table: exact-integer harmonic sum, the
@@ -110,16 +123,20 @@ object Sketches {
 
   def hllQ(s: SparkSession, d: String): DataFrame = {
     val post = postings(s, d)
-    val perSource = registersOf(post)
+    // one (source, reg) aggregation feeds all four consumers below —
+    // register tables AND exact counts (postings are already distinct
+    // triples, so per-register row counts sum to the exact distincts);
+    // the planner reuses its Exchange, so the postings artifact is
+    // scanned and shuffled ONCE
+    val perReg = registersAndCountsOf(post)
+    val perSource = perReg.drop("cnt")
     val merged = perSource.groupBy(col("reg"))
       .agg(max(col("m")).as("m"))
       .select(lit("ALL").as("source"), col("reg"), col("m"))
     val est = estimateOf(perSource.unionByName(merged))
-    // postings are already distinct triples (array_distinct per doc,
-    // unique doc_id) — counting needs no extra dedup shuffle
-    val exact = post.groupBy(col("source"))
-      .agg(count(lit(1)).as("exact"))
-    val exactAll = post.agg(count(lit(1)).as("exact"))
+    val exact = perReg.groupBy(col("source"))
+      .agg(sum(col("cnt")).as("exact"))
+    val exactAll = perReg.agg(sum(col("cnt")).as("exact"))
       .select(lit("ALL").as("source"), col("exact"))
     est.join(exact.unionByName(exactAll), Seq("source"))
       .select(col("source"), col("regs_used"), col("est"), col("exact"),
