@@ -505,10 +505,15 @@ object Soak {
       // land the delta as ONE single-file parquet per micro-batch
       val incoming = s"$scratch/incoming"
       new java.io.File(incoming).mkdirs()
-      (0 until batches).foreach { k =>
+      def landBatch(k: Int): Unit = {
         val stage = s"$scratch/stage-$k"
+        // salt the split hash: the delta-membership predicate already
+        // fixes xxhash64(id) % 8 == 0, so splitting on the SAME hash
+        // with a modulus sharing a factor of 8 would put everything in
+        // batch 0 and leave the rest empty
         delta.filter(
-            pmod(xxhash64(col("canonical_id")), lit(batches)) === k)
+            pmod(xxhash64(concat(col("canonical_id"), lit("#split"))),
+              lit(batches)) === k)
           .withColumn("last_seen", lit(s"d${k + 1}"))
           .coalesce(1).write.mode("overwrite").parquet(stage)
         val part = new java.io.File(stage).listFiles()
@@ -521,7 +526,9 @@ object Soak {
       // per-stage instrumentation via the LoopStream hook
       val stageLog = scala.collection.mutable.ArrayBuffer
         .empty[(String, Double, Double, Int, Double)]
-      var lastSh = 0L
+      // start from the running total or batch 0's merge is billed the
+      // whole init's shuffle (the resolve soak's r10 lesson)
+      var lastSh = shuffleWrite
       LoopStream.stageHook = (stage, wall) => {
         val sh = (shuffleWrite - lastSh) / 1e6
         lastSh = shuffleWrite
@@ -537,15 +544,40 @@ object Soak {
       }
       val schema = MergeLake.snapshot(spark, p.lake).drop("bucket").schema
       val t0 = System.nanoTime()
-      val q = LoopStream.sink(
-        spark.readStream.schema(schema)
-          .option("maxFilesPerTrigger", 1).parquet(incoming),
-        p, cfg, maintainEvery = maintainEvery)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      // TWO separate query starts against the SAME persistent
+      // checkpoint: the first drains half the files and terminates
+      // (AvailableNow), then the rest land and a NEW query instance
+      // picks up — batch ids must CONTINUE (b2, b3, ...) rather than
+      // recycle to b0, or the generation-keyed idempotence of every
+      // stage breaks against the committed state (the r12 temp-
+      // checkpoint bug: a restarted run re-listed every file under
+      // batch id 0 and collided with committed generations). The
+      // bit-equality oracle below catches any collision — a skipped
+      // index fold or an overwritten edge generation diverges the
+      // canonical lake.
+      def drain(): Unit = {
+        val q = LoopStream.sink(
+          spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(incoming),
+          p, cfg, maintainEvery = maintainEvery)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val firstLeg = batches / 2
+      (0 until firstLeg).foreach(landBatch)
+      drain()
+      (firstLeg until batches).foreach(landBatch)
+      drain() // the restart leg
       val drainW = (System.nanoTime() - t0) / 1e9
       LoopStream.stageHook = (_, _) => ()
+      // restart proof: the committed batch ids in the ONE checkpoint
+      // must be exactly 0..batches-1 (continuation, no recycling)
+      val committedIds = new java.io.File(s"${p.checkpoint}/commits")
+        .listFiles().map(_.getName).filter(_.forall(_.isDigit))
+        .map(_.toInt).sorted.toSeq
+      require(committedIds == (0 until batches),
+        s"restarted stream recycled batch ids: $committedIds")
 
       // end-state oracle: one from-scratch batch run over the final
       // corpus (the LoopStreamSpec assertion at scale)
@@ -572,7 +604,8 @@ object Soak {
         f"""{"stage":"$st","wall_sec":$w%.2f,"shuffle_mb":$sh%.1f$extra}"""
       }.mkString("[", ",", "]")
       println(f"""{"soak":"loopstream","fixture":"donations","replicas":$replicas,""" +
-        f""""batches":$batches,"maintain_every":$maintainEvery,""" +
+        f""""batches":$batches,"restart_after":$firstLeg,""" +
+        f""""maintain_every":$maintainEvery,""" +
         f""""init_wall_sec":$initW%.1f,"drain_wall_sec":$drainW%.1f,""" +
         f""""stages":$stagesJson,""" +
         f""""full_run_wall_sec":$fullW%.1f,""" +

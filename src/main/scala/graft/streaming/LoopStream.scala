@@ -232,9 +232,20 @@ object LoopStream {
       val referrers = RefIndex.referrers(s, p.refIndex,
           members0.select(col("id")))
         .select(col("referrer").as("eid")).distinct()
-      val writeIds = members0.select(col("id").as("eid"))
+      // the write-id set and (below) the canonical map land as LITERAL
+      // relations, not live subtrees: both are Δ-closure-sized by
+      // construction (touched clusters' members + their referrers),
+      // but as lineage they would EMBED the state/ref-index snapshot
+      // derivation ~15× over in the appended plan — measured +~460
+      // logical nodes PER BATCH on the canonical append (every later
+      // read of the growing lakes re-enters the tree), which sent
+      // AQE's per-stage plan traversals superlinear and the b3 apply
+      // wall to 3-7× b0's at a constant data Δ. The collect is one
+      // execution of the same plan the broadcast would have run.
+      val writeIdSeq = members0.select(col("id").as("eid"))
         .unionByName(referrers).unionByName(touched.toDF("eid"))
-        .distinct()
+        .distinct().collect().map(_.getString(0)).toIndexedSeq
+      val writeIds = writeIdSeq.toDF("eid")
       val slice = graft.Caches.pin(corpus.join(broadcast(writeIds),
         col("canonical_id") === col("eid"), "left_semi"))
       val refs = slice.filter(col("prop_type") === "entity")
@@ -246,6 +257,8 @@ object LoopStream {
       val cmMembers = st.join(broadcast(cmClusters), Seq("cluster"),
         "left_semi")
       val cm = Resolver.canonicalMap(cmMembers, CliArgs.idWeight)
+        .collect().map(r => (r.getString(0), r.getString(1))).toIndexedSeq
+        .toDF("member", "canonical")
       MergeLake.append(
         CliArgs.applyCanonical(slice, cm)
           .withColumn("last_seen", lit(gen)),
