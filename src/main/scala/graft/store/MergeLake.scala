@@ -308,6 +308,11 @@ object MergeLake {
     val m = readManifest(s, root)
     val seq = m.deltas.size + 1
     val dir = f"delta-$seq%06d-${UUID.randomUUID()}"
+    if (sys.env.contains("GRAFT_PLAN_DEBUG")) {
+      val lp = delta.queryExecution.logical
+      println(s"[plan-debug] append $path chars=${lp.toString.length} " +
+        s"nodes=${lp.collect { case _ => 1 }.size}")
+    }
     val bucketed = withBucket(delta, m.nBuckets, m.bucketCol)
     bucketed
       .write.mode("overwrite").partitionBy("bucket")
@@ -420,13 +425,25 @@ object MergeLake {
     * generation stays readable until it, and directories no manifest
     * references are garbage-collected after publish.
     */
-  def compact(s: SparkSession, path: String): Seq[Int] = {
+  def compact(s: SparkSession, path: String, maxGens: Int = 4): Seq[Int] = {
     val root = new Path(path)
     val m = readManifest(s, root)
     if (m.deltas.isEmpty) return Seq.empty
     val f = fs(s, root)
-    val touched = m.deltas.flatMap(d => bucketsIn(f, new Path(root, d)))
-      .distinct.sorted
+    val deltaTouched = m.deltas
+      .flatMap(d => bucketsIn(f, new Path(root, d))).distinct.sorted
+    // bound the base-GENERATION count: a partial fold re-owns only the
+    // delta-touched buckets, so a long-lived lake whose deltas keep
+    // missing some buckets accumulates one surviving generation — one
+    // scan leg in every snapshot read — per fold (worst case
+    // min(nBuckets, folds)). Once the count reaches `maxGens`, fold
+    // the WHOLE key space back to a single generation; the full
+    // rewrite is corpus-∝ but amortized over the maxGens partial folds
+    // that earned it
+    val touched =
+      if (m.bucketDirs.values.toSet.size >= maxGens)
+        (deltaTouched ++ m.bucketDirs.keys).distinct.sorted
+      else deltaTouched
     val newDir = s"base-${UUID.randomUUID()}"
     snapshot(s, path, Some(touched))
       .repartition(col("bucket")) // one file set per bucket dir

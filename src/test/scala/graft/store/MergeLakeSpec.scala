@@ -85,6 +85,32 @@ class MergeLakeSpec extends AnyFunSuite {
       s"touched bucket $k still points at the old generation"))
   }
 
+  test("repeated partial folds keep the base-generation count bounded") {
+    val path = java.nio.file.Files
+      .createTempDirectory("mergelake").toString + "/lake"
+    val base = (1 to 64).map(i => (s"e$i#name", s"N$i", "v1"))
+    MergeLake.init(df(base: _*), path, nBuckets = 16)
+    val root = new org.apache.hadoop.fs.Path(path)
+    def gens(): Int = MergeLake.readManifest(spark, root)
+      .bucketDirs.values.toSet.size
+    // single-row deltas hitting DIFFERENT buckets: each partial fold
+    // re-owns only its delta's bucket, so without the maxGens guard
+    // every cycle would strand one more surviving generation — one
+    // extra scan leg in every later snapshot read, forever
+    var expected = base.map(r => (r._1, r._2, r._3)).toSet
+    for (k <- 1 to 8) {
+      val id = s"e$k#name"
+      MergeLake.append(df((id, s"N${k}b", s"v${k + 1}")), path,
+        nBuckets = 16)
+      expected = expected.filterNot(_._1 == id) +
+        ((id, s"N${k}b", s"v${k + 1}"))
+      MergeLake.compact(spark, path, maxGens = 3)
+      assert(gens() <= 3, s"generation count ${gens()} after fold $k")
+      assert(stateOf(path) === expected,
+        s"fold $k changed the resolved state")
+    }
+  }
+
   test("snapshot stays exchange-free on the base side") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.FileSourceScanExec
