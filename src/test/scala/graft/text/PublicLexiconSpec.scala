@@ -57,6 +57,20 @@ class PublicLexiconSpec extends AnyFunSuite {
     // new families exist and are distinct
     assert(name("lukashenko") === name("lukashenka"))
     assert(name("lukashenko") !== name("yanukovych"))
+    // r13 breadth pass: anchored extensions into builtin families...
+    assert(name("eugene") === name("yevhen"), "eugene anchor")
+    assert(name("theodore") === name("fedir"), "fyodor anchor")
+    assert(name("mohammed") === name("magomed"), "mohammed anchor")
+    assert(name("gregory") === name("grzegorz"), "gregory anchor")
+    // ...and new independent families that must not fuse
+    assert(name("semyon") === name("szymon"))
+    assert(name("suleiman") === name("sulayman"))
+    assert(name("osman") === name("uthman"))
+    assert(name("osman") !== name("suleiman"))
+    assert(name("maxim") === name("maksym"))
+    assert(name("daniel") === name("danylo"))
+    assert(name("elena") === name("olena"))
+    assert(name("elena") !== name("yulia"))
   }
 
   test("ambiguous bridge tokens do not fuse distinct families") {
