@@ -128,7 +128,14 @@ object Sketches {
     // triples, so per-register row counts sum to the exact distincts);
     // the planner reuses its Exchange, so the postings artifact is
     // scanned and shuffled ONCE
-    val perReg = registersAndCountsOf(post)
+    // materialize the shared aggregation once: its four consumers are
+    // separate subtrees AQE plans as independent jobs, and measured at
+    // sf0.1 each re-ran the postings scan + partial agg (~430 ms × 4
+    // of the query's 1.7 s). The register table is sources×M rows of
+    // small ints — the localCheckpoint raw-row form costs one job and
+    // every consumer reads it back at page-cache speed (10 → 7 jobs,
+    // 1.73 → 0.9 s)
+    val perReg = registersAndCountsOf(post).localCheckpoint(true)
     val perSource = perReg.drop("cnt")
     val merged = perSource.groupBy(col("reg"))
       .agg(max(col("m")).as("m"))
