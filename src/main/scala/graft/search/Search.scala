@@ -295,6 +295,42 @@ object Search {
       .filter(col("rn") <= HybridK)
   }
 
+  // ------------------------------------------- incremental maintenance
+
+  /** Gated incremental-maintenance scenario ([[SearchIndex]]): day-0
+    * init over the non-%7 documents, one increment of NEW documents,
+    * one mixed increment (the remaining new documents + RE-INGESTED
+    * texts for every doc_id ≡ 3 (mod 11) base document, whose new text
+    * drops most old terms — the tombstone path), then scheduled
+    * compaction. The query is plain BM25 over the MAINTAINED postings
+    * and stats views; the oracle recomputes BM25 from scratch over the
+    * equivalent final corpus — hash equality proves the folds (upsert +
+    * retraction + signed stats) land exactly where a full rebuild does.
+    */
+  def indexAddQ(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.Tables.documents(s, d)
+    val isNew = col("doc_id") % 7 === 0
+    val isUpd = col("doc_id") % 7 =!= 0 && col("doc_id") % 11 === 3
+    val updText = concat(lit("refreshed doc "),
+      substring(col("text"), 1, 40))
+    val path = graft.store.BuildOnce(s, "/tmp/graft-searchidx-" +
+      sys.props.getOrElse("user.name", "anon") + "/" +
+      graft.IndexLake.fingerprint(d)) { tmp =>
+      SearchIndex.init(s, tmp, docs.filter(!isNew))
+      SearchIndex.refresh(s, tmp,
+        docs.filter(isNew && col("doc_id") % 2 === 0), "v2")
+      SearchIndex.refresh(s, tmp,
+        docs.filter(isNew && col("doc_id") % 2 === 1)
+          .unionByName(docs.filter(isUpd).withColumn("text", updText)),
+        "v3")
+      // production maintenance after the burst: every later read is a
+      // bare scan of one folded generation per lake
+      SearchIndex.maintain(s, tmp, compactEvery = 1)
+    }
+    bm25Core(s, SearchIndex.postings(s, path), QueryTerms,
+      statsPre = Some(SearchIndex.stats(s, path)))
+  }
+
   // ---------------------------------------------------------------- oracle
 
   private val wSql = TextAnalysis.wSql
@@ -308,11 +344,16 @@ object Search {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_search_bm25" -> (bm25Q _),
-    "q_search_hybrid" -> (hybridQ _))
+    "q_search_hybrid" -> (hybridQ _),
+    "q_search_index_add" -> (indexAddQ _))
 
-  val oracles: Map[String, String] = Map(
-    "q_search_bm25" -> s"""
-      WITH wd AS (SELECT doc_id, $wSql AS w FROM documents),
+  /** The full BM25 CTE chain over a corpus relation exposing
+    * (doc_id, text) — shared by the plain-BM25 oracle (over
+    * `documents`) and the index-maintenance oracle (over the
+    * equivalent final corpus the folds produce).
+    */
+  private def bm25Sql(corpus: String): String = s"""
+      WITH wd AS (SELECT doc_id, $wSql AS w FROM $corpus),
       base AS (
         SELECT doc_id, w, CAST(len(w) AS BIGINT) AS dl
         FROM wd WHERE len(w) > 0),
@@ -347,7 +388,19 @@ object Search {
                row_number() OVER (PARTITION BY qid
                                   ORDER BY e6 DESC, doc_id) AS rn
         FROM scored)
-      WHERE rn <= $TopK""",
+      WHERE rn <= $TopK"""
+
+  val oracles: Map[String, String] = Map(
+    "q_search_bm25" -> bm25Sql("documents"),
+    // the final corpus the maintained index must be equivalent to:
+    // every document, with the re-ingested (doc_id % 11 = 3 base)
+    // texts replaced the way increment v3 replaced them
+    "q_search_index_add" -> bm25Sql("""(
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 <> 0 AND doc_id % 11 = 3
+                    THEN 'refreshed doc ' || substr(text, 1, 40)
+                    ELSE text END AS text
+        FROM documents)"""),
     "q_search_hybrid" -> s"""
       WITH wd AS (SELECT doc_id, $wSql AS w FROM documents),
       base AS (
