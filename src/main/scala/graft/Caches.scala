@@ -48,6 +48,7 @@ object Caches {
     */
 
   def clearAll(): Unit = {
+    Tables.clearMemo()
     blocker.BlockerQueries.clearTfCache()
     resolver.ResolverQueries.clearCache()
     enrich.WikidataQueries.clearCache()

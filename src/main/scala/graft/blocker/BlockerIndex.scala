@@ -393,7 +393,10 @@ object BlockerIndex {
 
   /** Folded per-(token, schema, field) stats — vocabulary-sized. */
   def tokenFieldStats(s: SparkSession, indexPath: String): DataFrame =
-    foldedLog(s, indexPath).filter(col("kind") === "tfs")
+    tokenFieldStatsOf(foldedLog(s, indexPath))
+
+  private def tokenFieldStatsOf(log: DataFrame): DataFrame =
+    log.filter(col("kind") === "tfs")
       .select(col("token"), col("schema"), col("field"), col("df"),
         col("freq"))
       .filter(col("df") > 0)
@@ -403,7 +406,10 @@ object BlockerIndex {
     * the batch build's min over entries rows.
     */
   def tokenStats(s: SparkSession, indexPath: String): DataFrame =
-    tokenFieldStats(s, indexPath)
+    tokenStatsOf(foldedLog(s, indexPath))
+
+  private def tokenStatsOf(log: DataFrame): DataFrame =
+    tokenFieldStatsOf(log)
       .groupBy(col("token"), col("schema"))
       .agg(sum(col("df")).as("df"), sum(col("freq")).as("freq"),
         min(col("field")).as("field"))
@@ -411,8 +417,10 @@ object BlockerIndex {
   /** [[Blocker.idf]] from the maintained tdf/N rollups — the "IDF is a
     * scalar recompute" half of the design; same expression tree.
     */
-  def idfView(s: SparkSession, indexPath: String): DataFrame = {
-    val log = foldedLog(s, indexPath)
+  def idfView(s: SparkSession, indexPath: String): DataFrame =
+    idfViewOf(foldedLog(s, indexPath))
+
+  private def idfViewOf(log: DataFrame): DataFrame = {
     val n = log.filter(col("kind") === "n")
       .agg(sum(col("n")).as("n_entities"))
     log.filter(col("kind") === "tdf")
@@ -434,11 +442,17 @@ object BlockerIndex {
       cfg: Blocker.Config = Blocker.Config(),
       dampFields: Seq[String] = Seq("name")): DataFrame = {
     val e = entriesView(s, indexPath)
-    val sw = Blocker.stopwords(tokenStats(s, indexPath), compat, cfg)
+    // ONE statsLog reader frame feeds both consumers: each foldedLog
+    // call opened its own parquet reader (a driver footer job per
+    // call) and only coincidentally identical subtrees let the
+    // planner reuse the Exchange — sharing the frame makes both
+    // guaranteed
+    val log = foldedLog(s, indexPath)
+    val sw = Blocker.stopwords(tokenStatsOf(log), compat, cfg)
       .select(col("token"))
     Blocker.weightSelect(
       e.join(sw, Seq("token"), "left_anti")
-        .join(idfView(s, indexPath), Seq("token"))
+        .join(idfViewOf(log), Seq("token"))
         .join(broadcast(boosts), Seq("field"), "left_outer"),
       dampFields)
   }

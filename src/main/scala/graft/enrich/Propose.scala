@@ -369,9 +369,18 @@ object Propose {
     // missing names → append-only aliases (`propose.py:207-210`).
     // The scaffold side broadcasts from its cache (batch-bounded), so
     // this leg's only Exchange is nameStatements' single repartition.
+    // One declared broadcast projection serves both the alias and the
+    // position legs. Catalyst still specializes each build side
+    // (column pruning + the join-derived IsNotNull filters differ per
+    // leg, so the exchanges don't unify into a ReusedExchange — the
+    // r13 after-plan shows two narrow scans), which is the better
+    // outcome anyway: each leg's scaffold scan reads exactly its own
+    // column subset of the batch-bounded artifact.
+    val scaffoldB = broadcast(withRefs.select(col("entity_id"),
+      col("qid"), col("target"), col("name_texts"), col("refs"),
+      col("position_qids")))
     val aliases = nameStatements(stmts)
-      .join(broadcast(withRefs.select(col("entity_id"), col("qid"),
-        col("target"), col("name_texts"))), Seq("entity_id"))
+      .join(scaffoldB, Seq("entity_id"))
       .filter(!array_contains(col("name_texts"), nameFold(col("value"))))
       .select(col("entity_id"), col("qid"),
         (lit(10) + col("rn")).as("ord"),
@@ -383,9 +392,7 @@ object Propose {
     // P39 for posts the item lacks (`propose.py:185-216`): one
     // occupancy → P580/P582 qualifiers; several → bare statement
     val pos = positions
-      .join(broadcast(withRefs.select(col("entity_id"), col("qid"),
-        col("target"), col("refs"), col("position_qids"))),
-        Seq("entity_id"))
+      .join(scaffoldB, Seq("entity_id"))
       .filter(!array_contains(col("position_qids"), col("pos_qid")))
       // one shuffle for the aggregate AND the window: entity_id alone
       // satisfies both clusterings (subset rule)

@@ -56,7 +56,10 @@ object Reconcile {
       col("prop") === "wikidataId")
       .select(col("entity_id").as("post"), col("value").as("pos_qid"))
       .dropDuplicates("post")
-    occ.join(posQids, Seq("post"))
+    // posts are a lexicon-sized set (positions ≪ occupancies at any
+    // scale): broadcast them so the aggregated occupancy side keeps
+    // its entity_id partitioning instead of re-exchanging on `post`
+    occ.join(broadcast(posQids), Seq("post"))
       .select(col("holder").as("entity_id"), col("pos_qid"),
         coalesce(col("sd"), col("ps")).as("start"),
         coalesce(col("ed"), col("pe")).as("end"))

@@ -55,16 +55,29 @@ object StoreQueries {
     * sorted properties string.
     */
   def assembleQ(s: SparkSession, d: String): DataFrame =
+    // ONE groupBy(id) instead of groupBy(id, field) → groupBy(id): the
+    // per-field grouping happens inside the row with array HOFs over
+    // the collected (field, value) pairs (fields per entity is a small
+    // constant), which removes the second Exchange outright — and at
+    // lake scale, where statements are bucketed by id, the remaining
+    // groupBy(id) is the one that can go shuffle-free (guide §2.4).
+    // The entry strings and both sorts mirror the two-level original
+    // exactly: per-field values sorted then joined '|', then the
+    // 'field=vals' entries sorted as strings, so the output is
+    // bit-identical. min(schema) over all rows ≡ min over per-field
+    // minima; count(*) ≡ sum of per-field counts.
     StarStatements(s, d)
-      .groupBy(col("id"), col("field"))
-      .agg(min(col("schema")).as("schema"),
-        array_join(array_sort(collect_list(col("value"))), "|").as("vals"),
-        count(lit(1)).as("n"))
       .groupBy(col("id"))
       .agg(min(col("schema")).as("schema"),
-        concat_ws(";", array_sort(collect_list(
-          concat(col("field"), lit("="), col("vals"))))).as("props"),
-        sum(col("n")).as("n_stmts"))
+        collect_list(struct(col("field"), col("value"))).as("fv"),
+        count(lit(1)).as("n_stmts"))
+      .select(col("id"), col("schema"),
+        array_join(array_sort(transform(
+          array_distinct(transform(col("fv"), x => x("field"))),
+          f => concat(f, lit("="), array_join(array_sort(transform(
+            filter(col("fv"), x => x("field") === f),
+            x => x("value"))), "|")))), ";").as("props"),
+        col("n_stmts"))
 
   val assembleSql: String = s"""
     WITH ${StarStatements.sql.trim},
@@ -130,11 +143,13 @@ object StoreQueries {
   def deltaQ(s: SparkSession, d: String): DataFrame = {
     val all = StarStatements(s, d)
       .withColumn("num", split(col("id"), ":").getItem(1).cast("long"))
-    val from = all.filter(col("num") % 7 =!= 0)
-      .filter(!(col("field") === "type" && col("num") % 5 === 0))
-    VersionedStore.deltaOps(
-      VersionedStore.contentDigests(from),
-      VersionedStore.contentDigests(all), "id")
+    // both snapshot digests from ONE pass (deltaOpsOnePass): the
+    // "from" version is a row-level filter of the same frame, so the
+    // two contentDigests scans + full-outer join collapse into a
+    // single groupBy(id)
+    VersionedStore.deltaOpsOnePass(all,
+      col("num") % 7 =!= 0 &&
+        !(col("field") === "type" && col("num") % 5 === 0))
   }
 
   val deltaSql: String = s"""

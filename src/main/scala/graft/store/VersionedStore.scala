@@ -127,4 +127,31 @@ object VersionedStore {
     stmts.groupBy(col("id"))
       .agg(md5(concat_ws("|", array_sort(collect_list(
         concat(col("field"), lit("="), col("value")))))).as("digest"))
+
+  /** [[deltaOps]] specialized to the snapshot-diff shape where BOTH
+    * versions derive from one statement frame — "from" is the rows
+    * satisfying `fromCond`, "to" is every row. Both digests then ride
+    * a single groupBy(id) over a single scan (a conditional
+    * collect_list drops the null entries the condition masks, exactly
+    * like filtering first), instead of two scans + two aggregations +
+    * a full-outer join: 4 Exchanges → 1, and the join disappears.
+    * DEL is unreachable by construction (from ⊆ to in id space), and
+    * the digest expression is [[contentDigests]]' own, so the output
+    * is bit-identical to the two-sided form.
+    */
+  def deltaOpsOnePass(stmts: DataFrame,
+      fromCond: org.apache.spark.sql.Column): DataFrame = {
+    val entry = concat(col("field"), lit("="), col("value"))
+    stmts.groupBy(col("id"))
+      .agg(
+        md5(concat_ws("|", array_sort(collect_list(entry)))).as("d_to"),
+        md5(concat_ws("|", array_sort(collect_list(
+          when(fromCond, entry))))).as("d_from"),
+        max(when(fromCond, 1).otherwise(0)).as("in_from"))
+      .select(col("id"),
+        when(col("in_from") === 0, "ADD")
+          .when(col("d_from") =!= col("d_to"), "MOD")
+          .otherwise("SAME").as("op"))
+      .filter(col("op") =!= "SAME")
+  }
 }

@@ -232,28 +232,42 @@ object Curation {
     * aggregates + one broadcast join — the corpus never shuffles.
     */
   def mixtureOf(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"), col("source"),
-      size(TextAnalysis.words(col("text"))).cast("long").as("n"))
+    val bucket = conv(substring(
+      md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("long")
+    // ONE corpus pass: the old shape tokenized the corpus twice (once
+    // for the per-source totals, once for the selection counts after
+    // the rates existed). The selection predicate `bucket < rate *
+    // 65536` only reads the doc through its 16-bit bucket, so a
+    // per-(source, bucket) histogram — at most 65536 × sources rows,
+    // corpus-independent — carries everything both aggregates need.
+    // localCheckpoint materializes it once (the proven hllQ pattern:
+    // AQE plans the two consumers as independent jobs and would
+    // re-run the scan + tokenize per consumer), and tokenization, the
+    // real cost at lake scale, happens exactly once.
+    val hist = docs.select(col("source"),
+        size(TextAnalysis.words(col("text"))).cast("long").as("n"),
+        bucket.as("bucket"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("docs"), sum(col("n")).as("toks"))
+      .localCheckpoint(true)
     val w = substring(col("source"), 4, 10).cast("long") + 1L
-    val src = toks.groupBy(col("source"))
-      .agg(sum(col("n")).as("tokens"))
+    val src = hist.groupBy(col("source"))
+      .agg(sum(col("toks")).as("tokens"))
       .withColumn("w", w)
     val t = src.agg(min(col("tokens").cast("double") / col("w"))
       .as("t_units"))
     // no broadcast on `rates` itself: it is the PRESERVED side of the
     // final left-outer join (unsupported build side — the hint would
     // just be dropped with a warning); the hint belongs on the probe
-    // below, where rates joins the corpus
+    // below, where rates joins the histogram
     val rates = src.crossJoin(broadcast(t))
       .withColumn("rate",
         least(lit(1.0), col("w") * col("t_units") / col("tokens")))
-    val bucket = conv(substring(
-      md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("long")
-    val sel = toks.join(
+    val sel = hist.join(
         broadcast(rates.select(col("source"), col("rate"))), Seq("source"))
-      .filter(bucket < col("rate") * 65536)
+      .filter(col("bucket") < col("rate") * 65536)
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("sel_docs"), sum(col("n")).as("sel_tokens"))
+      .agg(sum(col("docs")).as("sel_docs"), sum(col("toks")).as("sel_tokens"))
     rates.join(sel, Seq("source"), "left_outer")
       .select(col("source"), col("w"), col("tokens"),
         round(col("rate"), 6).as("rate"),

@@ -104,21 +104,36 @@ object Sketches {
   /** Estimate from the register table: exact-integer harmonic sum, the
     * raw estimate, and linear counting below the small-range threshold.
     */
-  def estimateOf(regs: DataFrame): DataFrame = {
+  def estimateOf(regs: DataFrame): DataFrame =
+    estimateCore(regs, withExact = false)
+
+  /** Shared estimate pipeline. With `withExact`, the input must carry
+    * a `cnt` column and the SAME groupBy(source) additionally sums it
+    * — the exact distinct count rides the estimate's aggregation
+    * instead of a second pass + join over the register table (the
+    * estimate expressions are shared, so the `est` column is
+    * bit-identical either way).
+    */
+  private def estimateCore(regs: DataFrame, withExact: Boolean)
+      : DataFrame = {
+    val baseAggs = Seq(
+      sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST(${WBits + 1} - m AS INT))"))
+        .as("s_used")) ++
+      (if (withExact) Seq(sum(col("cnt")).as("exact")) else Nil)
+    val keep = if (withExact) Seq(col("exact")) else Nil
     val withS = regs.groupBy(col("source"))
-      .agg(count(lit(1)).as("used"),
-        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST(${WBits + 1} - m AS INT))"))
-          .as("s_used"))
-      .select(col("source"), col("used"),
+      .agg(count(lit(1)).as("used"), baseAggs: _*)
+      .select(Seq(col("source"), col("used"),
         (lit(M.toLong) - col("used")).as("zeros"),
         (col("s_used") + (lit(M.toLong) - col("used")) * lit(1L << (WBits + 1)))
-          .as("s"))
+          .as("s")) ++ keep: _*)
     val rawD = lit(RawNum) / col("s").cast("double")
     val linD = lit(M.toDouble) * log(lit(M.toDouble) / col("zeros"))
-    withS.select(col("source"), col("used").as("regs_used"),
+    withS.select(Seq(col("source"), col("used").as("regs_used"),
       when(col("zeros") > 0 && rawD <= lit(LinearBelow),
         floor(linD + lit(0.5)))
-        .otherwise(floor(rawD + lit(0.5))).cast("long").as("est"))
+        .otherwise(floor(rawD + lit(0.5))).cast("long").as("est")) ++
+      keep: _*)
   }
 
   def hllQ(s: SparkSession, d: String): DataFrame = {
@@ -136,16 +151,18 @@ object Sketches {
     // every consumer reads it back at page-cache speed (10 → 7 jobs,
     // 1.73 → 0.9 s)
     val perReg = registersAndCountsOf(post).localCheckpoint(true)
-    val perSource = perReg.drop("cnt")
-    val merged = perSource.groupBy(col("reg"))
-      .agg(max(col("m")).as("m"))
-      .select(lit("ALL").as("source"), col("reg"), col("m"))
-    val est = estimateOf(perSource.unionByName(merged))
-    val exact = perReg.groupBy(col("source"))
-      .agg(sum(col("cnt")).as("exact"))
-    val exactAll = perReg.agg(sum(col("cnt")).as("exact"))
-      .select(lit("ALL").as("source"), col("exact"))
-    est.join(exact.unionByName(exactAll), Seq("source"))
+    // the ALL row's registers are the register-wise max across
+    // sources; its exact distinct count is the sum of every source's
+    // per-register row counts, which rides the same groupBy(reg) —
+    // and the estimate + exact for EVERY output row then come out of
+    // ONE groupBy(source) over the union (estimateCore withExact),
+    // retiring the separate exact/exactAll aggregations and the
+    // est ⋈ exact join (8 → 5 jobs measured at sf0.1; the estimate
+    // expressions are the shared ones, so `est` is bit-identical)
+    val merged = perReg.groupBy(col("reg"))
+      .agg(max(col("m")).as("m"), sum(col("cnt")).as("cnt"))
+      .select(lit("ALL").as("source"), col("reg"), col("m"), col("cnt"))
+    estimateCore(perReg.unionByName(merged), withExact = true)
       .select(col("source"), col("regs_used"), col("est"), col("exact"),
         (floor(abs(col("est") - col("exact")).cast("double") /
           col("exact").cast("double") * 10000 + lit(0.5)) / lit(100))
