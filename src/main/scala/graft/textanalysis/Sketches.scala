@@ -196,10 +196,16 @@ object Sketches {
     // per-occurrence rows and summing per-(doc, term) tf are the same
     // exact integers, and the artifact read replaces the per-query
     // corpus tokenize + checkpoint
+    // vocabulary-sized (term, occ, h); localCheckpoint because its two
+    // consumers (counter build, exact-top probe) are separate subtrees
+    // AQE runs as independent jobs, each re-scanning + re-aggregating
+    // the postings artifact (the hllQ fan-out rule; measured 2 × ~340 ms
+    // scan+agg stages at sf0.1 → 1)
     val hashed = graft.search.Search.postingsCk(s, d)
       .select(col("term"), col("tf"))
       .groupBy(col("term")).agg(sum(col("tf")).as("occ"))
       .withColumn("h", Hashing.hash60(col("term")))
+      .localCheckpoint(true)
     // counter table: one explode into depth rows per term, then a
     // map-side-combining weighted sum — state is depth×width no matter
     // the input

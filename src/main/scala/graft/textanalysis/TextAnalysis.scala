@@ -299,11 +299,16 @@ object TextAnalysis {
     val tf = graft.search.Search.postingsCk(s, d)
       .select(col("doc_id"), col("term").as("t"), col("tf"))
     val df = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
-    val n = tf.select(countDistinct(col("doc_id")).as("n_docs"))
-    val scored = tf.join(df, Seq("t")).crossJoin(broadcast(n))
+    // n_docs from the stored postings-stats artifact (its n_docs IS
+    // countDistinct(doc_id) over the same postings — dl is
+    // functionally determined by doc_id): retires the third corpus
+    // scan this query ran just to collect one scalar (bm25/hybrid's
+    // postingsStats rule)
+    val nDocs = graft.search.Search.postingsStats(s, d)._1
+    val scored = tf.join(df, Seq("t"))
       .select(col("doc_id"), col("t"), col("tf"), col("df"),
         floor(col("tf") * (lit(1.0) +
-          log(col("n_docs").cast("double") / col("df").cast("double")))
+          log(lit(nDocs).cast("double") / col("df").cast("double")))
           * 1e6 + lit(0.5)).cast("long").as("score6"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
