@@ -152,20 +152,29 @@ object Bench {
         }
         name -> times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     val (loadavg, probeSec) = machineProbe(sfDir)
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"index_build_sec":$idxSec,"ambient_gate":"$gate","loadavg_pre":$loadPre,"probe_64mib_pre":$probePre,"loadavg":$loadavg,"probe_64mib_sec":$probeSec,"sf":"$sfDir"}"""
-    println(json)
+    // The printed one-line JSON rounds every float to 4 decimals: at full
+    // double precision the 137-query line is ~9 KB and overflows the
+    // driver's log-tail capture (both BENCH_r12/r13 have parsed:null for
+    // exactly this reason) — 0.1 ms resolution is far below bench noise
+    // and cuts the line ~3×. The $SPARK_GRAFT_BENCH_OUT file keeps full
+    // precision. Same timings, same methodology; only the printed
+    // formatting changed (round-14 measurement-contract fix).
+    def render(fmt: Double => String): String = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"index_build_sec":${fmt(idxSec)},"ambient_gate":"$gate","loadavg_pre":${fmt(loadPre)},"probe_64mib_pre":${fmt(probePre)},"loadavg":${fmt(loadavg)},"probe_64mib_sec":${fmt(probeSec)},"sf":"$sfDir"}"""
+    }
+    println(render(v => f"$v%.4f"))
     // ALSO write the line to a file: the driver's bench artifact keeps
     // only a truncated log tail, which loses the first half of the
     // per-query record — the file is the complete, parseable copy
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (json + "\n").getBytes("UTF-8"))
+      (render(_.toString) + "\n").getBytes("UTF-8"))
     catch { case e: Exception =>
       System.err.println(s"[bench] could not write $outPath: $e") }
     spark.stop()
