@@ -32,9 +32,14 @@ object Tables {
 
   def clearMemo(): Unit = memo.clear()
 
-  def read(spark: SparkSession, sfDir: String, table: String): DataFrame =
+  def read(spark: SparkSession, sfDir: String, table: String): DataFrame = {
+    // evict entries owned by stopped sessions: a long-lived JVM cycling
+    // SparkSessions would otherwise retain dead sessions' analyzed
+    // frames (and through them the stopped contexts) forever
+    memo.keySet.removeIf(k => k._1.sparkContext.isStopped)
     memo.computeIfAbsent((spark, s"$sfDir/$table.parquet"),
       { case (s, p) => s.read.parquet(p) })
+  }
 
   def lineitem(s: SparkSession, d: String): DataFrame = read(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = read(s, d, "orders")

@@ -270,7 +270,8 @@ object Search {
       .filter(col("srn") <= HybridArmK)
       .select(col("qid"), col("doc_id"), col("srn"))
     // dense arm: brute cosine top-K (the q_sim_cosine_topk machinery)
-    val p = Similarity.prepared(s, d)
+    // over the banded-corpus session copy — no per-invocation re-scan
+    val p = SimilarityQueries.nearPreparedCk(s, d)
     val dense = Similarity
       .bruteTopK(p, p.filter(col("vec_id") % qMod === 0), HybridArmK)
       .select(col("qid"), col("vec_id").as("doc_id"), col("rn").as("drn"))

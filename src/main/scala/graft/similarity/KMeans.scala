@@ -74,7 +74,10 @@ object KMeans {
   }
 
   def lloydQ(s: SparkSession, d: String): DataFrame = {
-    val p = Similarity.prepared(s, d)
+    // the banded-corpus session copy: same (vec_id, v, nrm) rows as
+    // Similarity.prepared, already decoded once — the artifact BUILD
+    // below keeps raw prepared (ingest runs before/with the artifact)
+    val p = SimilarityQueries.nearPreparedCk(s, d)
     val cent = seededCentroids(p, SimilarityQueries.centroidMod(s, d))
     // report each centroid's movement: cosine(old, new) and the new norm
     lloydStep(p, cent).join(broadcast(cent), Seq("cid"))

@@ -135,9 +135,13 @@ object Pq {
     */
   val RerankFactor = 8
 
-  /** The ADC scan shared by [[pqTopK]] and [[pqRerankTopK]]. */
-  private def adcScores(s: SparkSession, d: String): DataFrame = {
-    val p = Similarity.prepared(s, d)
+  /** The ADC scan shared by [[pqTopK]] and [[pqRerankTopK]] (and, via
+    * [[adcScoresFrom]], by q_sim_recall's shared-arm harness).
+    */
+  private def adcScores(s: SparkSession, d: String): DataFrame =
+    adcScoresFrom(s, d, SimilarityQueries.nearPreparedCk(s, d))
+
+  def adcScoresFrom(s: SparkSession, d: String, p: DataFrame): DataFrame = {
     val (codebook, enc) = indexCk(s, d)
     val dtab = distanceTable(p, codebook)
     enc.join(broadcast(dtab),
@@ -163,10 +167,19 @@ object Pq {
     * 0.91 at sf0.01 for ~one extra broadcast join.
     */
   def pqRerankTopK(s: SparkSession, d: String): DataFrame = {
-    val p = Similarity.prepared(s, d)
-    val short = Similarity.topkPerQid(adcScores(s, d),
-        TopK * RerankFactor, col("ad6").asc, col("vec_id").asc)
-      .select(col("qid"), col("vec_id"))
+    val p = SimilarityQueries.nearPreparedCk(s, d)
+    rerankFromShortlist(s, d, p,
+      Similarity.topkPerQid(adcScoresFrom(s, d, p),
+          TopK * RerankFactor, col("ad6").asc, col("vec_id").asc)
+        .select(col("qid"), col("vec_id")))
+  }
+
+  /** The exact re-rank tail over a caller-supplied ADC shortlist
+    * `(qid, vec_id)` — split out so q_sim_recall can feed the SAME
+    * shortlist to both PQ arms instead of paying the ADC scan twice.
+    */
+  def rerankFromShortlist(s: SparkSession, d: String, p: DataFrame,
+      short: DataFrame): DataFrame = {
     val q = p.filter(col("vec_id") % QueryMod === 0)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("nrm").as("qnrm"))

@@ -40,7 +40,7 @@ object SemDedup {
   val Eps = 0.4
 
   def semdedupQ(s: SparkSession, d: String): DataFrame = {
-    val p = Similarity.prepared(s, d)
+    val p = SimilarityQueries.nearPreparedCk(s, d)
     val cent = SimilarityQueries.ivfCentroids(p,
       SimilarityQueries.centroidMod(s, d))
     // nearest-centroid argmax keeping the winning cosine (ties → min cid)

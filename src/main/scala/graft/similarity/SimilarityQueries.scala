@@ -31,10 +31,18 @@ object SimilarityQueries {
 
   private def isQuery = col("vec_id") % QueryMod === 0
 
-  def cosineTopK(s: SparkSession, d: String): DataFrame = {
-    val p = Similarity.prepared(s, d)
+  def cosineTopK(s: SparkSession, d: String): DataFrame =
+    cosineTopKFrom(nearPreparedCk(s, d))
+
+  /** The brute arm over a caller-supplied prepared frame — every
+    * similarity query now reads the ONE session copy of the banded
+    * corpus artifact ([[nearPreparedCk]]: vec_id, v, nrm, bucket)
+    * instead of re-scanning parquet and re-deriving the norms per
+    * invocation; the extra bucket column is pruned or ignored by
+    * explicit selects.
+    */
+  def cosineTopKFrom(p: DataFrame): DataFrame =
     Similarity.bruteTopK(p, p.filter(isQuery), TopK)
-  }
 
   /** Embedding near-duplicate pairs (cosine ≥ threshold, a < b),
     * LSH-bucketed: candidates come from band-equality equi-joins — never
@@ -233,8 +241,10 @@ object SimilarityQueries {
     * Complements [[annLsh]]: LSH buckets are oblivious, IVF lists
     * adapt to the data's cluster structure.
     */
-  def ivfTopK(s: SparkSession, d: String): DataFrame = {
-    val p = Similarity.prepared(s, d)
+  def ivfTopK(s: SparkSession, d: String): DataFrame =
+    ivfTopKFrom(s, d, nearPreparedCk(s, d))
+
+  def ivfTopKFrom(s: SparkSession, d: String, p: DataFrame): DataFrame = {
     val cent = broadcast(KMeans.trainedCentroids(s, d))
     val assigned = ivfAssigned(p, cent)
     val probes = ivfProbes(p, cent)
@@ -258,10 +268,16 @@ object SimilarityQueries {
     * in the 0.5–0.9 range (the banding table above). Still never an
     * all-pairs scan: candidates come from equi-joins on (band, key).
     */
-  def annLsh(s: SparkSession, d: String): DataFrame = {
-    val planes = Similarity.hyperplanes(NearPlanes, 64)
-    val p = Similarity.prepared(s, d)
-      .withColumn("bucket", Similarity.bucketOf(col("v"), planes))
+  def annLsh(s: SparkSession, d: String): DataFrame =
+    annLshFrom(nearPreparedCk(s, d))
+
+  /** The LSH arm over a prepared frame that already carries the
+    * [[NearPlanes]]-bit bucket column — [[nearPreparedCk]] signs the
+    * corpus against the SAME hyperplanes at ingest, so re-deriving the
+    * bucket per invocation (16 64-dim dot products per row) was pure
+    * recompute.
+    */
+  def annLshFrom(p: DataFrame): DataFrame = {
     val mask = (1L << NearBandBits) - 1
     def banded(df: DataFrame): DataFrame = df
       .select(col("vec_id"),
@@ -364,16 +380,30 @@ object SimilarityQueries {
     * checked, regression-tracked output instead of a code comment.
     */
   def recallQ(s: SparkSession, d: String): DataFrame = {
-    val exact = cosineTopK(s, d).select(col("qid"), col("vec_id"))
-    val lsh = annLsh(s, d).select(col("qid"), col("vec_id"))
+    // ONE shared prepared frame feeds all five arms (previously each
+    // arm re-scanned parquet and re-derived the norms), and the two PQ
+    // arms share ONE ADC scan: pqTopK's top-10 is exactly the rn ≤ 10
+    // prefix of the rerank shortlist's identical (ad6 asc, vec_id asc)
+    // window, so the shortlist — Q × TopK·RerankFactor rows, bounded by
+    // the query workload — is checkpointed once and sliced twice.
+    val p = nearPreparedCk(s, d)
+    val exact = cosineTopKFrom(p).select(col("qid"), col("vec_id"))
+    val lsh = annLshFrom(p).select(col("qid"), col("vec_id"))
       .withColumn("lsh_hit", lit(1))
-    val ivf = ivfTopK(s, d).select(col("qid"), col("vec_id"))
+    val ivf = ivfTopKFrom(s, d, p).select(col("qid"), col("vec_id"))
       .withColumn("ivf_hit", lit(1))
     // PQ ranks by ADC distance on unit vectors (= cosine ordering up
     // to quantization error), so the same exact-cosine baseline applies
-    val pq = Pq.pqTopK(s, d).select(col("qid"), col("vec_id"))
+    val short = Similarity.topkPerQid(Pq.adcScoresFrom(s, d, p),
+        Pq.TopK * Pq.RerankFactor, col("ad6").asc, col("vec_id").asc)
+      .select(col("qid"), col("vec_id"), col("rn"))
+      .localCheckpoint(true)
+    val pq = short.filter(col("rn") <= TopK)
+      .select(col("qid"), col("vec_id"))
       .withColumn("pq_hit", lit(1))
-    val pqrr = Pq.pqRerankTopK(s, d).select(col("qid"), col("vec_id"))
+    val pqrr = Pq.rerankFromShortlist(s, d, p,
+        short.select(col("qid"), col("vec_id")))
+      .select(col("qid"), col("vec_id"))
       .withColumn("pqrr_hit", lit(1))
     def frac(n: Column): Column =
       floor(n.cast("double") / col("n_exact").cast("double")
@@ -439,7 +469,7 @@ object SimilarityQueries {
     * quantizes the query side.
     */
   def ivfPqQ(s: SparkSession, d: String): DataFrame = {
-    val p = Similarity.prepared(s, d)
+    val p = nearPreparedCk(s, d)
     val cent = broadcast(KMeans.trainedCentroids(s, d))
     val lists = ivfAssigned(p, cent)
       .select(col("vec_id"), col("cid").as("ivf_cid"))
@@ -501,7 +531,7 @@ object SimilarityQueries {
   val HardNegK = 5
 
   def hardNegQ(s: SparkSession, d: String): DataFrame = {
-    val p = Similarity.prepared(s, d)
+    val p = nearPreparedCk(s, d)
     val topk = Similarity.bruteTopK(p, p.filter(isQuery), TopK)
     val lbl = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
     val j = topk
@@ -547,7 +577,7 @@ object SimilarityQueries {
     * the selection is bit-identical across engines.
     */
   def mmrQ(s: SparkSession, d: String): DataFrame = {
-    val p = Similarity.prepared(s, d)
+    val p = nearPreparedCk(s, d)
     val tk = Similarity.bruteTopK(p, p.filter(isQuery), TopK)
       .select(col("qid"), col("vec_id").as("cand"),
         col("cosine").as("cosq"))
@@ -611,7 +641,7 @@ object SimilarityQueries {
     * (vec_id, list_id, codes), codes ordered by subspace.
     */
   def indexAddQ(s: SparkSession, d: String): DataFrame = {
-    val delta = Similarity.prepared(s, d).filter(col("vec_id") % 10 === 7)
+    val delta = nearPreparedCk(s, d).filter(col("vec_id") % 10 === 7)
     val cent = broadcast(KMeans.trainedCentroids(s, d))
     val assigned = ivfAssigned(delta, cent)
       .select(col("vec_id"), col("cid").as("list_id"))

@@ -137,7 +137,11 @@ object VersionedStore {
     * a full-outer join: 4 Exchanges → 1, and the join disappears.
     * DEL is unreachable by construction (from ⊆ to in id space), and
     * the digest expression is [[contentDigests]]' own, so the output
-    * is bit-identical to the two-sided form.
+    * is bit-identical to the two-sided form — PROVIDED `id` is
+    * non-null: the two-sided full-outer join never matches null keys
+    * (emitting separate ADD+DEL rows for a null-id group) while this
+    * groupBy folds them into one row. Every current caller feeds
+    * non-null ids by construction.
     */
   def deltaOpsOnePass(stmts: DataFrame,
       fromCond: org.apache.spark.sql.Column): DataFrame = {
