@@ -86,39 +86,69 @@ final class NominatimEnricher(gazetteer: DataFrame,
     // per branch, ~1 s each at sf0.1 — and at production scale a
     // gazetteer can never broadcast); the explicit co-partitioning
     // already satisfies both branch joins' clustering, and the one
-    // exchange is reused across them
-    val g = gazetteer.repartition(par, col("g_num"), col("g_city"))
+    // exchange is reused across them.
+    // PROJECT BEFORE THE EXCHANGE: the rollup joins only need the key
+    // columns + osm_id — sharing one exchange with the display-field
+    // fetch forced the shuffle to carry every wide string column
+    // (display_name, country/city/state names, postcode ≈ 5× the
+    // bytes). The fetch instead broadcast-joins the winning ids back
+    // onto the RAW artifact scan below, which column-prunes to the
+    // display fields and never shuffles.
+    val g = gazetteer
+      .select(col("g_num"), col("g_city"), col("g_country"), col("osm_id"))
+      .repartition(par, col("g_num"), col("g_city"))
       .hint("shuffle_hash")
     // top-1 = min osm_id among matching gazetteer rows — a property of
     // the GAZETTEER KEY alone, so aggregate the gazetteer to one row
     // per key BEFORE the join and the per-address candidate fan-out
     // (key-cardinality × addresses; ~3M intermediate rows at sf0.1,
     // the two 1.2 s probe stages of the plan dump) never materializes.
-    // The (num, city) exchange satisfies both groupBys by the subset
+    // The (num, city) exchange satisfies the groupBy by the subset
     // rule, and map-side partials collapse the aggregate; at gazetteer
     // scale this is the difference between joining an index and
-    // joining the raw table. Countryful addresses still equi-join on
-    // the country (an `isNull || ===` residual measured 5.6× the
-    // oracle); country-less ones take the (num, city) rollup.
-    val gMinC = g.groupBy(col("g_num"), col("g_city"), col("g_country"))
+    // joining the raw table.
+    //
+    // Checkpointed ONCE: the former two-branch plan (countryful /
+    // country-less joins) pushed DIFFERENT null-filters into the two
+    // rollup subtrees (IsNotNull(g_country) only on the countryful
+    // side), so their exchanges never canonicalized equal and
+    // ReuseExchange could not fire — the gazetteer was scanned and
+    // shuffled TWICE per invocation. The checkpoint is bounded by the
+    // gazetteer's (num, city, country) key cardinality, not its row
+    // count — rollup-sized at any scale.
+    val gMin = g.groupBy(col("g_num"), col("g_city"), col("g_country"))
       .agg(min(col("osm_id")).as("osm_id"))
+      .localCheckpoint(true)
     // min is associative: the country-less rollup folds the countryful
     // one (key-count rows) instead of re-aggregating the gazetteer
-    val gMinNoC = gMinC.groupBy(col("g_num"), col("g_city"))
+    val gMinNoC = gMin.groupBy(col("g_num"), col("g_city"))
       .agg(min(col("osm_id")).as("osm_id"))
+    // ONE equi-join serves both address shapes: real countries are
+    // keyed "c:<country>", the country-less rollup row "" — disjoint
+    // for EVERY possible data value (no "c:"-prefixed key can equal
+    // ""), so each country-less address maps onto the (num, city)
+    // rollup row and each countryful address onto its (num, city,
+    // country) row, exactly the former two branches. A null g_country
+    // keys to null and never matches, as before; its rows still fold
+    // into the country-less rollup. The former two filtered branches
+    // each re-shuffled the pinned query scaffold (the same pushdown
+    // asymmetry as above); one join = one ts exchange, one probe.
+    val lut = gMin
+      .select(col("g_num"), col("g_city"),
+        concat(lit("c:"), col("g_country")).as("g_ckey"), col("osm_id"))
+      .unionByName(gMinNoC.select(col("g_num"), col("g_city"),
+        lit("").as("g_ckey"), col("osm_id")))
     val picked = Seq(col("id"), col("q_key"), col("osm_id"))
-    val withC = ts.filter(col("q_country").isNotNull).join(gMinC,
-      col("q_num") === gMinC("g_num") && col("q_city") === gMinC("g_city") &&
-        col("q_country") === gMinC("g_country"))
+    val minids = ts
+      .withColumn("q_ckey", when(col("q_country").isNotNull,
+        concat(lit("c:"), col("q_country"))).otherwise(lit("")))
+      .join(lut, col("q_num") === lut("g_num") &&
+        col("q_city") === lut("g_city") && col("q_ckey") === lut("g_ckey"))
       .select(picked: _*)
-    val noC = ts.filter(col("q_country").isNull).join(gMinNoC,
-      col("q_num") === gMinNoC("g_num") && col("q_city") === gMinNoC("g_city"))
-      .select(picked: _*)
-    // each address meets exactly one rollup row per branch → already
-    // the winner; the winning ids broadcast back onto the gazetteer to
-    // fetch their display fields
-    val minids = withC.unionByName(noC)
-    val fresh = broadcast(minids).join(g, Seq("osm_id"))
+    // each address meets exactly one rollup row → already the winner;
+    // the winning ids broadcast back onto the gazetteer to fetch their
+    // display fields
+    val fresh = broadcast(minids).join(gazetteer, Seq("osm_id"))
       .select(col("id"),
         concat(lit("osm-"), col("osm_type"), lit("-"),
           col("osm_id").cast("string")).as("match_id"),

@@ -5,7 +5,6 @@ import org.apache.spark.sql.functions._
 
 import graft.blocker.BlockerQueries
 import graft.store.StarStatements
-import graft.text.JaroWinkler
 
 /** Pair-scoring stage: feature comparators over candidate pairs, composed
   * into algorithm scores (reference `matching/` package).
@@ -166,42 +165,21 @@ object MatchingQueries {
   }
 
   /** jaro_name_parts (`name_based/names.py:35-59`): mean best-JW per
-    * distinct query token, 0.5 floor per pair.
+    * distinct query token, 0.5 floor per pair — a native codegen
+    * expression ([[graft.functions.JaroPartsSim]]); the former Scala
+    * UDF here broke the trio projection's WholeStageCodegen span and
+    * converted both token arrays to external Seqs per row (guide §4).
     */
-  private val jaroPartsUdf = udf((q: Seq[String], r: Seq[String]) => {
-    val qd = q.distinct
-    val rd = r.distinct
-    if (qd.isEmpty) 0.0
-    else {
-      val sims = qd.map { p =>
-        rd.map(o => JaroWinkler.similarity(p, o))
-          .filter(_ > 0.5).maxOption.getOrElse(0.0)
-      }
-      sims.sum / math.max(1.0, sims.length.toDouble)
-    }
-  })
+  private def jaroParts(q: Column, r: Column): Column =
+    graft.functions.TextExpressions.jaroParts(q, r)
 
   /** OFAC name-score emulation (`name_based/ofac.py:106-147`): max of
     * first-letter-gated whole-string SimMetrics-JW and per-token
-    * best-pairing with a 0.5 floor and short-token drop.
+    * best-pairing with a 0.5 floor and short-token drop — native
+    * codegen expression ([[graft.functions.OfacSim]]), same rationale.
     */
-  private val ofacUdf = udf((q: Seq[String], r: Seq[String]) => {
-    val qn = q.mkString(" ")
-    val rn = r.mkString(" ")
-    val whole =
-      if (qn.isEmpty || rn.isEmpty || qn.head != rn.head) 0.0
-      else JaroWinkler.simmetrics(qn, rn)
-    val kept0 = q.filter(_.length > 2)
-    val kept = if (kept0.nonEmpty) kept0 else q
-    val per =
-      if (kept.isEmpty || r.isEmpty) 0.0
-      else kept.map { p =>
-        val best = r.map(o => JaroWinkler.simmetrics(p, o))
-          .maxOption.getOrElse(0.0)
-        if (best >= 0.5) best else 0.0
-      }.sum / kept.length
-    math.max(whole, per)
-  })
+  private def ofacName(q: Column, r: Column): Column =
+    graft.functions.TextExpressions.ofacName(q, r)
 
   private def trioBase(s: SparkSession, d: String): DataFrame = {
     val an = analysisCk(s, d)
@@ -233,7 +211,7 @@ object MatchingQueries {
   def nameBasedScore(s: SparkSession, d: String): DataFrame =
     trioBase(s, d).select(col("lid"), col("rid"),
       round(least(greatest(
-        jaroPartsUdf(col("ltoks"), col("rtoks")) * 0.5 +
+        jaroParts(col("ltoks"), col("rtoks")) * 0.5 +
           soundexPartsCol * 0.5, lit(0.0)), lit(1.0)), 6).as("score"))
 
   /** name-qualified: name-based plus the mismatch qualifiers that exist
@@ -242,14 +220,14 @@ object MatchingQueries {
   def nameQualifiedScore(s: SparkSession, d: String): DataFrame =
     trioBase(s, d).select(col("lid"), col("rid"),
       round(least(greatest(
-        jaroPartsUdf(col("ltoks"), col("rtoks")) * 0.5 +
+        jaroParts(col("ltoks"), col("rtoks")) * 0.5 +
           soundexPartsCol * 0.5 + numbersMismatchCol * -0.1,
         lit(0.0)), lit(1.0)), 6).as("score"))
 
   /** ofac: OFAC emulation name score (`name_based/model.py:14-41`). */
   def ofacScore(s: SparkSession, d: String): DataFrame =
     trioBase(s, d).select(col("lid"), col("rid"),
-      round(least(greatest(ofacUdf(col("ltoks"), col("rtoks")), lit(0.0)),
+      round(least(greatest(ofacName(col("ltoks"), col("rtoks")), lit(0.0)),
         lit(1.0)), 6).as("score"))
 
   /** xref end-to-end on the star corpus (`xref.py:29-160`): scored

@@ -36,7 +36,11 @@ object JobCount {
         val i = s.stageInfo
         val ms = (for {a <- i.completionTime; b <- i.submissionTime}
           yield a - b).getOrElse(-1L)
-        stageLog.add(f"    stage ${i.stageId}%3d ${ms}%6d ms tasks=${i.numTasks}%3d ${i.name.take(90)}")
+        val m = i.taskMetrics
+        stageLog.add(f"    stage ${i.stageId}%3d ${ms}%6d ms tasks=${i.numTasks}%3d " +
+          f"cpu=${m.executorRunTime}%6d ms in=${m.inputMetrics.recordsRead}%8d " +
+          f"sh=${m.shuffleReadMetrics.recordsRead}%8d/${m.shuffleWriteMetrics.recordsWritten}%8d " +
+          i.name.take(60))
       }
     })
     graft.Caches.ensureAll(spark, sfDir)
