@@ -110,11 +110,25 @@ object Search {
       // Caches.pin, not localCheckpoint: the session copy of a
       // corpus-sized table belongs on local disk with lineage retained
       // (recoverable after executor loss; zero heap footprint — the
-      // on-heap block tax measured in Caches.pin's scaladoc)
+      // on-heap block tax measured in Caches.pin's scaladoc).
+      //
+      // Pinned doc_id-PARTITIONED: the artifact parquet is written
+      // term-clustered (the groupBy order of the build), so a scan has
+      // UnknownPartitioning and every (…, doc_id)-keyed aggregate
+      // downstream both shuffled the full term-match stream AND got no
+      // map-side collapse (each term-range task sees distinct
+      // (qid, doc_id) pairs — measured 3.06M partials shuffled by the
+      // hybrid sparse arm at sf0.1). The persisted copy's
+      // HashPartitioning(doc_id) satisfies ClusteredDistribution for
+      // any superset key set (subset rule), so bm25/hybrid per-doc
+      // score aggregates now run EXCHANGE-FREE on the cached rows;
+      // term-keyed consumers shuffle exactly as before. The one
+      // repartition is paid at ingest (ensureAll pins this copy).
       graft.Caches.pin(graft.IndexLake.artifact(s, d, "postings")(
         postingsWithSourceOf(Tables.documents(s, d)
           .repartition(s.sparkContext.defaultParallelism,
-            col("doc_id"))))))
+            col("doc_id"))))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))))
 
   private val statsCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), (Long, Double)]
@@ -259,11 +273,15 @@ object Search {
     val sparse = tf.join(qidf, Seq("term"))
       .filter(col("doc_id") =!= col("qid"))
       .select(col("qid"), col("doc_id"), termE6.as("e6"))
-      // one explicit-count Exchange on qid serves BOTH the pair
-      // aggregate and the per-query window (subset rule) at full
-      // parallelism — AQE otherwise coalesces the tiny-byte exchange
-      // to one task and serializes the arm's scoring
-      .repartition(s.sparkContext.defaultParallelism, col("qid"))
+      // NO explicit qid repartition here: r13's "one exchange serves
+      // aggregate + window" pin forced every RAW term-match row through
+      // the shuffle (measured 3.06M rows / 16 s cpu at sf0.1) because
+      // the groupBy's map-side partial aggregation only fires when the
+      // groupBy plans its own exchange — which then carries only the
+      // collapsed (qid, doc_id) partials (≤ queries × docs, 80k here),
+      // and the window above prunes map-side via partial
+      // WindowGroupLimit (see Similarity.topkPerQid). Two small
+      // exchanges beat one 40× bigger one at any scale (§2.3).
       .groupBy(col("qid"), col("doc_id"))
       .agg(sum(col("e6")).as("e6"))
       .withColumn("srn", row_number().over(ws))

@@ -62,19 +62,22 @@ object Similarity {
       .withColumn("nrm", norm(col("v")))
 
   /** Brute-force cosine top-k: broadcast queries × corpus, windowed rank. */
-  /** Per-query rank window over a PINNED qid repartition: the window's
-    * exchange is tiny in bytes, so AQE coalesces it to one task that
-    * then sorts every scored candidate single-threaded (measured
-    * 0.3–0.6 s per ANN arm inside q_sim_recall); an explicit-count
-    * repartition is exempt from coalescing and satisfies the window's
-    * required clustering, so no second exchange appears — the
-    * search-hybrid qid-pin pattern, shared by every ANN arm.
+  /** Per-query rank window with NO explicit repartition: a bare
+    * `row_number ≤ k` filter over the window lets physical planning
+    * insert WindowGroupLimit in PARTIAL mode below the qid exchange —
+    * each map task locally prunes to its own per-qid top-k, so the
+    * shuffle carries ≤ tasks × queries × k rows instead of every
+    * scored candidate (measured: the hybrid dense arm shuffled 3.06M
+    * scored rows at sf0.1 with the r13 explicit repartition, which
+    * planning treats as the window's exchange and therefore only
+    * emits the FINAL-mode limit above it — the repartition "fix" for
+    * AQE's tiny-exchange coalescing was defeating map-side pruning,
+    * trading a ~100× bigger shuffle for post-shuffle parallelism the
+    * pruned exchange no longer needs).
     */
   def topkPerQid(scored: DataFrame, k: Int, order: Column*): DataFrame = {
     val w = Window.partitionBy(col("qid")).orderBy(order: _*)
     scored
-      .repartition(scored.sparkSession.sparkContext.defaultParallelism,
-        col("qid"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
