@@ -605,22 +605,46 @@ object DedupQueries {
   }
 
   def winnowPairsQ(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val fps = fpSetsCk(s, d)
+    val par = s.sparkContext.defaultParallelism
+    // ONE explode, ONE corpus exchange, NO self-join. The r13 plan
+    // re-exploded the fp table FOUR times and computed the df-cap
+    // aggregate twice (Catalyst clones the subtree per self-join
+    // consumer and AQE never reuses the twin exchanges — measured
+    // 4 × 101k-row shuffle writes / ~23 s summed stage cpu at sf0.1).
+    // Instead: window-count the per-fingerprint df on the single
+    // h-exchange, drop boilerplate, collect each surviving
+    // fingerprint's ≤ WinnowDfCap doc ids (the cap bounds the list —
+    // the collect can never see a hot key), and emit the a<b pairs
+    // in-row; the pair multiset is exactly the old equi-join's.
     val ex = fps.select(col("doc_id"), explode(col("fp")).as("h"))
-    val rare = ex.join(
-      ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= WinnowDfCap),
-      Seq("h"))
-    val cand = rare.select(col("h"), col("doc_id").as("a"))
-      .join(rare.select(col("h"), col("doc_id").as("b")), Seq("h"))
-      .filter(col("a") < col("b"))
+      .repartition(par, col("h"))
+    val rareDocs = ex
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("df") <= WinnowDfCap)
+      .groupBy(col("h")).agg(collect_list(col("doc_id")).as("ds"))
+    // pairs materialized as their own projection BEFORE the explode
+    // (the HOF-attribute rule: a Generate over an inline HOF re-runs
+    // the lambda per output row)
+    val prs = flatten(transform(col("ds"), a =>
+      filter(transform(col("ds"), b => struct(a.as("a"), b.as("b"))),
+        p => p.getField("a") < p.getField("b"))))
+    val cand = rareDocs
+      .select(prs.as("prs"))
+      .select(explode(col("prs")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= WinnowMinShared)
     val inter = size(array_intersect(col("fa"), col("fb")))
-    cand
-      .join(fps.select(col("doc_id").as("a"), col("fp").as("fa")), Seq("a"))
-      .join(fps.select(col("doc_id").as("b"), col("fp").as("fb")), Seq("b"))
+    // broadcast the PAIRS (the near-dup set, small by construction),
+    // never the fp corpus: the old plan built the whole fp table into
+    // a broadcast hash relation twice — corpus-sized at 100 TB
+    val withA = fps.select(col("doc_id").as("a"), col("fp").as("fa"))
+      .join(broadcast(cand), Seq("a"))
+    fps.select(col("doc_id").as("b"), col("fp").as("fb"))
+      .join(broadcast(withA), Seq("b"))
       .select(col("a"), col("b"), col("shared"),
         round(inter.cast("double") /
           (size(col("fa")) + size(col("fb")) - inter), 4).as("jaccard"))
