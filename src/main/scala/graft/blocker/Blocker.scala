@@ -83,17 +83,37 @@ object Blocker {
     * and Spark's shuffle-skew guard: no join key downstream can fan out
     * more than `maxPairCost` rows.
     */
-  /** Compatible-pair cost per token (the stopword cost model input). */
+  /** Compatible-pair cost per token (the stopword cost model input).
+    *
+    * One pass instead of the former stats-with-stats self-join: a
+    * token carries at most one (schema, df) row per schema, so the
+    * ls ≤ rs pair terms are generated IN-ROW from a collected
+    * per-token list (bounded by the schema count) and summed after
+    * the broadcast compat filter — the self-join cloned the stats
+    * aggregation subtree per side (AQE runs the twin exchanges
+    * twice) and paid a second vocabulary shuffle. The explode keeps
+    * the collect's token clustering, so the final sum needs no new
+    * exchange. Term values are bit-identical: same-schema cost uses
+    * shiftright(df·(df−1), 1) — df·(df−1) is always even, so this is
+    * exactly the old integer `div 2`.
+    */
   def tokenCosts(stats: DataFrame, compat: DataFrame): DataFrame = {
-    val l = stats.select(col("token"), col("schema").as("ls"), col("df").as("ldf"))
-    val r = stats.select(col("token").as("rtoken"), col("schema").as("rs"),
-      col("df").as("rdf"))
-    l.join(r, col("token") === col("rtoken") && col("ls") <= col("rs"))
+    val perTok = stats.groupBy(col("token"))
+      .agg(collect_list(struct(col("schema"), col("df"))).as("ss"))
+    val prs = flatten(transform(col("ss"), x =>
+      filter(transform(col("ss"), y => struct(
+        x.getField("schema").as("ls"), y.getField("schema").as("rs"),
+        when(x.getField("schema") === y.getField("schema"),
+          shiftright(x.getField("df") * (x.getField("df") - 1), 1))
+          .otherwise(x.getField("df") * y.getField("df")).as("c"))),
+        p => p.getField("ls") <= p.getField("rs"))))
+    perTok.select(col("token"), prs.as("prs"))
+      .select(col("token"), explode(col("prs")).as("p"))
+      .select(col("token"), col("p.ls").as("ls"), col("p.rs").as("rs"),
+        col("p.c").as("c"))
       .join(broadcast(compat), Seq("ls", "rs"))
       .groupBy(col("token"))
-      .agg(sum(when(col("ls") === col("rs"),
-        expr("ldf * (ldf - 1) div 2")).otherwise(col("ldf") * col("rdf")))
-        .as("cost"))
+      .agg(sum(col("c")).as("cost"))
   }
 
   def stopwords(stats: DataFrame, compat: DataFrame, cfg: Config): DataFrame =
