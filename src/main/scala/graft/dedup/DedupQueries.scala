@@ -195,25 +195,41 @@ object DedupQueries {
 
   private def incrementalFrom(sh: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val par = sh.sparkSession.sparkContext.defaultParallelism
     val sigs = sh.select(col("doc_id"),
       Dedup.minhashSigFromHashes(col("hs"), MinhashK).as("sig"))
-    // same hot-bucket cap as the self-join path: a boilerplate band key
-    // must not fan the delta out against the whole corpus
-    val buckets = Dedup.dropHotBuckets(
-      Dedup.lshBuckets(sigs, "doc_id", Bands, RowsPerBand),
-      Dedup.LshBucketCap)
-    val delta = buckets.filter(col("doc_id") % 10 === 7)
-      .select(col("band"), col("key"), col("doc_id").as("a"))
-    val base = buckets.filter(col("doc_id") % 10 =!= 7)
-      .select(col("band"), col("key"), col("doc_id").as("b"))
-    val cand = delta.join(base, Seq("band", "key"))
-      .select(col("a"), col("b")).distinct()
-    val aS = sh.select(col("doc_id").as("a"), col("s").as("sa"))
-    val bS = sh.select(col("doc_id").as("b"), col("s").as("sb"))
+    // ONE (band, key) exchange, NO delta⋈base equi-join: the former
+    // dropHotBuckets + split + join cloned the CPU-heavy
+    // minhash+banding subtree per consumer (six ~2 s-cpu stages at
+    // sf0.1; AQE never reuses the twin exchanges). A window count
+    // applies the hot-bucket cap on the single exchange — identical
+    // semantics to dropHotBuckets, and it runs BEFORE the collect so
+    // the collected lists are ≤ cap (no boilerplate key can blow the
+    // aggregation buffer) — then each bucket emits its delta×base
+    // pairs in-row; the pair set is exactly the old join's.
+    val buckets = Dedup.lshBuckets(sigs, "doc_id", Bands, RowsPerBand)
+      .repartition(par, col("band"), col("key"))
+    val capped = buckets
+      .withColumn("df", count(lit(1)).over(
+        Window.partitionBy(col("band"), col("key"))))
+      .filter(col("df") <= Dedup.LshBucketCap)
+      .groupBy(col("band"), col("key"))
+      .agg(collect_list(col("doc_id")).as("ds"))
+    val prs = flatten(transform(filter(col("ds"), a => a % 10 === 7),
+      a => transform(filter(col("ds"), b => b % 10 =!= 7),
+        b => struct(a.as("a"), b.as("b")))))
+    val cand = capped.select(prs.as("prs"))
+      .select(explode(col("prs")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
+    // broadcast the candidate pairs, never the shingle corpus
     val inter = size(array_intersect(col("sa"), col("sb")))
+    val withA = sh.select(col("doc_id").as("a"), col("s").as("sa"))
+      .join(broadcast(cand), Seq("a"))
     val w = Window.partitionBy(col("a"))
       .orderBy(col("jaccard").desc, col("b").asc)
-    cand.join(aS, Seq("a")).join(bS, Seq("b"))
+    sh.select(col("doc_id").as("b"), col("s").as("sb"))
+      .join(broadcast(withA), Seq("b"))
       .select(col("a"), col("b"),
         round(inter.cast("double") /
           (size(col("sa")) + size(col("sb")) - inter), 4).as("jaccard"))

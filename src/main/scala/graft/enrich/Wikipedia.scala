@@ -99,22 +99,24 @@ object Wikipedia {
       regexp_extract(regexp_replace(col("site"), "wiki$", ""),
         "^([a-z]+)", 1))
     // plain wiki beats variant wiki for the same language
-    // (`wikipedia.py:105-116`): zhwiki over zh-classicalwiki
+    // (`wikipedia.py:105-116`): zhwiki over zh-classicalwiki — as ONE
+    // argmin aggregation (min over the (variant, site, title) struct =
+    // the former rank-1 row of the (variant, site) window; (qid, site)
+    // is unique in a dump, so the tiebreak never decides): map-side
+    // partials collapse the sitelink rows before the exchange, where
+    // the former qid repartition shipped every row and AQE coalesced
+    // the window to a single task (measured 104k rows / 1 task at
+    // sf0.1)
     val links = snaks.filter(col("role") === "sitelink")
       .select(col("qid"), col("site"), col("title"),
         // variant site codes carry a dash (zh-classical, be-x-old)
         when(col("site").contains("-"), 1).otherwise(0).as("variant"),
         langOf.as("lang"))
       .filter(col("lang").isNotNull)
-      // partition by qid alone: satisfies the (qid, lang) window
-      // clustering (subset rule) AND co-locates with the candidate
-      // join key, so the window and the join share ONE Exchange
-      .repartition(col("qid"))
-      .withColumn("vr", row_number().over(Window
-        .partitionBy(col("qid"), col("lang"))
-        .orderBy(col("variant"), col("site"))))
-      .filter(col("vr") === 1)
-      .select(col("qid"), col("lang"), col("site"), col("title"))
+      .groupBy(col("qid"), col("lang"))
+      .agg(min(struct(col("variant"), col("site"), col("title"))).as("m"))
+      .select(col("qid"), col("lang"), col("m.site").as("site"),
+        col("m.title").as("title"))
     // no re-keying after the qid join: the stream side stays
     // partitioned by qid, which already satisfies the final
     // per-candidate (entity_id, qid) window clustering (subset rule);
