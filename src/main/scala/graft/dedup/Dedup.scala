@@ -175,24 +175,46 @@ object Dedup {
 
   /** The banding/join core of [[simhashPairs]] over an
     * already-materialized signature table.
+    *
+    * ONE (band, key) exchange, no self-join: the former dropHotBuckets
+    * + equi-join cloned the banding subtree per consumer (AQE never
+    * reuses the twin exchanges — three scans/shuffles of the sig
+    * table). A window count applies the hot-bucket cap (identical to
+    * [[dropHotBuckets]], and ahead of the collect so no bucket list
+    * can exceed `cap`), then each bucket emits its a<b pairs in-row —
+    * the pair multiset matches the old join's, and the trailing
+    * distinct dedups across bands exactly as before.
     */
   def simhashPairsFrom(sigsCk: DataFrame, idCol: String, bands: Int,
       bandBits: Int, maxDist: Int, cap: Long = LshBucketCap): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val mask = (1L << bandBits) - 1
-    val banded = dropHotBuckets(sigsCk.select(col(idCol), col("simhash"),
+    val par = sigsCk.sparkSession.sparkContext.defaultParallelism
+    val banded = sigsCk.select(col(idCol), col("simhash"),
       explode(array((0 until bands).map(i =>
         struct(lit(i).as("band"),
           expr(s"shiftright(simhash, ${bandBits * i}) & $mask").as("key"))): _*))
         .as("bk"))
       .select(col(idCol), col("simhash"), col("bk.band").as("band"),
-        col("bk.key").as("key")), cap)
-    val l = banded.select(col("band"), col("key"), col(idCol).as("a"),
-      col("simhash").as("sig_a"))
-    val r = banded.select(col("band"), col("key"), col(idCol).as("b"),
-      col("simhash").as("sig_b"))
-    l.join(r, Seq("band", "key")).filter(col("a") < col("b"))
-      .select(col("a"), col("b"),
-        expr("bit_count(sig_a ^ sig_b)").as("hamming"))
+        col("bk.key").as("key"))
+      .repartition(par, col("band"), col("key"))
+    val capped = banded
+      .withColumn("df", count(lit(1)).over(
+        Window.partitionBy(col("band"), col("key"))))
+      .filter(col("df") <= cap)
+      .groupBy(col("band"), col("key"))
+      .agg(collect_list(struct(col(idCol).as("id"), col("simhash")))
+        .as("ds"))
+    val prs = flatten(transform(col("ds"), x =>
+      filter(transform(col("ds"), y => struct(
+        x.getField("id").as("a"), y.getField("id").as("b"),
+        bit_count(x.getField("simhash").bitwiseXOR(y.getField("simhash")))
+          .as("hamming"))),
+        p => p.getField("a") < p.getField("b"))))
+    capped.select(prs.as("prs"))
+      .select(explode(col("prs")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"),
+        col("p.hamming").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
   }

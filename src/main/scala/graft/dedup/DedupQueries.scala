@@ -787,9 +787,15 @@ object DedupQueries {
   private def substrFrom(pos: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val n = SubstrK
-    val hot = pos.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2).select(col("h"))
-    val dup = pos.join(hot, Seq("h"), "left_semi")
+    // hot-gram marking as a window count on one h-exchange — the
+    // former df-aggregate + semi-join scanned the stored position
+    // table twice (AQE never reuses the twin exchanges)
+    val dup = pos
+      .repartition(pos.sparkSession.sparkContext.defaultParallelism,
+        col("h"))
+      .withColumn("hdf", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("hdf") >= 2)
+      .drop("hdf")
     val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("gpos"))
     val spans = dup
       .withColumn("prev", lag(col("gpos"), 1).over(wOrd))

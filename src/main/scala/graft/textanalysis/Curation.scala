@@ -140,13 +140,16 @@ object Curation {
         explode(array_distinct(grams(CrossdocN))).as("g"))
 
   private def crossdocFrom(gramRows: DataFrame): DataFrame = {
-    // repartition(g) pins ONE Exchange under both consumers (the df
-    // aggregate and the join side both need g-partitioning), so
-    // ReuseExchange runs the upstream gram derivation once — the
-    // q_dedup_lsh_pairs exchange-reuse pattern
-    val g = gramRows.repartition(col("g"))
-    val df = g.groupBy(col("g")).agg(count(lit(1)).as("df"))
-    g.join(df, Seq("g"))
+    import org.apache.spark.sql.expressions.Window
+    // the per-gram df rides a window COUNT on one g-exchange: the
+    // former df-aggregate ⋈ gram-stream join relied on ReuseExchange
+    // to share the exchange, but AQE never reuses the twin exchanges,
+    // so the stored gram stream was scanned and shuffled TWICE per
+    // invocation (2 × 255k rows / ~26 s summed stage cpu at sf0.1)
+    gramRows
+      .repartition(gramRows.sparkSession.sparkContext.defaultParallelism,
+        col("g"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("g"))))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
