@@ -61,22 +61,27 @@ class PlanShapeSpec extends AnyFunSuite {
       s"q_text_lm shuffles the token stream:\n$p")
   }
 
-  test("the dedup band joins carry the hot-bucket anti-join") {
+  test("the dedup band pipelines carry the hot-bucket cap") {
     // the r6 skew guard: candidate generation must drop capped buckets
-    // via a left-anti join before the self-join (Dedup.dropHotBuckets).
-    // q_dedup_lsh_pairs reads its lake artifact since r10, so the
-    // guard is asserted on the BUILDER plan (lshPairsOf — the pipeline
-    // the ingest runs); simhash_pairs and incremental still band live.
-    val builders: Seq[(String, DataFrame)] = Seq(
-      "lshPairsOf" ->
-        dedup.DedupQueries.lshPairsOf(Tables.documents(spark, dir)),
+    // before any pair fan-out. The ingest builder (lshPairsOf) still
+    // uses the Dedup.dropHotBuckets LEFT-ANTI join; the live banding
+    // queries (simhash_pairs, incremental) apply the SAME cap as a
+    // window count + filter on their single (band, key) exchange
+    // (r14: the anti-join cloned the banding subtree per consumer and
+    // AQE never reused the twin exchanges).
+    val p0 = plan(dedup.DedupQueries.lshPairsOf(Tables.documents(spark, dir)))
+    assert(p0.contains("LeftAnti"), s"lshPairsOf lost the bucket cap:\n$p0")
+    val live: Seq[(String, DataFrame)] = Seq(
       "q_dedup_simhash_pairs" ->
         dedup.DedupQueries.queries("q_dedup_simhash_pairs")(spark, dir),
       "q_dedup_incremental" ->
         dedup.DedupQueries.queries("q_dedup_incremental")(spark, dir))
-    for ((name, df) <- builders) {
+    for ((name, df) <- live) {
       val p = plan(df)
-      assert(p.contains("LeftAnti"), s"$name lost the bucket cap:\n$p")
+      assert(p.contains("windowspecdefinition"),
+        s"$name lost the window df count:\n$p")
+      assert(p.contains(s"<= ${dedup.Dedup.LshBucketCap}"),
+        s"$name lost the bucket-cap filter:\n$p")
     }
   }
 
