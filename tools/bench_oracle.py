@@ -37,6 +37,12 @@ def main() -> None:
             if os.path.isdir(p)
             else f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')"
         )
+    # ORACLE_BENCH_ONLY=q_a,q_b times a subset (the scale-step paired
+    # window needs only the heaviest queries at the synthetic SF)
+    only = os.environ.get("ORACLE_BENCH_ONLY")
+    if only:
+        keep = set(only.split(","))
+        oracles = {k: v for k, v in oracles.items() if k in keep}
     times = {}
     failed = []
     for name in sorted(oracles):

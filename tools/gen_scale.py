@@ -65,8 +65,9 @@ def main():
         legs = []
         for r in range(reps):
             cols = []
-            for name, typ in con.sql(
+            for row in con.sql(
                     f"describe select * from '{src}/{t}.parquet'").fetchall():
+                name = row[0]
                 if name in keys:
                     cols.append(f"({name} + {r * OFF}) AS {name}")
                 elif t == "documents" and name == "text" and r > 0:
